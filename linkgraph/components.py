@@ -1,0 +1,150 @@
+"""Connected components — small-star / large-star hashing to min component id.
+
+The reference obtains P (component count) by delegating to networkx
+(/root/reference/src/ccm/complexity.py:84); at web scale the engine computes
+per-vertex component ids with the alternating small-star/large-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — O(log n) rounds, each round = groupBy(min) + join, all shuffles on
+vertex id). Components are over the *undirected* closure of the link graph
+(weak connectivity), labels = min vertex id in the component
+(BASELINE.json:14 — exact, min-based tie-breaks everywhere).
+
+A simple min-label-propagation variant (O(diameter) rounds) is kept as an
+internal cross-check; tests assert both agree with networkx exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .checkpoint import CheckpointManager
+
+
+def _canon_pairs(edges: DataFrame) -> DataFrame:
+    """Directed edges -> distinct undirected pairs (u,v), u != v."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """For each u: m = min(Γ(u) ∪ {u}); connect every strictly-larger
+    neighbor to m. Keeps pair orientation (larger, smaller)."""
+    sym = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    out = (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """Key each pair by its larger endpoint; connect all smaller neighbors
+    (and the key itself) to the minimum."""
+    keyed = pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))  # b < a
+    mins = keyed.groupBy("a").agg(F.min("b").alias("m"))  # m = min(Γ ∪ {a})
+    attach_neighbors = keyed.join(mins, "a").select(
+        F.col("b").alias("u"), F.col("m").alias("v")
+    )
+    attach_self = mins.select(F.col("a").alias("u"), F.col("m").alias("v"))
+    out = attach_neighbors.unionByName(attach_self)
+    return out.where(F.col("u") != F.col("v")).select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+
+
+def _signature(pairs: DataFrame) -> tuple[int, int]:
+    row = pairs.agg(
+        F.count("*").alias("c"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["c"] or 0), int(row["h"] or 0)
+
+
+def connected_components(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 50,
+    checkpoint: CheckpointManager | None = None,
+    algorithm: str = "star",
+) -> DataFrame:
+    """-> (id, component) where component = min vertex id in the component.
+
+    Isolated vertices (incl. self-loop-only pages — ccm's ``identity`` case)
+    label themselves.
+    """
+    if algorithm == "minprop":
+        return _cc_minprop(spark, edges, vertices, max_iter)
+
+    pairs = _canon_pairs(edges).localCheckpoint(eager=True)
+    sig = _signature(pairs)
+    for step in range(max_iter):
+        pairs = _small_star(_large_star(pairs))
+        if checkpoint is not None:
+            reread = checkpoint.write_state(
+                pairs.select(F.col("u").alias("id"), F.col("v").alias("component")),
+                "components",
+                step,
+            )
+            pairs = reread.select(F.col("id").alias("u"), F.col("component").alias("v"))
+        else:
+            pairs = pairs.localCheckpoint(eager=True)
+        new_sig = _signature(pairs)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # at fixpoint pairs are stars (child, root): label = min over incident ids
+    sym = pairs.select(F.col("u").alias("id"), F.col("v").alias("n")).unionByName(
+        pairs.select(F.col("v").alias("id"), F.col("u").alias("n"))
+    )
+    labels = sym.groupBy("id").agg(F.least(F.min("n"), F.first("id")).alias("component"))
+    return (
+        vertices.select("id")
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def _cc_minprop(spark, edges: DataFrame, vertices: DataFrame, max_iter: int) -> DataFrame:
+    """Cross-check variant: synchronous min-label propagation to fixpoint."""
+    pairs = _canon_pairs(edges)
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy(F.col("u").alias("id2"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+        if s == prev_sum:  # labels are monotone non-increasing -> fixpoint
+            break
+        prev_sum = s
+    return labels

@@ -1,0 +1,186 @@
+"""Canonical HTML text/link extractor — the engine's "disassembler".
+
+This is the graft analogue of the reference's central scan+project+classify
+operator ``_get_instructions_bytes`` (/root/reference/src/ccm/xdis.py:393-483):
+raw bytes -> ordered typed records. Two implementations of ONE spec:
+
+1. ``extract_text`` / ``extract_links`` — pure-Python, row-at-a-time.
+   This is the *canonical reference extractor*; tests treat it as ground
+   truth (BASELINE.json extractor invariant: byte-identical text per url).
+2. ``text_series`` / ``links_series`` — vectorized pandas implementations
+   (whole-Series str ops, no per-row Python), wrapped as Arrow
+   ``pandas_udf``s for the Spark pipeline (BASELINE.json:16 mandates
+   vectorized pandas/Arrow UDFs, no per-row Python).
+
+Spec
+----
+TEXT: utf-8 decode; concatenate the contents of ``<p>...</p>`` blocks in
+document order joined by ``"\\n"``; unescape exactly ``&lt; &gt; &amp;``
+(amp last, like html.unescape restricted to these entities).
+
+LINKS: ``href`` attributes of ``<a href="...">`` in document order;
+fragment (``#...``) stripped; resolution: absolute urls kept, leading-``/``
+hrefs resolved against the base url's scheme://host, other relative hrefs
+against the base url's directory; scheme and host lowercased, path kept
+verbatim; empty hrefs (after fragment strip) dropped. ``pos`` is the 0-based
+index among kept links (order is semantic — DataFrames are unordered, so
+order is a column; ≙ the reference's offset-ordered OrderedDict,
+/root/reference/src/ccm/xdis.py:638-651).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+P_RE = re.compile(r"<p(?:\s[^>]*)?>(.*?)</p>", re.DOTALL)
+A_RE = re.compile(r"<a\s+href=\"([^\"]*)\"", re.DOTALL)
+ABS_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/]*)(.*)$", re.DOTALL)
+BASE_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/]*)(.*)$", re.DOTALL)
+
+
+def _unescape(s: str) -> str:
+    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+# ---------------------------------------------------------------------------
+# 1. canonical reference extractor (row-at-a-time oracle)
+# ---------------------------------------------------------------------------
+
+def extract_text(html: bytes) -> str:
+    """Canonical per-row text extraction (the test oracle)."""
+    doc = html.decode("utf-8")
+    return "\n".join(_unescape(m) for m in P_RE.findall(doc))
+
+
+def _normalize_href(href: str, base_url: str) -> str | None:
+    href = href.split("#", 1)[0]
+    if not href:
+        return None
+    m = ABS_RE.match(href)
+    if m:
+        scheme, host, rest = m.groups()
+        return f"{scheme.lower()}://{host.lower()}{rest}"
+    b = BASE_RE.match(base_url)
+    if not b:
+        return None
+    bscheme, bhost, bpath = b.group(1).lower(), b.group(2).lower(), b.group(3)
+    if href.startswith("/"):
+        return f"{bscheme}://{bhost}{href}"
+    # dir-relative: resolve against the base path's directory
+    bdir = bpath[: bpath.rfind("/") + 1] if "/" in bpath else "/"
+    return f"{bscheme}://{bhost}{bdir}{href}"
+
+
+def extract_links(html: bytes, base_url: str) -> list[str]:
+    """Canonical per-row ordered link extraction (the test oracle)."""
+    doc = html.decode("utf-8")
+    out: list[str] = []
+    for href in A_RE.findall(doc):
+        n = _normalize_href(href, base_url)
+        if n is not None:
+            out.append(n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 2. vectorized pandas implementations (the Spark path)
+# ---------------------------------------------------------------------------
+
+def _decode(html: pd.Series) -> pd.Series:
+    s = html.str.decode("utf-8")
+    if s.isna().any():  # already-str input (e.g. testing convenience)
+        s = s.where(s.notna(), html)
+    return s.astype("object")
+
+
+def text_series(html: pd.Series) -> pd.Series:
+    """Vectorized text extraction over a whole pandas Series of html bytes."""
+    doc = _decode(html)
+    m = doc.str.extractall(P_RE)[0]
+    # restricted-entity unescape, amp last (matches _unescape exactly)
+    m = (
+        m.str.replace("&lt;", "<", regex=False)
+        .str.replace("&gt;", ">", regex=False)
+        .str.replace("&amp;", "&", regex=False)
+    )
+    joined = m.groupby(level=0).agg("\n".join)
+    return joined.reindex(doc.index, fill_value="").astype("object")
+
+
+def links_series(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """Vectorized ordered-link extraction; returns a Series of list[str]."""
+    doc = _decode(html)
+    hrefs = doc.str.extractall(A_RE)[0]
+    empty = pd.Series([[] for _ in range(len(doc))], index=doc.index, dtype="object")
+    if hrefs.empty:
+        return empty
+    hrefs = hrefs.str.split("#", n=1).str[0]
+    hrefs = hrefs[hrefs != ""]
+    if hrefs.empty:
+        return empty
+
+    rowidx = hrefs.index.get_level_values(0)
+    base = base_url.reindex(rowidx)
+    base.index = hrefs.index
+    bparts = base.str.extract(BASE_RE)
+    bscheme, bhost, bpath = (
+        bparts[0].str.lower(),
+        bparts[1].str.lower(),
+        bparts[2].fillna(""),
+    )
+    bdir = bpath.str.replace(r"[^/]*$", "", regex=True)
+    bdir = bdir.where(bdir != "", "/")
+
+    aparts = hrefs.str.extract(ABS_RE)
+    is_abs = aparts[0].notna()
+    is_root = hrefs.str.startswith("/") & ~is_abs
+
+    absolute = aparts[0].str.lower() + "://" + aparts[1].str.lower() + aparts[2].fillna("")
+    rooted = bscheme + "://" + bhost + hrefs
+    relative = bscheme + "://" + bhost + bdir + hrefs
+
+    norm = relative.mask(is_root, rooted).mask(is_abs, absolute)
+    lists = norm.groupby(level=0).agg(list)
+    out = lists.reindex(doc.index)
+    missing = out.isna()
+    if missing.any():
+        out = out.astype("object")
+        out[missing] = pd.Series([[] for _ in range(int(missing.sum()))], index=out.index[missing])
+    return out.astype("object")
+
+
+# ---------------------------------------------------------------------------
+# 3. Spark pandas UDFs + the links-table builder
+# ---------------------------------------------------------------------------
+
+extract_text_udf = F.pandas_udf(text_series, StringType())
+extract_links_udf = F.pandas_udf(links_series, ArrayType(StringType()))
+
+
+def build_links(pages_df):
+    """pages(url, html, ...) -> links(src_url, dst_url, pos).
+
+    ≙ the reference's edge-generation input: an ordered instruction map per
+    code object (/root/reference/src/ccm/xdis.py:618-651). ``pos`` carries
+    the per-page anchor order explicitly.
+    """
+    return (
+        pages_df.select(
+            F.col("url").alias("src_url"),
+            F.posexplode(extract_links_udf(F.col("html"), F.col("url"))).alias(
+                "pos", "dst_url"
+            ),
+        )
+        .select("src_url", "dst_url", F.col("pos").cast("int").alias("pos"))
+    )
+
+
+def extracted_text(pages_df):
+    """pages -> (url, text_extracted) via the vectorized UDF."""
+    return pages_df.select(
+        "url", extract_text_udf(F.col("html")).alias("text_extracted")
+    )

@@ -1,0 +1,83 @@
+"""Edge/vertex table construction — the engine's graph layer.
+
+≙ the reference's ``XBytecodeGraph`` assembly (/root/reference/src/ccm/
+graphs.py:204-258): ordered records -> edge list -> graph + point-class
+indexes. Here the graph is a property graph held as two DataFrames
+(edges, vertices), ids are stable 64-bit ``xxhash64`` of the url, and the
+point-class indexes become degree columns computed in one aggregation pass
+(vs the reference's four tee'd filter passes, graphs.py:252-256).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def build_edges(links: DataFrame) -> DataFrame:
+    """links(src_url, dst_url, pos) -> edges(src, dst) — distinct directed
+    edges keyed by xxhash64(url). Duplicate anchors collapse (the graph is a
+    simple digraph, like the reference's nx.DiGraph, graphs.py:44)."""
+    return (
+        links.select(
+            F.xxhash64("src_url").alias("src"),
+            F.xxhash64("dst_url").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def build_vertices(pages: DataFrame, links: DataFrame) -> DataFrame:
+    """vertices(id, url, out_deg, in_deg).
+
+    The vertex set is page urls ∪ link-target urls — dangling targets
+    (linked but never crawled) are real vertices with out_deg 0, exactly the
+    rows PageRank's dangling-mass handling exists for.
+
+    Degrees count *distinct* neighbors (edges are simple). One shuffle per
+    degree direction; the url dictionary stays joinable by id for reporting.
+    """
+    urls = (
+        pages.select("url")
+        .unionByName(links.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    edges = build_edges(links)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    return (
+        urls.select(F.xxhash64("url").alias("id"), "url")
+        .join(out_deg, F.col("id") == F.col("src"), "left")
+        .drop("src")
+        .join(in_deg, F.col("id") == F.col("dst"), "left")
+        .drop("dst")
+        .select(
+            "id",
+            "url",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def build_graph(pages: DataFrame, links: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Convenience: (edges, vertices) from pages + extracted links."""
+    return build_edges(links), build_vertices(pages, links)
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Symmetric closure (u,v)+(v,u), self-loops dropped — the neighbor
+    relation used by connected components / label propagation / triangles."""
+    e = edges.where(F.col("src") != F.col("dst"))
+    return (
+        e.select("src", "dst")
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def collision_audit(vertices: DataFrame) -> tuple[int, int]:
+    """(distinct ids, distinct urls) — must be equal (FIXTURES.md §3)."""
+    row = vertices.agg(
+        F.countDistinct("id").alias("ids"), F.countDistinct("url").alias("urls")
+    ).collect()[0]
+    return row["ids"], row["urls"]

@@ -1,0 +1,95 @@
+"""Synchronous label propagation over the undirected link graph.
+
+BSP semantics (BASELINE.json:14): all vertices update simultaneously each
+superstep; a vertex takes the *modal* label among its neighbors' previous
+labels, ties broken by the minimum label (every tie-break in the engine is
+min-based so integer results are exact and deterministic — SURVEY.md §7
+"determinism of convergence"). Vertices with no neighbors keep their label.
+
+Implementation: one join (neighbor label lookup) + one count aggregation +
+one argmax-by-(count desc, label asc) window per superstep. The window
+partitions by vertex id, so it rides the same hash partitioning as the
+aggregation — no extra shuffle beyond the ranks join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .checkpoint import CheckpointManager
+from .graph import undirected_edges
+
+
+def label_propagation(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 5,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """-> (id, label) after exactly ``iterations`` synchronous supersteps."""
+    sym = undirected_edges(edges).localCheckpoint(eager=True)  # (src,dst) both ways
+    start = 0
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_complete("labelprop")
+        if latest is not None and latest < iterations - 1:
+            labels = checkpoint.read_state("labelprop", latest).select("id", "label")
+            start = latest + 1
+        elif latest is not None:
+            return checkpoint.read_state("labelprop", min(latest, iterations - 1)).select("id", "label")
+        else:
+            labels = vertices.select("id", F.col("id").alias("label"))
+    else:
+        labels = vertices.select("id", F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
+    for step in range(start, iterations):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy(F.col("src").alias("vid"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("vid"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, labels["id"] == F.col("vid"), "left")
+            .select(
+                "id", F.coalesce("new_label", F.col("label")).alias("label")
+            )
+        )
+        if checkpoint is not None:
+            labels = checkpoint.write_state(
+                labels.select("id", "label", F.lit(step).alias("superstep")),
+                "labelprop",
+                step,
+            ).select("id", "label")
+        else:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_oracle(
+    adj: dict[int, set[int]], iterations: int = 5
+) -> dict[int, int]:
+    """Pure-Python replica (the exactness oracle, FIXTURES.md §5)."""
+    labels = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            if not nbrs:
+                new[v] = labels[v]
+                continue
+            counts: dict[int, int] = {}
+            for n in nbrs:
+                lbl = labels[n]
+                counts[lbl] = counts.get(lbl, 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            # max count; tie -> min label (note -label inverts for max())
+            new[v] = best[0]
+        labels = new
+    return labels

@@ -1,0 +1,230 @@
+"""Iterative PageRank as driver-side BSP over DataFrames.
+
+Damping 0.85, uniform teleport, dangling mass redistributed uniformly
+(matching ``networkx.pagerank`` semantics, the mandated oracle —
+BASELINE.json:14), L1 convergence. One superstep = one join (ranks ⋈ edges
+on src) + one two-stage aggregation (salted partial agg on (dst, salt),
+final agg on dst) + one map — all built-in JVM expressions, no Python in
+the hot path.
+
+Skew: power-law hub *destinations* concentrate the groupBy(dst) shuffle.
+Spark's map-side partial aggregation already bounds per-key fan-in at one
+row per map task, but a single reducer still owns the hub key; the explicit
+two-stage salt (BASELINE.json:14) spreads the hub key over ``salt_buckets``
+reducers first. Salting changes only the order of float additions — the
+rank-equivalence test pins salted == unsalted within 1e-12.
+
+≙ reference capability: the per-graph scalar reductions over the edge table
+(/root/reference/src/ccm/complexity.py:34-55 compute E−N+2 from one graph
+pass; here the per-vertex fixpoint is the scaled-up whole-graph analytic).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .checkpoint import CheckpointManager, StepTimer
+
+DAMPING = 0.85
+
+
+@dataclass
+class SuperstepInfo:
+    superstep: int
+    l1_delta: float
+    dangling_mass: float
+    seconds: float
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id, rank)
+    iterations: int
+    converged: bool
+    supersteps: list[SuperstepInfo] = field(default_factory=list)
+
+
+def _prepare_edges(
+    edges: DataFrame,
+    hub_threshold: int,
+    salt_buckets: int,
+    num_partitions: int,
+) -> DataFrame:
+    """Static per-run edge prep: attach src out-degree, pre-salt hub dsts,
+    hash-partition by src and persist — the static side of every superstep
+    join never re-shuffles (SURVEY.md §4.2)."""
+    # degrees derive from the edge table itself (never trust a caller-supplied
+    # degree column — a mismatch silently leaks rank mass); the hub list is
+    # tiny by construction (degree >= threshold), so only IT is broadcast —
+    # the full degree table joins by shuffle/AQE, which is the only strategy
+    # that survives 10^12-vertex scale.
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    hub_dsts = (
+        edges.groupBy("dst")
+        .agg(F.count("*").alias("in_deg"))
+        .where(F.col("in_deg") >= hub_threshold)
+        .select("dst", F.lit(True).alias("is_hub"))
+    )
+    prepped = (
+        edges.join(out_deg, "src")
+        .join(F.broadcast(hub_dsts), "dst", "left")
+        .select(
+            "src",
+            "dst",
+            "out_deg",
+            F.when(
+                F.col("is_hub").isNotNull(), F.pmod(F.col("src"), F.lit(salt_buckets))
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        )
+        .repartition(num_partitions, "src")
+    )
+    return prepped
+
+
+def pagerank(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    damping: float = DAMPING,
+    tol: float = 1e-9,
+    max_iter: int = 100,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    salt_buckets: int = 16,
+    hub_threshold: int = 1024,
+    num_partitions: int | None = None,
+    resume: bool = False,
+) -> PageRankResult:
+    """PageRank over edges(src,dst) / vertices(id,url,out_deg,in_deg).
+
+    With ``checkpoint`` set, every ``checkpoint_every``-th superstep writes
+    vertex state + manifest (resumable: pass ``resume=True`` to continue
+    from the latest completed superstep of the same run_id).
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    n = vertices.count()
+    if n == 0:
+        return PageRankResult(vertices.select("id", F.lit(0.0).alias("rank")), 0, True)
+
+    e = _prepare_edges(edges, hub_threshold, salt_buckets, num_partitions)
+    e = e.persist()
+    e.count()  # materialize the static side once
+
+    # vertex out-degrees derived from the same edge table (see _prepare_edges)
+    deg = (
+        vertices.select("id")
+        .join(
+            edges.groupBy(F.col("src").alias("id")).agg(
+                F.count("*").alias("out_deg")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+    )
+
+    start_step = 0
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_complete("pagerank")
+        if latest is not None:
+            state = checkpoint.read_state("pagerank", latest).select("id", "rank")
+            ranks = state.join(deg, "id").select("id", "out_deg", "rank")
+            start_step = latest + 1
+        else:
+            ranks = deg.select("id", "out_deg", F.lit(1.0 / n).alias("rank"))
+    else:
+        ranks = deg.select("id", "out_deg", F.lit(1.0 / n).alias("rank"))
+
+    ranks = ranks.repartition(num_partitions, "id").persist()
+    supersteps: list[SuperstepInfo] = []
+    converged = False
+    step = start_step
+
+    for step in range(start_step, start_step + max_iter):
+        with StepTimer() as t:
+            contribs = (
+                e.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+                .select(
+                    "dst", "salt", (F.col("rank") / F.col("out_deg")).alias("c")
+                )
+                # stage 1: salted partial aggregation (hub keys spread over
+                # salt_buckets reducers), stage 2: final per-dst sum
+                .groupBy("dst", "salt")
+                .agg(F.sum("c").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            dangling = (
+                ranks.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+            new_ranks = (
+                ranks.join(contribs, ranks["id"] == contribs["dst"], "left")
+                .select(
+                    "id",
+                    "out_deg",
+                    F.col("rank").alias("rank_old"),
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    ).alias("rank"),
+                )
+            )
+            # checkpoint / plan truncation, then measure the L1 delta
+            if checkpoint is not None and (step % checkpoint_every == 0):
+                delta = (
+                    new_ranks.agg(
+                        F.sum(F.abs(F.col("rank") - F.col("rank_old")))
+                    ).collect()[0][0]
+                    or 0.0
+                )
+                written = checkpoint.write_state(
+                    new_ranks.select("id", "rank", F.lit(step).alias("superstep")),
+                    "pagerank",
+                    step,
+                    l1_delta=delta,
+                    extra={"n": n, "damping": damping},
+                )
+                next_ranks = written.select("id", "rank").join(deg, "id").select(
+                    "id", "out_deg", "rank"
+                )
+            else:
+                next_ranks = new_ranks.select("id", "out_deg", "rank").localCheckpoint(
+                    eager=True
+                )
+                delta = (
+                    new_ranks.agg(
+                        F.sum(F.abs(F.col("rank") - F.col("rank_old")))
+                    ).collect()[0][0]
+                    or 0.0
+                )
+            next_ranks = next_ranks.repartition(num_partitions, "id").persist()
+            next_ranks.count()
+            ranks.unpersist()
+            ranks = next_ranks
+        supersteps.append(SuperstepInfo(step, float(delta), float(dangling), t.seconds))
+        if delta < tol:
+            converged = True
+            break
+
+    e.unpersist()
+    return PageRankResult(
+        ranks.select("id", "rank"), len(supersteps) + start_step, converged, supersteps
+    )
+
+
+def top_k(ranks: DataFrame, vertices: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k pages by rank with url back-reference (orderBy+limit sink)."""
+    return (
+        ranks.join(vertices.select("id", "url"), "id")
+        .orderBy(F.desc("rank"), "url")
+        .limit(k)
+    )

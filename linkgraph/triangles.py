@@ -1,0 +1,92 @@
+"""Per-vertex triangle counting via degree-ordered oriented joins.
+
+Standard scalable formulation (BASELINE.json:6): orient every undirected
+edge from its lower-(degree, id) endpoint to its higher one — the
+orientation is acyclic and every out-neighborhood has size O(sqrt(E)) on
+skewed graphs, so the wedge self-join never explodes on hub vertices (this
+is the join-layer answer to power-law skew; cf. the degree-ordering trick
+in triangle-counting literature, PAPERS.md).
+
+wedges(u; v,w) from the oriented out-lists, closed by an equi-join against
+the oriented edge (v,w); each triangle is found exactly once, then exploded
+to its three corners for per-vertex counts (exact vs ``nx.triangles``,
+FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon_pairs(edges: DataFrame) -> DataFrame:
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(spark, edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """-> (id, triangles) over the undirected simple graph."""
+    pairs = _canon_pairs(edges)
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+
+    # orient low-(deg,id) -> high-(deg,id)
+    oriented = (
+        sym.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "dv")
+        .persist()
+    )
+
+    o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
+    o2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = o1.join(o2, "a").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["b", "c"], "inner").select("a", "b", "c")
+
+    per_vertex = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = (
+        vertices.select("id")
+        .join(per_vertex, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+    return out
+
+
+def triangle_total(spark, edges: DataFrame) -> int:
+    """Total triangle count (each counted once)."""
+    pairs = _canon_pairs(edges)
+    sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    oriented = (
+        sym.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "dv")
+    )
+    o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
+    o2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = o1.join(o2, "a").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    return wedges.join(closing, ["b", "c"], "left_semi").count()

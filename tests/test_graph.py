@@ -1,0 +1,56 @@
+"""Graph construction: edges, vertices, degrees, collision audit."""
+
+from linkgraph.graph import collision_audit
+
+from conftest import collect_map
+
+
+def test_edge_count_matches_ground_truth(small):
+    expected = {
+        (s, d) for s, dsts in small.links_by_url.items() for d in dsts
+    }
+    assert small.edges.count() == len(expected)
+
+
+def test_collision_audit(small):
+    ids, urls = collision_audit(small.vertices)
+    assert ids == urls
+
+
+def test_vertex_set_includes_dangling_targets(small):
+    g = small.nx_digraph()
+    assert small.vertices.count() == g.number_of_nodes()
+    # dangling targets exist in the fixture by construction (~1%)
+    page_urls = {r.url for r in small.rows}
+    assert set(small.url_of_id.values()) - page_urls, "fixture lost its dangling urls"
+
+
+def test_degrees_match_networkx(small):
+    g = small.nx_digraph()
+    out_deg = collect_map(small.vertices, "url", "out_deg")
+    in_deg = collect_map(small.vertices, "url", "in_deg")
+    for u in g.nodes:
+        assert out_deg[u] == g.out_degree(u), u
+        assert in_deg[u] == g.in_degree(u), u
+
+
+def test_corpus_determinism():
+    from linkgraph import corpus
+
+    a_rows, a_links = corpus.gen_corpus(42, corpus.TINY)
+    b_rows, b_links = corpus.gen_corpus(42, corpus.TINY)
+    assert a_rows == b_rows
+    assert a_links == b_links
+    c_rows, _ = corpus.gen_corpus(43, corpus.TINY)
+    assert c_rows != a_rows
+
+
+def test_tiny_structural_cases(tiny):
+    from linkgraph.corpus import url_for
+
+    lb = tiny.links_by_url
+    assert lb[url_for(0)] == [url_for(0)]  # self-loop island
+    assert lb[url_for(1)] == [url_for(2)]
+    assert lb[url_for(10)] == []  # dangling-only page
+    # hub page: index 17 in a 40-page corpus -> out-degree n//4 = 10
+    assert len(lb[url_for(17)]) >= 8

@@ -1,0 +1,44 @@
+"""Triangle counts: exact per-vertex match vs nx.triangles (FIXTURES.md §5)."""
+
+import networkx as nx
+
+from linkgraph.triangles import triangle_counts, triangle_total
+
+from conftest import collect_map
+
+
+def nx_tri(bundle):
+    g = bundle.nx_digraph_ids().to_undirected()
+    g.remove_edges_from([(u, v) for u, v in g.edges if u == v])
+    return nx.triangles(g)
+
+
+def test_triangles_tiny(spark, tiny):
+    got = collect_map(
+        triangle_counts(spark, tiny.edges, tiny.vertices), "id", "triangles"
+    )
+    assert got == nx_tri(tiny)
+
+
+def test_triangles_small(spark, small):
+    got = collect_map(
+        triangle_counts(spark, small.edges, small.vertices), "id", "triangles"
+    )
+    oracle = nx_tri(small)
+    assert got == oracle
+    assert triangle_total(spark, small.edges) == sum(oracle.values()) // 3
+
+
+def test_tiny_known_triangles(spark, tiny):
+    """Fixture guarantees: cluster A {1,2,3} is a triangle; the 3-cycle
+    {6,7,8} is a triangle; pendant 9 is in none."""
+    from linkgraph.corpus import url_for
+
+    got = collect_map(
+        triangle_counts(spark, tiny.edges, tiny.vertices), "id", "triangles"
+    )
+    by_url = {tiny.url_of_id[i]: c for i, c in got.items()}
+    for i in (1, 2, 3, 6, 7, 8):
+        assert by_url[url_for(i)] >= 1, i
+    assert by_url[url_for(9)] == 0
+    assert by_url[url_for(0)] == 0  # self-loop island
