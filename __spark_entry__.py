@@ -1,38 +1,724 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` = flagship link-graph pipeline on sf0.001; ``queries`` = every
+implemented operator family (SURVEY.md §2 + the training-data-pipeline
+extensions) as (spark, sf_dir) -> DataFrame; ``oracle_sql`` = matched
+ANSI-SQL for DuckDB over the pre-registered views.
+
+Parity rules used throughout (so value-hashes match bit-for-bit):
+- every hash is md5 over an explicit string (never engine-native hashes)
+- every float output is double precision, rounded with ``round(x, k)``
+- every integer output is cast to 64-bit on both sides
+- ordering is never semantic (the driver's compare is order-insensitive);
+  ties inside windows break on explicit (value desc, id asc) keys
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from linkgraph import dedup, simsearch, textops, tpcgraph  # noqa: E402
+from linkgraph.complexity import component_complexity  # noqa: E402
+from linkgraph.components import connected_components  # noqa: E402
+from linkgraph.extract import extract_links_udf, extract_text_udf  # noqa: E402
+from linkgraph.labelprop import label_propagation  # noqa: E402
+from linkgraph.pagerank import pagerank  # noqa: E402
+from linkgraph.triangles import triangle_counts  # noqa: E402
+
+SPARSE_MIN_TOTAL = 490_000.0  # keeps the CC/LP/complexity oracle closures small
+STOP_EN = textops.STOPWORDS["en"]
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: customer->supplier link graph at sf0.001, converged
+    PageRank, top-20 ranked vertices with degrees."""
+    sf_dir = "/root/testdata/sf0.001"
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    res = pagerank(spark, edges, verts, tol=1e-8, max_iter=40)
+    deg = _degrees(edges)
+    return (
+        res.ranks.join(deg, "id")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+        .select("id", F.round("rank", 9).alias("rank9"), "out_deg", "in_deg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared Spark helpers
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    verts = tpcgraph.vertices_of(edges)
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("o"))
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("i"))
+    return (
+        verts.join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("o", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("i", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def _synth_pages(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, url, html:binary) with deterministic anchors.
+
+    Each doc links to dst k = (doc_id*7 + j*13) % n_docs for
+    j in 0..(doc_id % 3); href spellings vary (uppercase scheme/host at
+    j==1, #fragment at j==2) to exercise the extractor's normalization.
+    """
+    n = docs.count()
+    base = F.concat(F.lit("https://docs.example/d"), F.col("doc_id"))
+    k = lambda j: (F.col("doc_id") * 7 + j * 13) % n  # noqa: E731
+    clean = lambda j: F.concat(F.lit("https://docs.example/d"), k(j))  # noqa: E731
+    href = lambda j: (  # noqa: E731
+        F.when(j % 2 == 1, F.concat(F.lit("HTTPS://DOCS.EXAMPLE/d"), k(j)))
+        .when(j % 3 == 2, F.concat(clean(j), F.lit("#frag")))
+        .otherwise(clean(j))
+    )
+    anchors = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.col("doc_id") % 3),
+            lambda j: F.concat(F.lit('<a href="'), href(j), F.lit('">x</a>')),
+        ),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    escaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), escaped, F.lit("</p>"), anchors, F.lit("</body></html>")
+    )
+    return docs.select(
+        "doc_id", base.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_graph_degrees(spark, sf_dir):
+    return _degrees(tpcgraph.order_edges(spark, sf_dir))
+
+
+def q_graph_pagerank2(spark, sf_dir):
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    res = pagerank(spark, edges, verts, tol=0.0, max_iter=2)
+    return res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+
+
+def q_graph_components(spark, sf_dir):
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    return connected_components(spark, edges, tpcgraph.vertices_of(edges))
+
+
+def q_graph_complexity(spark, sf_dir):
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    comps = connected_components(spark, edges, tpcgraph.vertices_of(edges))
+    out = component_complexity(spark, edges, comps)
+    ints = [
+        "N", "E", "D", "X", "entry_points", "mccabe", "mccabe_generalised",
+        "henderson_sellers", "henderson_sellers_tegarden", "hst_generalised",
+        "harrison",
+    ]
+    return out.select("component", *[F.col(c).cast("long").alias(c) for c in ints])
+
+
+def q_graph_labelprop2(spark, sf_dir):
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    return label_propagation(spark, edges, tpcgraph.vertices_of(edges), iterations=2)
+
+
+def q_graph_triangles(spark, sf_dir):
+    edges = tpcgraph.supplier_copart_edges(spark, sf_dir)
+    return triangle_counts(spark, edges, tpcgraph.vertices_of(edges))
+
+
+def q_extract_text_rt(spark, sf_dir):
+    pages = _synth_pages(_docs(spark, sf_dir))
+    return pages.select(
+        "doc_id", extract_text_udf(F.col("html")).alias("text_extracted")
+    )
+
+
+def q_extract_links_rt(spark, sf_dir):
+    pages = _synth_pages(_docs(spark, sf_dir))
+    return pages.select(
+        F.col("doc_id").alias("src_doc"),
+        F.posexplode(extract_links_udf(F.col("html"), F.col("url"))).alias(
+            "pos", "dst_url"
+        ),
+    ).select("src_doc", F.col("pos").cast("int").alias("pos"), "dst_url")
+
+
+def q_text_stats(spark, sf_dir):
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return textops.quality(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    return textops.langid(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=8, n=3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_dedup_embcos(spark, sf_dir):
+    return dedup.embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.45, method="bruteforce")
+
+
+def q_sim_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return simsearch.topk_bruteforce(embs, simsearch.queries_from(embs, 50), k=5)
+
+
+def q_sim_lsh_hist(spark, sf_dir):
+    return simsearch.bucket_histogram(_embs(spark, sf_dir))
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_ts"
+        ),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ in parquet; session tz is UTC, so the LTZ
+    # cast's micros equal DuckDB's epoch_us over the naive timestamp
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("is_new").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_rel_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_rel_top_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_mm_payload(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank2": q_graph_pagerank2,
+        "graph_components": q_graph_components,
+        "graph_complexity": q_graph_complexity,
+        "graph_labelprop2": q_graph_labelprop2,
+        "graph_triangles": q_graph_triangles,
+        "extract_text_rt": q_extract_text_rt,
+        "extract_links_rt": q_extract_links_rt,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embcos": q_dedup_embcos,
+        "sim_topk": q_sim_topk,
+        "sim_lsh_hist": q_sim_lsh_hist,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "rel_pricing": q_rel_pricing,
+        "rel_top_customers": q_rel_top_customers,
+        "mm_payload": q_mm_payload,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, ANSI-ish; views pre-registered)
+# ---------------------------------------------------------------------------
+
+_EDGES = """
+edges AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
+"""
+
+_SEDGES = f"""
+sedges AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_totalprice > {SPARSE_MIN_TOTAL}
+),
+sverts AS (
+  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB gives plain UNION
+  -- seed+iterate semantics (no dedup) even for non-self-referencing CTEs
+  SELECT DISTINCT id FROM (SELECT src AS id FROM sedges UNION ALL SELECT dst FROM sedges)
+),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM sedges UNION ALL SELECT dst, src FROM sedges
+  )
+)
+"""
+
+_COMPS = """
+reach(a, b) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.a, u2.v FROM reach r JOIN und u2 ON r.b = u2.u
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+"""
+
+_TOKS = """
+nrm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, text, nrm,
+         CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nrm, ' ') END AS t
+  FROM nrm
+)
+"""
+
+_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in STOP_EN) + ")"
+
+_COS64 = (
+    "round(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i])))), 6)"
+)
+
+
+def _lp_round(prev: str, out: str) -> str:
+    """One unrolled synchronous label-propagation superstep in SQL."""
+    return f"""
+v_{out} AS (
+  SELECT u.u AS vid, l.label, count(*) AS c
+  FROM und u JOIN {prev} l ON u.v = l.id GROUP BY 1, 2
+),
+w_{out} AS (
+  SELECT vid, label FROM (
+    SELECT vid, label,
+           row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
+    FROM v_{out}
+  ) WHERE rn = 1
+),
+{out} AS (
+  SELECT p.id, coalesce(w.label, p.label) AS label
+  FROM {prev} p LEFT JOIN w_{out} w ON p.id = w.vid
+)
+"""
+
+
+def _pr_round(prev: str, out: str) -> str:
+    """One unrolled PageRank superstep (damping .85, dangling redistributed)."""
+    return f"""
+d_{out} AS (SELECT coalesce(sum(r), 0) AS dm FROM {prev} WHERE od = 0),
+c_{out} AS (
+  SELECT e.dst AS id, sum(p.r / p.od) AS contrib
+  FROM edges e JOIN {prev} p ON e.src = p.id GROUP BY 1
+),
+{out} AS (
+  SELECT p.id, p.od,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (coalesce(c.contrib, 0) + (SELECT dm FROM d_{out}) / (SELECT n FROM nn)) AS r
+  FROM {prev} p LEFT JOIN c_{out} c ON p.id = c.id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh_cols = ",\n    ".join(
+        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(8)
+    )
+    mh_sel = ", ".join(f"coalesce(sig.mh{j}, 'z') AS mh{j}" for j in range(8))
+    bucket_sql = "concat(" + ", ".join(
+        f"CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END"
+        for d in (0, 8, 16, 24, 32, 40, 48, 56)
+    ) + ")"
+    sw = {
+        lang: "(" + ",".join(f"'{w}'" for w in ws) + ")"
+        for lang, ws in textops.STOPWORDS.items()
+    }
+
+    return {
+        "graph_degrees": f"""
+WITH {_EDGES}
+SELECT v.id, coalesce(o.c, 0)::BIGINT AS out_deg, coalesce(i.c, 0)::BIGINT AS in_deg
+FROM verts v
+LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY 1) i ON v.id = i.dst
+""",
+        "graph_pagerank2": f"""
+WITH {_EDGES},
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+outd AS (
+  SELECT v.id, coalesce(o.c, 0) AS od FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+),
+r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
+{',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
+SELECT id, round(r, 9) AS rank9 FROM r2
+""",
+        "graph_components": f"""
+WITH RECURSIVE {_SEDGES}, {_COMPS}
+SELECT v.id, coalesce(c.component, v.id) AS component
+FROM sverts v LEFT JOIN comp c ON v.id = c.id
+""",
+        "graph_complexity": f"""
+WITH RECURSIVE {_SEDGES}, {_COMPS},
+labels AS (
+  SELECT v.id, coalesce(c.component, v.id) AS component
+  FROM sverts v LEFT JOIN comp c ON v.id = c.id
+),
+deg AS (
+  SELECT l.component,
+         coalesce(o.c, 0) AS out_deg, coalesce(i.c, 0) AS in_deg
+  FROM labels l
+  LEFT JOIN (SELECT src, count(*) AS c FROM sedges GROUP BY 1) o ON l.id = o.src
+  LEFT JOIN (SELECT dst, count(*) AS c FROM sedges GROUP BY 1) i ON l.id = i.dst
+),
+vstats AS (
+  SELECT component, count(*)::BIGINT AS N,
+         sum(CASE WHEN out_deg >= 2 THEN 1 ELSE 0 END)::BIGINT AS D,
+         sum(CASE WHEN out_deg = 0 THEN 1 ELSE 0 END)::BIGINT AS X,
+         sum(CASE WHEN in_deg = 0 THEN 1 ELSE 0 END)::BIGINT AS entry_points
+  FROM deg GROUP BY 1
+),
+estats AS (
+  SELECT l.component, count(*)::BIGINT AS E
+  FROM sedges e JOIN labels l ON e.src = l.id GROUP BY 1
+)
+SELECT v.component, v.N, coalesce(s.E, 0)::BIGINT AS E, v.D, v.X, v.entry_points,
+       (coalesce(s.E, 0) - v.N + 2)::BIGINT AS mccabe,
+       (coalesce(s.E, 0) - v.N + 2)::BIGINT AS mccabe_generalised,
+       (coalesce(s.E, 0) - v.N + 2)::BIGINT AS henderson_sellers,
+       (coalesce(s.E, 0) - v.N + 1)::BIGINT AS henderson_sellers_tegarden,
+       (coalesce(s.E, 0) - v.N + v.X + 2)::BIGINT AS hst_generalised,
+       (v.D - v.X + 2)::BIGINT AS harrison
+FROM vstats v LEFT JOIN estats s ON v.component = s.component
+""",
+        "graph_labelprop2": f"""
+WITH {_SEDGES},
+l0 AS (SELECT id, id AS label FROM sverts)
+{',' + _lp_round('l0', 'l1') + ',' + _lp_round('l1', 'l2')}
+SELECT id, label FROM l2
+""",
+        "graph_triangles": """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pe a JOIN pe b ON a.p = b.p AND a.s < b.s
+),
+tv AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1)
+SELECT tv.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
+FROM tv LEFT JOIN cnt ON tv.id = cnt.id
+""",
+        "extract_text_rt": "SELECT doc_id, text AS text_extracted FROM documents",
+        "extract_links_rt": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT doc_id AS src_doc,
+         unnest(range(0, doc_id % 3 + 1)) AS j
+  FROM documents
+)
+SELECT src_doc, j::INT AS pos,
+       'https://docs.example/d' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url
+FROM l
+""",
+        "text_stats": f"""
+WITH {_TOKS}
+SELECT doc_id, len(t)::BIGINT AS n_tokens, length(nrm)::BIGINT AS n_chars_norm,
+       CASE WHEN len(t) = 0 THEN 0.0
+            ELSE round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 6)
+       END AS avg_token_len
+FROM toks
+""",
+        "text_quality": f"""
+WITH {_TOKS},
+ratios AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE / len(t) END AS sr,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+              / length(text) END AS pr
+  FROM toks
+)
+SELECT doc_id, n_tokens, round(sr, 6) AS stopword_ratio, round(pr, 6) AS punct_ratio,
+       round(least(sr * 2.0, 1.0) * 0.4
+             + CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+             + greatest(0.0, 0.2 - pr), 6) AS quality_score
+FROM ratios
+""",
+        "text_langid": f"""
+WITH {_TOKS},
+cnts AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN {sw['de']})) AS cde,
+    len(list_filter(t, x -> x IN {sw['en']})) AS cen,
+    len(list_filter(t, x -> x IN {sw['es']})) AS ces,
+    len(list_filter(t, x -> x IN {sw['fr']})) AS cfr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+       WHEN cde = greatest(cde, cen, ces, cfr) THEN 'de'
+       WHEN cen = greatest(cde, cen, ces, cfr) THEN 'en'
+       WHEN ces = greatest(cde, cen, ces, cfr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM cnts
+""",
+        "text_fingerprint": f"""
+WITH {_TOKS}
+SELECT doc_id, md5(nrm) AS fp_md5,
+       CAST(('0x' || substr(md5(nrm), 1, 15)) AS BIGINT) AS fp64
+FROM toks
+""",
+        "dedup_exact": f"""
+WITH {_TOKS},
+fp AS (SELECT doc_id, md5(nrm) AS fp_md5 FROM toks),
+g AS (SELECT fp_md5, count(*)::BIGINT AS group_size, min(doc_id) AS rep_id
+      FROM fp GROUP BY 1)
+SELECT fp.doc_id, fp.fp_md5, g.group_size, g.rep_id,
+       fp.doc_id <> g.rep_id AS is_dup
+FROM fp JOIN g USING (fp_md5)
+""",
+        "dedup_ngram": f"""
+WITH {_TOKS}, {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS m
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(m::DOUBLE / (sa.n_sh + sb.n_sh - m), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE round(m::DOUBLE / (sa.n_sh + sb.n_sh - m), 6) >= 0.05
+""",
+        "dedup_minhash_sigs": f"""
+WITH {_TOKS}, {_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, {mh_sel}
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+""",
+        "dedup_simhash": f"""
+WITH {_TOKS},
+words AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN substr(md5(w), b + 1, 1) IN
+                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+  FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+""",
+        "dedup_embcos": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         {_COS64.format(a='x.v', b='y.v')} AS cos
+  FROM e x JOIN e y ON x.vec_id < y.vec_id
+)
+SELECT a, b, cos FROM p WHERE cos >= 0.45
+""",
+        "sim_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id, {_COS64.format(a='qv', b='cv')} AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM s
+) WHERE rn <= 5
+""",
+        "sim_lsh_hist": f"""
+SELECT {bucket_sql} AS bucket, count(*) AS n_vecs
+FROM embeddings GROUP BY 1
+""",
+        "events_hourly": """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY 1
+""",
+        "rel_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY 1, 2
+""",
+        "rel_top_customers": """
+SELECT c_mktsegment,
+       count(DISTINCT c_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+        "mm_payload": """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+    }

@@ -1,0 +1,137 @@
+"""Bench harness (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+on local[$SPARK_GRAFT_CPUS]; prints exactly ONE JSON line to stdout:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "pagerank_iterations": N, "pagerank_edges_per_sec_per_superstep": X}
+
+The north-rule throughput metric (edges/sec per PageRank superstep,
+iterations to convergence) rides along as extra keys. Scaling-efficiency
+evidence (same job at two parallelism levels) lives in
+scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from linkgraph import dedup, simsearch, textops, tpcgraph  # noqa: E402
+from linkgraph.components import connected_components  # noqa: E402
+from linkgraph.extract import extract_links_udf  # noqa: E402
+from linkgraph.labelprop import label_propagation  # noqa: E402
+from linkgraph.pagerank import pagerank  # noqa: E402
+from linkgraph.session import get_spark  # noqa: E402
+from linkgraph.triangles import triangle_counts  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("linkgraph-bench", cores=cpus,
+                      shuffle_partitions=int(cpus) * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    docs.count()
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    embs.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]}s -> {out}", file=sys.stderr)
+
+    # -- vectorized link extraction over synthesized html pages -----------
+    pages = entrymod._synth_pages(docs)
+    timed(
+        "extract_links",
+        lambda: pages.select(
+            F.posexplode(extract_links_udf(F.col("html"), F.col("url")))
+        ).count(),
+    )
+
+    # -- graph analytics on the customer->supplier graph ------------------
+    edges = tpcgraph.order_edges(spark, SF_DIR).persist()
+    n_edges = edges.count()
+    verts = tpcgraph.vertices_of(edges).persist()
+    verts.count()
+
+    n_verts = verts.count()
+    # networkx convergence semantics: stop when L1 error < n * tol, tol=1e-6
+    t0 = time.perf_counter()
+    res = pagerank(spark, edges, verts, tol=n_verts * 1e-6, max_iter=60)
+    timings["pagerank"] = round(time.perf_counter() - t0, 3)
+    iters = max(res.iterations, 1)
+    extras["pagerank_iterations"] = iters
+    extras["pagerank_converged"] = bool(res.converged)
+    extras["pagerank_edges_per_sec_per_superstep"] = round(
+        n_edges / (timings["pagerank"] / iters), 1
+    )
+    extras["n_edges"] = n_edges
+    print(
+        f"pagerank: {timings['pagerank']}s, {iters} iters, "
+        f"{extras['pagerank_edges_per_sec_per_superstep']} edges/s/superstep",
+        file=sys.stderr,
+    )
+
+    timed("components", lambda: connected_components(spark, edges, verts).count())
+    timed("labelprop3", lambda: label_propagation(spark, edges, verts, 3).count())
+
+    tri_edges = tpcgraph.supplier_copart_edges(spark, SF_DIR)
+    timed(
+        "triangles",
+        lambda: triangle_counts(
+            spark, tri_edges, tpcgraph.vertices_of(tri_edges)
+        ).count(),
+    )
+
+    # -- training-data pipeline ops ---------------------------------------
+    timed(
+        "dedup_minhash",
+        lambda: dedup.minhash_dedup_pairs(
+            docs, num_hashes=8, rows_per_band=2, verify_threshold=0.5
+        ).count(),
+    )
+    timed(
+        "dedup_ngram",
+        lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.05).count(),
+    )
+    timed("text_quality", lambda: textops.quality(docs).count())
+    timed("text_langid", lambda: textops.langid(docs).count())
+    timed("text_fingerprint", lambda: textops.fingerprint(docs).count())
+    timed(
+        "sim_topk",
+        lambda: simsearch.topk_bruteforce(
+            embs, simsearch.queries_from(embs, 50), k=5
+        ).count(),
+    )
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "linkgraph headline queries wall-clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

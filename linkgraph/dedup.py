@@ -1,0 +1,323 @@
+"""Deduplication operators over a documents table — exact and near-dup.
+
+Training-data-pipeline dedup at 100 TB scale, all shuffle-conscious:
+
+- exact:        one groupBy on a content fingerprint (md5 of normalized text)
+- n-gram Jaccard: shingle inverted-index self-join (never a cross join);
+                  a document-frequency cap drops stop-shingles so the
+                  inverted index can't quadratically explode on a hot
+                  shingle at scale (same role as hub-salting in pagerank)
+- MinHash:      k independent min-hashes per doc (one groupBy), banded LSH
+                join for candidate pairs (Broder; Leskovec MMDS ch.3)
+- SimHash:      per-bit majority vote over token hashes (Charikar)
+- embedding:    cosine near-dup — sign-LSH bucketed by default, brute-force
+                self-join only for small inputs / oracles
+
+Hash portability rule: every hash here is md5 over an explicit string
+(hex-string compared or prefix-converted to int), so the DuckDB oracle can
+reproduce values bit-for-bit — never engine-native hash functions.
+
+Tokenization/shingling share linkgraph.textops' canonical spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textops import tokens_col
+
+HEX_HI = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, fp_md5, group_size, rep_id, is_dup) — rep = min id per
+    identical normalized text; is_dup marks rows a dedup pass would drop."""
+    from .textops import norm_col
+
+    fp = docs.select(F.col(id_col), F.md5(norm_col(F.col(text_col))).alias("fp_md5"))
+    groups = fp.groupBy("fp_md5").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("rep_id")
+    )
+    return fp.join(groups, "fp_md5").select(
+        id_col,
+        "fp_md5",
+        "group_size",
+        "rep_id",
+        (F.col(id_col) != F.col("rep_id")).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_table(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> distinct (doc_id, shingle) of word n-grams."""
+    t = tokens_col(F.col(text_col))
+    sh = F.when(
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (a, b, jaccard) for doc pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index formulation: join docs *through* shared shingles, count
+    intersections, derive the union from per-doc set sizes. ``df_cap`` drops
+    shingles appearing in more than df_cap docs (recall traded for a bounded
+    join at web scale; None = exact).
+    """
+    sh = shingle_table(docs, n, id_col, text_col)
+    if df_cap is not None:
+        keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+            F.col("df") <= df_cap
+        )
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("m"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("m") / (F.col("na") + F.col("nb") - F.col("m")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, mh0..mh{k-1}) — per-doc min of md5('<j>:'||shingle).
+
+    The j-salted md5 family plays the role of k independent permutations;
+    min over hex strings (lexicographic) == min over the 128-bit ints.
+    One explode + one groupBy, k aggregates computed in a single pass.
+    Docs with no shingles get the empty-set sentinel 'z' (> any hex digit).
+    """
+    sh = shingle_table(docs, n, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(sigs, "doc_id", "left").na.fill(
+        {f"mh{j}": "z" for j in range(num_hashes)}
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """-> distinct (a, b) doc pairs agreeing on at least one MinHash band.
+
+    Band key = (band index, md5 of the band's concatenated minhashes); the
+    self-join is per-band-bucket, so its cost is bounded by bucket sizes,
+    not |docs|^2.
+    """
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    return (
+        exploded.alias("x")
+        .join(exploded.alias("y"), ["band", "bkey"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    verify_threshold: float | None = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates, optionally verified with exact shingle Jaccard.
+
+    -> (a, b, jaccard) when verifying, else (a, b).
+    """
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs, num_hashes, rows_per_band)
+    if verify_threshold is None:
+        return cand
+    sh = shingle_table(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("s2")), "b")
+        .where(F.col("shingle") == F.col("s2"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("m"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("m") / (F.col("na") + F.col("nb") - F.col("m")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, simhash) — Charikar sketch over distinct tokens.
+
+    Bit b of a token's hash = high bit of hex digit b of md5(token)
+    (portable: substr of the hex string in both engines). simhash bit b is
+    the sign of the per-bit vote sum over the doc's distinct tokens.
+    """
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("w"),
+        )
+        .distinct()
+        .withColumn("h", F.md5("w"))
+    )
+    votes = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bits)),
+                lambda i: F.when(
+                    F.substring(F.col("h"), i, 1).isin(HEX_HI), F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+        ).alias("b", "v"),
+    )
+    sums = votes.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    sig = sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(sig, "doc_id", "left").na.fill({"simhash": 0})
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_dup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    lsh_dims: tuple[int, ...] = (0, 8, 16, 24, 32, 40, 48, 56),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (a, b, cos) pairs with cosine >= threshold.
+
+    method='lsh' buckets by sign bits of ``lsh_dims`` first (join cost
+    bounded per bucket — the scale path; recall < 1 near the threshold);
+    method='bruteforce' is the exact O(n^2) self-join for small inputs and
+    oracle comparison.
+    """
+    x = embs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    y = embs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if method == "lsh":
+        from .simsearch import sign_bucket_col
+
+        x = x.withColumn("bkt", sign_bucket_col(F.col("va"), lsh_dims))
+        y = y.withColumn("bkt", sign_bucket_col(F.col("vb"), lsh_dims))
+        joined = x.join(y, "bkt").where(F.col("a") < F.col("b"))
+    else:
+        joined = x.join(y, F.col("a") < F.col("b"))
+    return (
+        joined.select(
+            "a", "b", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+    )

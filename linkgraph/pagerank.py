@@ -142,10 +142,23 @@ def pagerank(
     else:
         ranks = deg.select("id", "out_deg", F.lit(1.0 / n).alias("rank"))
 
-    ranks = ranks.repartition(num_partitions, "id").persist()
+    ranks = ranks.repartition(num_partitions, "id").localCheckpoint(eager=True)
     supersteps: list[SuperstepInfo] = []
     converged = False
     step = start_step
+
+    # dangling mass of the CURRENT state; after the first superstep it is
+    # carried forward from the post-superstep aggregate (one job, not two)
+    dangling = float(
+        ranks.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+    )
+
+    _delta_aggs = [
+        F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("l1"),
+        F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias(
+            "dm"
+        ),
+    ]
 
     for step in range(start_step, start_step + max_iter):
         with StepTimer() as t:
@@ -161,10 +174,6 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )
-            dangling = (
-                ranks.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
-                or 0.0
-            )
             new_ranks = (
                 ranks.join(contribs, ranks["id"] == contribs["dst"], "left")
                 .select(
@@ -178,39 +187,38 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            # checkpoint / plan truncation, then measure the L1 delta
+            # one heavy job materializes the superstep (plan truncation);
+            # the L1 delta + next dangling mass are one cheap follow-up agg
+            # over the materialized state — never a recompute of the join
             if checkpoint is not None and (step % checkpoint_every == 0):
-                delta = (
-                    new_ranks.agg(
-                        F.sum(F.abs(F.col("rank") - F.col("rank_old")))
-                    ).collect()[0][0]
-                    or 0.0
-                )
+                staged = new_ranks.persist()
+                row = staged.agg(*_delta_aggs).collect()[0]
+                delta, next_dangling = float(row["l1"] or 0.0), float(row["dm"] or 0.0)
                 written = checkpoint.write_state(
-                    new_ranks.select("id", "rank", F.lit(step).alias("superstep")),
+                    staged.select("id", "rank", F.lit(step).alias("superstep")),
                     "pagerank",
                     step,
                     l1_delta=delta,
                     extra={"n": n, "damping": damping},
                 )
-                next_ranks = written.select("id", "rank").join(deg, "id").select(
-                    "id", "out_deg", "rank"
+                staged.unpersist()
+                next_ranks = (
+                    written.select("id", "rank")
+                    .join(deg, "id")
+                    .select("id", "out_deg", "rank")
+                    .repartition(num_partitions, "id")
+                    .localCheckpoint(eager=True)
                 )
             else:
-                next_ranks = new_ranks.select("id", "out_deg", "rank").localCheckpoint(
-                    eager=True
-                )
-                delta = (
-                    new_ranks.agg(
-                        F.sum(F.abs(F.col("rank") - F.col("rank_old")))
-                    ).collect()[0][0]
-                    or 0.0
-                )
-            next_ranks = next_ranks.repartition(num_partitions, "id").persist()
-            next_ranks.count()
-            ranks.unpersist()
+                next_ranks = new_ranks.repartition(
+                    num_partitions, "id"
+                ).localCheckpoint(eager=True)
+                row = next_ranks.agg(*_delta_aggs).collect()[0]
+                delta, next_dangling = float(row["l1"] or 0.0), float(row["dm"] or 0.0)
+                next_ranks = next_ranks.select("id", "out_deg", "rank")
             ranks = next_ranks
         supersteps.append(SuperstepInfo(step, float(delta), float(dangling), t.seconds))
+        dangling = next_dangling
         if delta < tol:
             converged = True
             break

@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, one semantics:
+
+- ``topk_bruteforce`` — exact top-k cosine neighbors; the *queries* side is
+  broadcast (it's the small side by construction), the corpus side never
+  shuffles, per-query ranking is a window over the corpus partitioning.
+- ``topk_lsh`` — sign-LSH (random-hyperplane family degenerated to
+  coordinate hyperplanes so the DuckDB oracle can replicate buckets
+  exactly): candidates must share a bucket, then exact re-rank. At 100 TB
+  the bucket join replaces the corpus-wide cross product; multiple probe
+  tables (bit-flip probing) would raise recall — kept single-probe here.
+
+All arithmetic is double precision via built-in higher-order array
+functions (zip_with/aggregate) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import cosine_col
+
+
+def sign_bucket_col(vec, dims: tuple[int, ...]):
+    """Bucket id string: one char per probed dim, '1' if vec[d] >= 0."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in dims
+        ]
+    )
+
+
+def topk_bruteforce(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (query_id, neighbor_id, cos) exact top-k per query.
+
+    ``queries`` carries (query_id, qvec). Ties broken by neighbor_id asc
+    (min-based, deterministic). Self-matches excluded.
+    """
+    corpus = embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def queries_from(embs: DataFrame, modulus: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic query subset: every vec with id % modulus == 0."""
+    return embs.where(F.col(id_col) % modulus == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+
+
+def topk_lsh(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: tuple[int, ...] = (0, 8, 16, 24, 32, 40, 48, 56),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (query_id, neighbor_id, cos) approximate top-k: same sign bucket
+    only, exact cosine re-rank within the bucket."""
+    corpus = embs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket_col(F.col(vec_col), dims).alias("bkt"),
+    )
+    q = queries.select(
+        "query_id", "qvec", sign_bucket_col(F.col("qvec"), dims).alias("bkt")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "bkt")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def bucket_histogram(
+    embs: DataFrame,
+    dims: tuple[int, ...] = (0, 8, 16, 24, 32, 40, 48, 56),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (bucket, n_vecs) — LSH bucket occupancy (skew diagnostic: a hot
+    bucket here is exactly a hub vertex in the graph algorithms)."""
+    return (
+        embs.select(sign_bucket_col(F.col(vec_col), dims).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )

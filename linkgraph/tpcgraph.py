@@ -1,0 +1,71 @@
+"""Deterministic graphs derived from the driver's TPC-H-ish testdata.
+
+The engine's own corpus (linkgraph.corpus) is the primary fixture; these
+builders exist so every graph operator is *also* exercised against the
+driver-provided parquet tables with a DuckDB-SQL oracle (the round
+correctness gate). Two graphs:
+
+1. ``order_edges`` — bipartite customer -> supplier digraph: an edge when a
+   customer's order contains a lineitem from that supplier. Supplier ids are
+   offset by ``SUPP_OFFSET`` so the two key spaces can't collide. An optional
+   ``min_total`` filter keeps only high-value orders — used where the oracle
+   needs a small transitive closure (connected components).
+2. ``supplier_copart_edges`` — undirected supplier co-occurrence graph: an
+   edge when two suppliers ship the same part. Dense but tiny (|suppliers|
+   vertices), the triangle-counting fixture.
+
+Both are pure joins + distinct — Catalyst broadcast-joins the small side
+automatically, and the ``distinct`` is the only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SUPP_OFFSET = 1_000_000
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def order_edges(
+    spark: SparkSession, sf_dir: str, min_total: float | None = None
+) -> DataFrame:
+    """edges(src=o_custkey, dst=SUPP_OFFSET+l_suppkey), distinct."""
+    orders = load(spark, sf_dir, "orders")
+    if min_total is not None:
+        orders = orders.where(F.col("o_totalprice") > min_total)
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    """vertices(id) = src ∪ dst (graph-algorithm input contract)."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def supplier_copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected canonical pairs (src<dst) of suppliers sharing a part."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("sb"))
+    return (
+        a.join(b, "p")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )

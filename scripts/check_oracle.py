@@ -1,0 +1,93 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+twin on DuckDB at sf0.01, compares row count, column set, and
+order-insensitive values. Usage:
+
+    python scripts/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from linkgraph.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(got)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        g, w = canon(got), canon(want)
+        status, detail = "OK", ""
+        if list(g.columns) != list(w.columns):
+            status, detail = "FAIL", f"cols spark={list(g.columns)} duck={list(w.columns)}"
+        elif len(g) != len(w):
+            status, detail = "FAIL", f"rows spark={len(g)} duck={len(w)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(
+                    g, w, check_dtype=False, check_exact=True
+                )
+            except AssertionError as e:
+                status, detail = "FAIL", str(e).split("\n")[0]
+                # show a few mismatching rows
+                neq = (g != w) & ~(g.isna() & w.isna())
+                bad = neq.any(axis=1)
+                detail += f" | {int(bad.sum())} differing rows; first: spark={g[bad].head(2).to_dict('records')} duck={w[bad].head(2).to_dict('records')}"
+        if status == "FAIL":
+            failures.append(name)
+        print(f"{status} {name}: {len(g)} rows ({time.time()-t0:.1f}s) {detail}")
+    print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

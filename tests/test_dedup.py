@@ -1,0 +1,154 @@
+"""Dedup operators vs pure-Python oracles (exact hashes, exact Jaccard,
+MinHash/LSH candidate recall on constructed near-dups)."""
+
+import hashlib
+import itertools
+import re
+
+import pytest
+
+from linkgraph import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the tall fence near the old barn in the quiet village"
+)
+NEAR = BASE.replace("quiet village", "quiet town")  # high shingle overlap
+DOCS = [
+    (0, BASE),
+    (1, NEAR),
+    (2, BASE),  # exact dup of 0
+    (3, "completely different text about spark partitions and shuffles"),
+    (4, "another unrelated document mentioning joins aggregates and scans"),
+    (5, ""),
+    (6, "tiny"),
+]
+
+
+def toks(text):
+    n = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    return [] if not n else n.split(" ")
+
+
+def shingles(text, n=3):
+    t = toks(text)
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_groups(spark, docs_df):
+    got = {r["doc_id"]: r for r in dedup.exact_groups(docs_df).collect()}
+    assert got[0]["group_size"] == 2 and got[2]["group_size"] == 2
+    assert got[0]["rep_id"] == 0 and got[2]["rep_id"] == 0
+    assert not got[0]["is_dup"] and got[2]["is_dup"]
+    assert got[1]["group_size"] == 1 and not got[1]["is_dup"]
+
+
+def test_shingle_table(spark, docs_df):
+    got = {}
+    for r in dedup.shingle_table(docs_df, n=3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for i, text in DOCS:
+        assert got.get(i, set()) == shingles(text), i
+
+
+def test_ngram_jaccard_exact(spark, docs_df):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.0).collect()
+    }
+    for (i, ta), (j, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        if inter == 0:
+            assert (i, j) not in got
+            continue
+        want = round(inter / len(sa | sb), 6)
+        assert got[(i, j)] == pytest.approx(want, abs=1e-9)
+    # the constructed near-dup pair scores high, and dup pair is 1.0
+    assert got[(0, 2)] == 1.0
+    assert got[(0, 1)] > 0.8
+
+
+def test_df_cap_drops_hot_shingles(spark):
+    rows = [(i, "common shingle here unique%d tail" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.0).count()
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.0, df_cap=5).count()
+    assert uncapped == 45  # all pairs share 'common shingle here'
+    assert capped == 0
+
+
+def test_minhash_signatures_match_oracle(spark, docs_df):
+    got = {r["doc_id"]: r for r in dedup.minhash_signatures(docs_df, 8).collect()}
+    for i, text in DOCS:
+        sh = shingles(text)
+        for j in range(8):
+            if sh:
+                want = min(
+                    hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in sh
+                )
+            else:
+                want = "z"
+            assert got[i][f"mh{j}"] == want, (i, j)
+
+
+def test_lsh_finds_near_dups(spark, docs_df):
+    pairs = dedup.minhash_dedup_pairs(
+        docs_df, num_hashes=8, rows_per_band=2, verify_threshold=0.5
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 2) in found  # exact dup always collides in every band
+    assert (0, 1) in found  # near-dup: P[band collision] ~ 1-(1-j^2)^4, j~0.9
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_oracle_and_similarity(spark, docs_df):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df, 16).collect()}
+    hexhi = set("89abcdef")
+    for i, text in DOCS:
+        words = set(toks(text))
+        sig = 0
+        for b in range(16):
+            v = sum(
+                1 if hashlib.md5(w.encode()).hexdigest()[b] in hexhi else -1
+                for w in words
+            )
+            if v > 0:
+                sig |= 1 << b
+        assert got[i] == sig, i
+    assert got[0] == got[2]  # exact dups identical
+    # near-dups within small hamming distance
+    assert bin(got[0] ^ got[1]).count("1") <= 4
+
+
+def test_embedding_dup_pairs_bruteforce(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # ~same direction as 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["a"], r["b"]): r["cos"]
+        for r in dedup.embedding_dup_pairs(df, 0.95, method="bruteforce").collect()
+    }
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] > 0.999
+
+
+def test_embedding_dup_lsh_matches_bruteforce_when_bucketed(spark):
+    rows = [
+        (0, [1.0, 0.5, 0.2, 0.1]),
+        (1, [0.99, 0.51, 0.21, 0.1]),
+        (2, [-1.0, 0.5, 0.2, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = dedup.embedding_dup_pairs(df, 0.9, method="lsh", lsh_dims=(0, 1)).collect()
+    assert {(r["a"], r["b"]) for r in lsh} == {(0, 1)}

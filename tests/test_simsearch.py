@@ -1,0 +1,72 @@
+"""Similarity search vs a numpy oracle (exact top-k; LSH recall on its
+own bucket)."""
+
+import numpy as np
+import pytest
+
+from linkgraph import simsearch
+
+
+def _vecs(n=40, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, dim)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def embs_df(spark):
+    v = _vecs()
+    rows = [(i, v[i].tolist()) for i in range(len(v))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _oracle_topk(v, qid, k):
+    q = v[qid].astype(np.float64)
+    sims = []
+    for i in range(len(v)):
+        if i == qid:
+            continue
+        c = v[i].astype(np.float64)
+        cos = float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c)))
+        sims.append((round(cos, 6), i))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return sims[:k]
+
+
+def test_topk_bruteforce_matches_numpy(spark, embs_df):
+    v = _vecs()
+    q = simsearch.queries_from(embs_df, 10)
+    got = {}
+    for r in simsearch.topk_bruteforce(embs_df, q, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["cos"], r["neighbor_id"]))
+    for qid in range(0, len(v), 10):
+        want = _oracle_topk(v, qid, 5)
+        have = sorted(got[qid], key=lambda t: (-t[0], t[1]))
+        assert [i for _, i in have] == [i for _, i in want], qid
+        for (gc, _), (wc, _) in zip(have, want):
+            assert gc == pytest.approx(wc, abs=2e-6)
+
+
+def test_lsh_topk_subset_of_bucket(spark, embs_df):
+    v = _vecs()
+    dims = (0, 1, 2, 3)
+    q = simsearch.queries_from(embs_df, 10)
+    got = simsearch.topk_lsh(embs_df, q, k=5, dims=dims).collect()
+    def bucket(x):
+        return "".join("1" if x[d] >= 0 else "0" for d in dims)
+    for r in got:
+        assert bucket(v[r["query_id"]]) == bucket(v[r["neighbor_id"]])
+
+
+def test_bucket_histogram(spark, embs_df):
+    v = _vecs()
+    dims = (0, 1)
+    got = {
+        r["bucket"]: r["n_vecs"]
+        for r in simsearch.bucket_histogram(embs_df, dims=dims).collect()
+    }
+    want = {}
+    for x in v:
+        b = "".join("1" if x[d] >= 0 else "0" for d in dims)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    assert sum(got.values()) == len(v)
