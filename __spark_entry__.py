@@ -163,6 +163,15 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(spark, edges, tpcgraph.vertices_of(edges))
 
 
+def q_graph_csr(spark, sf_dir):
+    """CSR compaction round-trip: compact the edge table into per-block
+    (srcs, offsets, dsts) arrays and expand back — must equal the edges."""
+    from linkgraph.csr import compact_csr, expand_csr
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    return expand_csr(compact_csr(edges, num_blocks=16)).select("src", "dst")
+
+
 def q_extract_text_rt(spark, sf_dir):
     pages = _synth_pages(_docs(spark, sf_dir))
     return pages.select(
@@ -306,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_complexity": q_graph_complexity,
         "graph_labelprop2": q_graph_labelprop2,
         "graph_triangles": q_graph_triangles,
+        "graph_csr": q_graph_csr,
         "extract_text_rt": q_extract_text_rt,
         "extract_links_rt": q_extract_links_rt,
         "text_stats": q_text_stats,
@@ -531,6 +541,10 @@ corners AS (
 cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1)
 SELECT tv.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
 FROM tv LEFT JOIN cnt ON tv.id = cnt.id
+""",
+        "graph_csr": """
+SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 """,
         "extract_text_rt": "SELECT doc_id, text AS text_extracted FROM documents",
         "extract_links_rt": """

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .checkpoint import CheckpointManager
+from .lineage import truncate_plan
 
 
 def _canon_pairs(edges: DataFrame) -> DataFrame:
@@ -87,7 +88,7 @@ def connected_components(
     if algorithm == "minprop":
         return _cc_minprop(spark, edges, vertices, max_iter)
 
-    pairs = _canon_pairs(edges).localCheckpoint(eager=True)
+    pairs = truncate_plan(_canon_pairs(edges))
     sig = _signature(pairs)
     for step in range(max_iter):
         pairs = _small_star(_large_star(pairs))
@@ -99,7 +100,7 @@ def connected_components(
             )
             pairs = reread.select(F.col("id").alias("u"), F.col("component").alias("v"))
         else:
-            pairs = pairs.localCheckpoint(eager=True)
+            pairs = truncate_plan(pairs)
         new_sig = _signature(pairs)
         if new_sig == sig:
             break
@@ -120,12 +121,10 @@ def connected_components(
 def _cc_minprop(spark, edges: DataFrame, vertices: DataFrame, max_iter: int) -> DataFrame:
     """Cross-check variant: synchronous min-label propagation to fixpoint."""
     pairs = _canon_pairs(edges)
-    sym = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(
-        eager=True
+    sym = truncate_plan(
+        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
+    labels = truncate_plan(vertices.select("id", F.col("id").alias("component")))
     prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
@@ -141,8 +140,8 @@ def _cc_minprop(spark, edges: DataFrame, vertices: DataFrame, max_iter: int) -> 
                     F.col("component"), F.coalesce("nbr", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = truncate_plan(labels)
         s = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         if s == prev_sum:  # labels are monotone non-increasing -> fixpoint
             break

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .checkpoint import CheckpointManager
+from .lineage import truncate_plan
 from .graph import undirected_edges
 
 
@@ -29,7 +30,7 @@ def label_propagation(
     resume: bool = False,
 ) -> DataFrame:
     """-> (id, label) after exactly ``iterations`` synchronous supersteps."""
-    sym = undirected_edges(edges).localCheckpoint(eager=True)  # (src,dst) both ways
+    sym = truncate_plan(undirected_edges(edges))  # (src,dst) both ways
     start = 0
     if resume and checkpoint is not None:
         latest = checkpoint.latest_complete("labelprop")
@@ -42,7 +43,7 @@ def label_propagation(
             labels = vertices.select("id", F.col("id").alias("label"))
     else:
         labels = vertices.select("id", F.col("id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = truncate_plan(labels)
 
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
     for step in range(start, iterations):
@@ -69,7 +70,7 @@ def label_propagation(
                 step,
             ).select("id", "label")
         else:
-            labels = labels.localCheckpoint(eager=True)
+            labels = truncate_plan(labels)
     return labels
 
 

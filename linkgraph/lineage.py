@@ -1,0 +1,40 @@
+"""Plan truncation for iterative DataFrame algorithms.
+
+``df.localCheckpoint(eager=True)`` cuts the RDD lineage but PRESERVES the
+child plan's statistics on the resulting LogicalRDD. In a BSP loop whose
+superstep joins the vertex state with itself (directly or via derived
+frames), ``sizeInBytes`` therefore *squares* every iteration: the BigInt
+doubles in digits per superstep, Catalyst's stats estimation goes
+exponential (measured: 1.1s -> 225s per superstep between iterations 18
+and 24), and eventually the JVM throws
+``ArithmeticException: BigInteger would overflow supported range``.
+
+``truncate_plan`` fixes this by re-wrapping the checkpointed RDD in a
+fresh LogicalRDD (JVM-side ``internalCreateDataFrame`` — no Python
+round-trip, no recompute): lineage AND statistics both reset, so every
+superstep starts from the same constant-size plan. This is the DataFrame
+analogue of GraphX's periodic-checkpoint idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager) + stats reset; returns a frame whose plan is
+    a bare LogicalRDD over the materialized blocks."""
+    ckpt = df.localCheckpoint(eager=True)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+        spark = ckpt.sparkSession
+        jrdd = ckpt._jdf.queryExecution().toRdd()
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, ckpt._jdf.schema(), False
+        )
+        return _ClassicDF(jdf, spark)
+    except Exception:
+        # non-classic sessions (e.g. Spark Connect): keep the plain
+        # checkpoint — correct, just exposed to the stats-growth issue
+        return ckpt

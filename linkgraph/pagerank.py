@@ -26,8 +26,29 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from .checkpoint import CheckpointManager, StepTimer
+from .lineage import truncate_plan
 
 DAMPING = 0.85
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def _unpersist_rdds(spark, ids: set[int]) -> None:
+    """Free localCheckpoint block storage for superseded vertex states.
+
+    localCheckpoint pins its RDD in block storage and Python drops the only
+    reference when the loop variable is reassigned; the async ContextCleaner
+    frees it *eventually*, which at tens of supersteps means unbounded
+    memory growth between GC cycles. Explicit unpersist keeps the loop's
+    working set at exactly (edges cache + 2 vertex states).
+    """
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in m.keySet().toArray():
+        if int(k) in ids:
+            m.get(k).unpersist(False)
 
 
 @dataclass
@@ -142,7 +163,14 @@ def pagerank(
     else:
         ranks = deg.select("id", "out_deg", F.lit(1.0 / n).alias("rank"))
 
-    ranks = ranks.repartition(num_partitions, "id").localCheckpoint(eager=True)
+    # NOTE: localCheckpoint drops partitioning metadata (the re-read plan is
+    # an ExistingRDD with UnknownPartitioning), so pre-repartitioning vertex
+    # state before a checkpoint is a wasted shuffle — the superstep join
+    # re-exchanges the (small) vertex side regardless, while the (huge)
+    # static edge side reuses its cached hash partitioning.
+    before = _persistent_rdd_ids(spark)
+    ranks = truncate_plan(ranks)
+    ranks_rdd_ids = _persistent_rdd_ids(spark) - before
     supersteps: list[SuperstepInfo] = []
     converged = False
     step = start_step
@@ -162,8 +190,17 @@ def pagerank(
 
     for step in range(start_step, start_step + max_iter):
         with StepTimer() as t:
+            before = _persistent_rdd_ids(spark)
+            # shuffle_hash hint on the vertex-state side: the static edge
+            # side streams against a per-partition hash map instead of being
+            # re-sorted every superstep (SMJ would sort all |E| rows / step)
             contribs = (
-                e.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+                e.join(
+                    ranks.select(F.col("id").alias("src"), "rank").hint(
+                        "shuffle_hash"
+                    ),
+                    "src",
+                )
                 .select(
                     "dst", "salt", (F.col("rank") / F.col("out_deg")).alias("c")
                 )
@@ -175,7 +212,11 @@ def pagerank(
                 .agg(F.sum("c").alias("contrib"))
             )
             new_ranks = (
-                ranks.join(contribs, ranks["id"] == contribs["dst"], "left")
+                ranks.join(
+                    contribs.hint("shuffle_hash"),
+                    ranks["id"] == contribs["dst"],
+                    "left",
+                )
                 .select(
                     "id",
                     "out_deg",
@@ -206,16 +247,16 @@ def pagerank(
                     written.select("id", "rank")
                     .join(deg, "id")
                     .select("id", "out_deg", "rank")
-                    .repartition(num_partitions, "id")
-                    .localCheckpoint(eager=True)
                 )
+                next_ranks = truncate_plan(next_ranks)
             else:
-                next_ranks = new_ranks.repartition(
-                    num_partitions, "id"
-                ).localCheckpoint(eager=True)
+                next_ranks = truncate_plan(new_ranks)
                 row = next_ranks.agg(*_delta_aggs).collect()[0]
                 delta, next_dangling = float(row["l1"] or 0.0), float(row["dm"] or 0.0)
                 next_ranks = next_ranks.select("id", "out_deg", "rank")
+            new_ids = _persistent_rdd_ids(spark) - before - ranks_rdd_ids
+            _unpersist_rdds(spark, ranks_rdd_ids)
+            ranks_rdd_ids = new_ids
             ranks = next_ranks
         supersteps.append(SuperstepInfo(step, float(delta), float(dangling), t.seconds))
         dangling = next_dangling

@@ -41,6 +41,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("LINKGRAPH_SHUFFLE_PARTITIONS", "32"))
 
+    # Shuffle files on tmpfs when available: this factory only ever builds
+    # local[...] sessions (a cluster gets its local dirs from the resource
+    # manager), and local shuffles are otherwise bottlenecked on one disk.
+    local_dir = os.environ.get("LINKGRAPH_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/linkgraph-spark-local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -57,6 +64,8 @@ def get_spark(
         # amortizes across supersteps
         .config("spark.python.worker.reuse", "true")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

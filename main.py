@@ -1,0 +1,147 @@
+"""spark-submit entry point for the linkgraph engine (north rule: ships as
+a ``spark-submit --py-files`` package).
+
+Cluster usage:
+
+    python scripts/make_package.py               # -> dist/linkgraph.zip
+    spark-submit --py-files dist/linkgraph.zip main.py \\
+        --pages /data/pages_parquet --out /data/linkgraph_out \\
+        --checkpoint-dir /data/ckpt --run-id run-2025-01 --job all
+
+Local smoke (no cluster): add --local-cores 8. On a cluster, the master
+and executor sizing come from spark-submit, never from this script.
+
+Jobs:
+  extract     pages -> links + edges + vertices (written under --out)
+  pagerank    converged ranks (+ per-superstep checkpoints when
+              --checkpoint-dir is set; --resume continues a run_id)
+  components  connected components (small-star/large-star)
+  labelprop   synchronous label propagation (--iterations)
+  triangles   per-vertex triangle counts
+  complexity  per-component structural-complexity scores (ccm echo)
+  all         everything above in dependency order
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def build_session(args):
+    from pyspark.sql import SparkSession
+
+    if args.local_cores:
+        from linkgraph.session import get_spark
+
+        return get_spark("linkgraph-main", cores=args.local_cores,
+                         shuffle_partitions=args.shuffle_partitions)
+    # on a cluster: spark-submit owns master/executors; just take the session
+    b = SparkSession.builder.appName("linkgraph-main")
+    b = b.config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    return b.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", required=True, help="pages table path (parquet dir)")
+    p.add_argument("--out", required=True, help="output root directory")
+    p.add_argument("--job", default="all",
+                   choices=["extract", "pagerank", "components", "labelprop",
+                            "triangles", "complexity", "all"])
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tol", type=float, default=1e-6,
+                   help="PageRank L1 tolerance PER VERTEX (networkx semantics)")
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--iterations", type=int, default=5, help="labelprop supersteps")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--local-cores", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = build_session(args)
+    from pyspark.sql import functions as F
+
+    from linkgraph.checkpoint import CheckpointManager
+    from linkgraph.complexity import component_complexity, graph_complexity
+    from linkgraph.components import connected_components
+    from linkgraph.extract import build_links
+    from linkgraph.graph import build_graph
+    from linkgraph.labelprop import label_propagation
+    from linkgraph.pagerank import pagerank
+    from linkgraph.triangles import triangle_counts
+
+    out = args.out.rstrip("/")
+    ckpt = (
+        CheckpointManager(spark, args.checkpoint_dir, args.run_id)
+        if args.checkpoint_dir
+        else None
+    )
+    jobs = (
+        ["extract", "pagerank", "components", "labelprop", "triangles", "complexity"]
+        if args.job == "all"
+        else [args.job]
+    )
+
+    pages = spark.read.parquet(args.pages)
+    links = build_links(pages)
+    edges, vertices = build_graph(pages, links)
+    if "extract" in jobs:
+        links.write.mode("overwrite").parquet(f"{out}/links")
+        edges.write.mode("overwrite").parquet(f"{out}/edges")
+        vertices.write.mode("overwrite").parquet(f"{out}/vertices")
+        print(json.dumps({"job": "extract", "edges": edges.count(),
+                          "vertices": vertices.count()}))
+    # downstream jobs read the written tables when present (plan truncation)
+    try:
+        edges = spark.read.parquet(f"{out}/edges")
+        vertices = spark.read.parquet(f"{out}/vertices")
+    except Exception:
+        pass
+
+    comps = None
+    if "pagerank" in jobs:
+        n = vertices.count()
+        res = pagerank(spark, edges, vertices, tol=args.tol * n,
+                       max_iter=args.max_iter, checkpoint=ckpt, resume=args.resume)
+        res.ranks.write.mode("overwrite").parquet(f"{out}/ranks")
+        print(json.dumps({"job": "pagerank", "iterations": res.iterations,
+                          "converged": res.converged,
+                          "supersteps": [
+                              {"step": s.superstep, "l1": s.l1_delta,
+                               "sec": round(s.seconds, 3)}
+                              for s in res.supersteps]}))
+    if "components" in jobs or "complexity" in jobs:
+        comps = connected_components(spark, edges, vertices, checkpoint=ckpt)
+        comps.write.mode("overwrite").parquet(f"{out}/components")
+        print(json.dumps({
+            "job": "components",
+            "n_components": comps.select("component").distinct().count()}))
+    if "labelprop" in jobs:
+        labels = label_propagation(spark, edges, vertices, args.iterations,
+                                   checkpoint=ckpt, resume=args.resume)
+        labels.write.mode("overwrite").parquet(f"{out}/labels")
+        print(json.dumps({"job": "labelprop", "iterations": args.iterations}))
+    if "triangles" in jobs:
+        tri = triangle_counts(spark, edges, vertices)
+        tri.write.mode("overwrite").parquet(f"{out}/triangles")
+        print(json.dumps({"job": "triangles",
+                          "total": int(tri.agg(F.sum("triangles")).collect()[0][0] or 0) // 3}))
+    if "complexity" in jobs:
+        comps = comps if comps is not None else spark.read.parquet(f"{out}/components")
+        cscores = component_complexity(spark, edges, comps)
+        cscores.write.mode("overwrite").parquet(f"{out}/complexity")
+        whole = graph_complexity(spark, edges, comps).collect()[0].asDict()
+        print(json.dumps({"job": "complexity", "whole_graph": whole}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,177 @@
+"""Two-cluster-size scaling evidence on a REAL multi-executor cluster.
+
+Starts a Spark standalone master + one 32-core worker on localhost, then
+spark-submits the same job (scripts/cluster_job.py, shipped with
+--py-files dist/linkgraph.zip) twice:
+
+    N  executors: spark.cores.max=8   -> 2 executors x 4 cores
+    4N executors: spark.cores.max=32  -> 8 executors x 4 cores
+
+Each executor is its own JVM with its own heap, GC, and shuffle server —
+unlike local[N], where one shared heap makes shuffle-heavy stages
+anti-scale with thread count (measured: groupBy over 130M rows is ~1.5x
+SLOWER at local[32] than local[8]). Executor size is identical across the
+two levels; only the executor COUNT changes — the honest analogue of
+adding nodes.
+
+Writes BENCH/BASELINE.md. Run with nothing else on the machine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import pyspark  # noqa: E402
+
+SPARK_HOME = Path(pyspark.__file__).parent
+MASTER = "spark://127.0.0.1:7077"
+
+N_VERTICES = 4_000_000
+AVG_DEG = 8
+SUPERSTEPS = 6
+N_PAGES = 400_000
+EXECUTOR_CORES = 4
+EXECUTOR_MEM = "6g"
+LEVELS = {8: "2 executors x 4 cores", 32: "8 executors x 4 cores"}
+
+ENV = {
+    **os.environ,
+    "SPARK_HOME": str(SPARK_HOME),
+    "SPARK_LOCAL_DIRS": "/dev/shm/linkgraph-cluster-local",
+    "SPARK_LOG_DIR": "/tmp/linkgraph-cluster-logs",
+    "SPARK_NO_DAEMONIZE": "1",
+    "PYSPARK_PYTHON": sys.executable,
+    "PYSPARK_DRIVER_PYTHON": sys.executable,
+}
+
+
+def spark_class(*args):
+    return subprocess.Popen(
+        [str(SPARK_HOME / "bin" / "spark-class"), *args],
+        env=ENV, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        preexec_fn=os.setsid,
+    )
+
+
+def submit(cores_max: int) -> dict:
+    cmd = [
+        str(SPARK_HOME / "bin" / "spark-submit"),
+        "--master", MASTER,
+        "--deploy-mode", "client",
+        "--py-files", str(REPO / "dist" / "linkgraph.zip"),
+        "--conf", f"spark.cores.max={cores_max}",
+        "--conf", f"spark.executor.cores={EXECUTOR_CORES}",
+        "--conf", f"spark.executor.memory={EXECUTOR_MEM}",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.sql.shuffle.partitions=128",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.python.worker.reuse=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        str(REPO / "scripts" / "cluster_job.py"),
+        str(N_VERTICES), str(AVG_DEG), str(SUPERSTEPS), str(N_PAGES),
+    ]
+    proc = subprocess.run(cmd, env=ENV, capture_output=True, text=True,
+                          cwd=str(REPO), timeout=2400)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    print(proc.stdout[-2000:], file=sys.stderr)
+    print(proc.stderr[-4000:], file=sys.stderr)
+    raise SystemExit(f"submit cores.max={cores_max} produced no RESULT")
+
+
+def main() -> None:
+    (REPO / "dist" / "linkgraph.zip").exists() or subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "make_package.py")], check=True
+    )
+    os.makedirs(ENV["SPARK_LOG_DIR"], exist_ok=True)
+    master = spark_class(
+        "org.apache.spark.deploy.master.Master",
+        "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8090",
+    )
+    time.sleep(6)
+    worker = spark_class(
+        "org.apache.spark.deploy.worker.Worker", MASTER,
+        "--cores", "32", "--memory", "80g", "--webui-port", "8091",
+    )
+    time.sleep(6)
+    try:
+        results = {}
+        for cores_max in LEVELS:
+            print(f"submitting cores.max={cores_max} ({LEVELS[cores_max]}) ...",
+                  file=sys.stderr)
+            results[cores_max] = submit(cores_max)
+            print(results[cores_max], file=sys.stderr)
+    finally:
+        for p in (worker, master):
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+            except Exception:
+                pass
+
+    lo, hi = results[8], results[32]
+    pr_eff = (hi["pagerank_edges_per_sec"] / lo["pagerank_edges_per_sec"]) / 4
+    ex_eff = (hi["extract_pages_per_sec"] / lo["extract_pages_per_sec"]) / 4
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+
+North rule: throughput scaling efficiency >= 0.8 from N to 4N executors,
+run via spark-submit --py-files on a multi-executor cluster at two cluster
+sizes. Sandbox evidence: a REAL Spark standalone cluster on localhost
+(separate master, worker, and executor JVMs; real netty shuffle), same
+deterministic input, same executor shape (4 cores / {EXECUTOR_MEM}) at both
+levels — only the executor count changes:
+
+- N  = 2 executors (spark.cores.max=8)
+- 4N = 8 executors (spark.cores.max=32)
+
+Submitted with `spark-submit --master {MASTER} --py-files dist/linkgraph.zip
+scripts/cluster_job.py` (the engine's shipping mechanism).
+
+Input: synthetic power-law graph, {N_VERTICES:,} vertices,
+{lo['n_edges']:,} edges (linkgraph.synthgraph, seed 42, identical at both
+levels); {N_PAGES:,} synthesized HTML pages for the extraction path.
+PageRank throughput = edges/sec per superstep, superstep 0 dropped
+(cache warmup).
+
+| workload | metric | N (2 exec) | 4N (8 exec) | efficiency |
+|---|---|---|---|---|
+| PageRank superstep | edges/sec | {lo['pagerank_edges_per_sec']:,} | {hi['pagerank_edges_per_sec']:,} | {pr_eff:.2f} |
+| PageRank superstep | sec/superstep | {lo['pagerank_sec_per_superstep']} | {hi['pagerank_sec_per_superstep']} | — |
+| link extraction (pandas UDF) | pages/sec | {lo['extract_pages_per_sec']:,} | {hi['extract_pages_per_sec']:,} | {ex_eff:.2f} |
+
+Per-superstep seconds, N: {lo['pagerank_steps']}
+Per-superstep seconds, 4N: {hi['pagerank_steps']}
+
+Method notes:
+- Why not local[N] vs local[4N]: measured on this machine, a single shared
+  JVM heap makes shuffle-heavy stages ANTI-scale with thread count
+  (groupBy over 130M cached rows: ~24s at local[8] vs ~36s at local[32] —
+  allocation pressure scales with threads while GC and the block manager
+  are shared). Separate executor JVMs remove that artifact and are the
+  faithful analogue of adding cluster nodes.
+- All executors share one machine, so memory bandwidth and the loopback
+  network are still shared — a true 4N-node cluster adds those resources
+  per node; these numbers are therefore a LOWER bound on real scaling.
+
+Raw: {json.dumps({str(k): v for k, v in results.items()})}
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
