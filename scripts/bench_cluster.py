@@ -37,7 +37,7 @@ MASTER = "spark://127.0.0.1:7077"
 
 N_VERTICES = 4_000_000
 AVG_DEG = 8
-SUPERSTEPS = 6
+SUPERSTEPS = 12
 N_PAGES = 400_000
 EXECUTOR_CORES = 4
 EXECUTOR_MEM = "6g"
@@ -144,8 +144,9 @@ scripts/cluster_job.py` (the engine's shipping mechanism).
 Input: synthetic power-law graph, {N_VERTICES:,} vertices,
 {lo['n_edges']:,} edges (linkgraph.synthgraph, seed 42, identical at both
 levels); {N_PAGES:,} synthesized HTML pages for the extraction path.
-PageRank throughput = edges/sec per superstep, superstep 0 dropped
-(cache warmup).
+PageRank throughput = edges/sec per superstep at steady state (median of
+the last 6 of 12 supersteps; early supersteps pay cache/JIT/Python-worker
+warmup).
 
 | workload | metric | N (2 exec) | 4N (8 exec) | efficiency |
 |---|---|---|---|---|

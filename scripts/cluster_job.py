@@ -28,8 +28,10 @@ def main() -> None:
     verts = synth_vertices(spark, n_vertices, num_partitions=parts)
     res = pagerank(spark, edges, verts, tol=0.0, max_iter=supersteps)
     step_secs = [round(s.seconds, 3) for s in res.supersteps]
-    tail = step_secs[1:]
-    pr_sec = sum(tail) / len(tail)
+    # steady state: median of the last half (cache/JIT/python-worker warmup
+    # dominates the first supersteps)
+    tail = sorted(step_secs[len(step_secs) // 2:])
+    pr_sec = tail[len(tail) // 2]
 
     pages = spark.range(0, n_pages, numPartitions=parts).select(
         F.concat(F.lit("https://bench.example/p"), F.col("id")).alias("url"),
