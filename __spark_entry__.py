@@ -29,6 +29,8 @@ from linkgraph.components import connected_components  # noqa: E402
 from linkgraph.extract import extract_links_udf, extract_text_udf  # noqa: E402
 from linkgraph.labelprop import label_propagation  # noqa: E402
 from linkgraph.pagerank import pagerank  # noqa: E402
+from linkgraph.quotient import node_induced_subgraph, quotient_edges  # noqa: E402
+from linkgraph.scc import strongly_connected_components  # noqa: E402
 from linkgraph.triangles import triangle_counts  # noqa: E402
 
 SPARSE_MIN_TOTAL = 490_000.0  # keeps the CC/LP/complexity oracle closures small
@@ -163,6 +165,50 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(spark, edges, tpcgraph.vertices_of(edges))
 
 
+def q_graph_quotient(spark, sf_dir):
+    """Nation-level quotient of the customer->supplier graph (G4: the
+    reference's source-line quotient, re-expressed as two joins + distinct)."""
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    cust = tpcgraph.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").cast("long").alias("key")
+    )
+    supp = tpcgraph.load(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + tpcgraph.SUPP_OFFSET).alias("id"),
+        F.col("s_nationkey").cast("long").alias("key"),
+    )
+    return quotient_edges(edges, cust.unionByName(supp)).select(
+        F.col("q_src").cast("long").alias("q_src"),
+        F.col("q_dst").cast("long").alias("q_dst"),
+    )
+
+
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components of the synthetic doc-link digraph
+    (A3: the reference's directed P, complexity.py:84)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 3),
+                lambda j: (F.col("doc_id") * 7 + j * 13) % n,
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    verts = docs.select(F.col("doc_id").alias("id"))
+    return strongly_connected_components(spark, e, verts)
+
+
+def q_graph_subgraph(spark, sf_dir):
+    """Node-induced subgraph with recomputed degrees (G3)."""
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    keep = verts.where(F.col("id") % 3 == 0)
+    _, sub_vertices = node_induced_subgraph(edges, verts, keep)
+    return sub_vertices
+
+
 def q_graph_csr(spark, sf_dir):
     """CSR compaction round-trip: compact the edge table into per-block
     (srcs, offsets, dsts) arrays and expand back — must equal the edges."""
@@ -170,6 +216,47 @@ def q_graph_csr(spark, sf_dir):
 
     edges = tpcgraph.order_edges(spark, sf_dir)
     return expand_csr(compact_csr(edges, num_blocks=16)).select("src", "dst")
+
+
+FLAG_NAMES = ["OPTIMIZED", "NEWLOCALS", "VARARGS", "VARKEYWORDS"]
+
+
+def q_graph_rollup(spark, sf_dir):
+    """Nested per-key rollup (A5): members collected into sorted structs,
+    digested to a canonical string for the oracle compare."""
+    from linkgraph.rollup import members_digest, nested_members
+
+    deg = _degrees(tpcgraph.order_edges(spark, sf_dir))
+    keyed = deg.select(
+        F.pmod(F.col("id"), F.lit(11)).alias("key"), "id", "out_deg", "in_deg"
+    )
+    nested = nested_members(keyed, "key", ("id", "out_deg", "in_deg"))
+    return members_digest(nested, ("id", "out_deg", "in_deg"))
+
+
+def q_render_fixed(spark, sf_dir):
+    """Fixed-width row formatter (P3/S6: the reference's dis-style line
+    rendering, xdis.py:79-122)."""
+    from linkgraph.render import fixed_width_row
+
+    nation = tpcgraph.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return fixed_width_row(
+        nation, [("n_nationkey", 4), ("n_name", 16), ("n_regionkey", 4)]
+    ).select("n_nationkey", "line")
+
+
+def q_render_flags(spark, sf_dir):
+    """Bitmask -> names projection (P6: compiler-flag decoding)."""
+    from linkgraph.render import bitmask_names
+
+    docs = _docs(spark, sf_dir)
+    mask = (F.col("doc_id") % 16).cast("int")
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", bitmask_names(mask, FLAG_NAMES)).alias("flags"),
+    )
 
 
 def q_extract_text_rt(spark, sf_dir):
@@ -187,6 +274,33 @@ def q_extract_links_rt(spark, sf_dir):
             "pos", "dst_url"
         ),
     ).select("src_doc", F.col("pos").cast("int").alias("pos"), "dst_url")
+
+
+def q_stream_links(spark, sf_dir):
+    """Structured Streaming link extraction (AvailableNow incremental
+    drain) — must equal the batch extraction row-for-row, so it shares the
+    extract_links oracle."""
+    import tempfile
+
+    from linkgraph.streaming import (
+        run_available_now,
+        stream_extract_links,
+        stream_pages,
+    )
+
+    pages = _synth_pages(_docs(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="lg-stream-q-")
+    src, out, ckpt = f"{tmp}/pages", f"{tmp}/out", f"{tmp}/ckpt"
+    pages.select("url", "html").write.mode("overwrite").parquet(src)
+    links = stream_extract_links(
+        stream_pages(spark, src, schema="url string, html binary")
+    )
+    run_available_now(links, out, ckpt)
+    return spark.read.parquet(out).select(
+        F.regexp_extract("src_url", r"d(\d+)$", 1).cast("long").alias("src_doc"),
+        F.col("pos").cast("int").alias("pos"),
+        "dst_url",
+    )
 
 
 def q_text_stats(spark, sf_dir):
@@ -210,7 +324,33 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+    # df_cap=None: the EXACT path (the oracle is exact); the scale default
+    # is a finite cap (dedup.DF_CAP_DEFAULT)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.05, df_cap=None
+    )
+
+
+def q_dedup_lsh_cand(spark, sf_dir):
+    """Banded-LSH candidate pairs — the MinHash scale path (bucket join)."""
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=8, n=3)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=8, rows_per_band=2)
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """LSH candidates + exact shingle-Jaccard verification (one shingle pass)."""
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), num_hashes=8, rows_per_band=2, n=3,
+        verify_threshold=0.05,
+    )
+
+
+def q_dedup_embcos_lsh(spark, sf_dir):
+    """Multi-table banded sign-LSH near-dup — the embedding scale path."""
+    return dedup.embedding_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.3, method="lsh",
+        lsh_tables=4, lsh_bits=8,
+    )
 
 
 def q_dedup_minhash_sigs(spark, sf_dir):
@@ -232,6 +372,12 @@ def q_sim_topk(spark, sf_dir):
 
 def q_sim_lsh_hist(spark, sf_dir):
     return simsearch.bucket_histogram(_embs(spark, sf_dir))
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    """Bucketed ANN top-k: same sign bucket only, exact re-rank within."""
+    embs = _embs(spark, sf_dir)
+    return simsearch.topk_lsh(embs, simsearch.queries_from(embs, 50), k=5)
 
 
 def q_events_hourly(spark, sf_dir):
@@ -307,6 +453,33 @@ def q_mm_payload(spark, sf_dir):
     )
 
 
+def q_mm_features(spark, sf_dir):
+    """Vectorized multimodal decode: deterministic FAKEIMG1 payloads built
+    JVM-side from the documents table, features via the numpy batch kernel
+    (no per-row Python — BASELINE.json input_hint)."""
+    from linkgraph.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir)
+    w = (F.col("doc_id") % 5 + 1).cast("int")
+    h = (F.col("doc_id") % 3 + 1).cast("int")
+    payload = F.concat(
+        F.lit(b"FAKEIMG1"),
+        F.unhex(F.lpad(F.hex(w), 4, "0")),
+        F.unhex(F.lpad(F.hex(h), 4, "0")),
+        F.encode(F.md5(F.encode(F.col("text"), "UTF-8")), "UTF-8"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_samples",
+        F.round("mean_value", 6).alias("mean_r6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": q_graph_degrees,
@@ -316,8 +489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop2": q_graph_labelprop2,
         "graph_triangles": q_graph_triangles,
         "graph_csr": q_graph_csr,
+        "graph_quotient": q_graph_quotient,
+        "graph_scc": q_graph_scc,
+        "graph_subgraph": q_graph_subgraph,
+        "graph_rollup": q_graph_rollup,
+        "render_fixed": q_render_fixed,
+        "render_flags": q_render_flags,
         "extract_text_rt": q_extract_text_rt,
         "extract_links_rt": q_extract_links_rt,
+        "stream_links": q_stream_links,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -325,15 +505,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_lsh_cand": q_dedup_lsh_cand,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embcos": q_dedup_embcos,
+        "dedup_embcos_lsh": q_dedup_embcos_lsh,
         "sim_topk": q_sim_topk,
         "sim_lsh_hist": q_sim_lsh_hist,
+        "sim_topk_lsh": q_sim_topk_lsh,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
         "mm_payload": q_mm_payload,
+        "mm_features": q_mm_features,
     }
 
 
@@ -460,6 +645,47 @@ def oracle_sql() -> dict[str, str]:
         for lang, ws in textops.STOPWORDS.items()
     }
 
+    # filled signatures + banded keys (mirrors dedup.lsh_candidate_pairs:
+    # 8 hashes, 2 rows/band -> 4 bands over the 'z'-filled signature)
+    _sigf = f"""
+sig AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+sigf AS (
+  SELECT d.doc_id, {mh_sel}
+  FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bkey FROM sigf"
+      for b in range(4)
+  )}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+  WHERE x.doc_id < y.doc_id
+)
+"""
+
+    # multi-table banded sign-LSH buckets (mirrors dedup.lsh_table_dims(4,8,64))
+    from linkgraph.dedup import lsh_table_dims
+
+    _tbl_buckets = " UNION ALL ".join(
+        "SELECT vec_id, concat('{t}:', {expr}) AS bkt FROM embeddings".format(
+            t=t,
+            expr="concat("
+            + ", ".join(
+                f"CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END"
+                for d in dims
+            )
+            + ")",
+        )
+        for t, dims in enumerate(lsh_table_dims(4, 8, 64))
+    )
+
     return {
         "graph_degrees": f"""
 WITH {_EDGES}
@@ -546,8 +772,91 @@ FROM tv LEFT JOIN cnt ON tv.id = cnt.id
 SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 """,
+        "graph_quotient": f"""
+WITH {_EDGES},
+m AS (
+  SELECT c_custkey AS id, c_nationkey::BIGINT AS key FROM customer
+  UNION ALL
+  SELECT s_suppkey + 1000000, s_nationkey::BIGINT FROM supplier
+)
+SELECT DISTINCT ms.key AS q_src, md.key AS q_dst
+FROM edges e JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id
+WHERE ms.key <> md.key
+""",
+        "graph_scc": """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * 7 + j * 13) % (SELECT n FROM nn) AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents)
+),
+dedge AS (SELECT src, dst FROM de WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, dst FROM dedge
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedge e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS id, min(r1.b) AS m
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a
+)
+SELECT d.doc_id AS id, least(d.doc_id, coalesce(m.m, d.doc_id)) AS component
+FROM documents d LEFT JOIN mutual m ON d.doc_id = m.id
+""",
+        "graph_subgraph": f"""
+WITH {_EDGES},
+keep AS (SELECT id FROM verts WHERE id % 3 = 0),
+se AS (
+  SELECT src, dst FROM edges
+  WHERE src IN (SELECT id FROM keep) AND dst IN (SELECT id FROM keep)
+)
+SELECT k.id, coalesce(o.c, 0)::BIGINT AS out_deg, coalesce(i.c, 0)::BIGINT AS in_deg
+FROM keep k
+LEFT JOIN (SELECT src, count(*) AS c FROM se GROUP BY 1) o ON k.id = o.src
+LEFT JOIN (SELECT dst, count(*) AS c FROM se GROUP BY 1) i ON k.id = i.dst
+""",
+        "graph_rollup": f"""
+WITH {_EDGES},
+deg AS (
+  SELECT v.id, coalesce(o.c, 0)::BIGINT AS out_deg, coalesce(i.c, 0)::BIGINT AS in_deg
+  FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+  LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY 1) i ON v.id = i.dst
+)
+SELECT id % 11 AS key, count(*)::BIGINT AS n_members,
+       string_agg(id || '/' || out_deg || '/' || in_deg, ',' ORDER BY id) AS members_str
+FROM deg GROUP BY 1
+""",
+        "render_fixed": """
+SELECT n_nationkey,
+       lpad(n_nationkey::VARCHAR, 4, ' ') || ' ' ||
+       rpad(n_name, 16, ' ') || ' ' ||
+       lpad(n_regionkey::VARCHAR, 4, ' ') AS line
+FROM nation
+""",
+        "render_flags": """
+SELECT doc_id,
+       concat_ws('|',
+         CASE WHEN ((doc_id % 16) >> 0) & 1 = 1 THEN 'OPTIMIZED' END,
+         CASE WHEN ((doc_id % 16) >> 1) & 1 = 1 THEN 'NEWLOCALS' END,
+         CASE WHEN ((doc_id % 16) >> 2) & 1 = 1 THEN 'VARARGS' END,
+         CASE WHEN ((doc_id % 16) >> 3) & 1 = 1 THEN 'VARKEYWORDS' END) AS flags
+FROM documents
+""",
         "extract_text_rt": "SELECT doc_id, text AS text_extracted FROM documents",
         "extract_links_rt": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT doc_id AS src_doc,
+         unnest(range(0, doc_id % 3 + 1)) AS j
+  FROM documents
+)
+SELECT src_doc, j::INT AS pos,
+       'https://docs.example/d' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url
+FROM l
+""",
+        "stream_links": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 l AS (
   SELECT doc_id AS src_doc,
@@ -639,6 +948,27 @@ sig AS (
 SELECT d.doc_id, {mh_sel}
 FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
 """,
+        "dedup_lsh_cand": f"""
+WITH {_TOKS}, {_SHINGLES}, {_sigf}
+SELECT a, b FROM cand
+""",
+        "dedup_minhash_pairs": f"""
+WITH {_TOKS}, {_SHINGLES}, {_sigf},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS m
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.m::DOUBLE / (sa.n_sh + sb.n_sh - i.m), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE round(i.m::DOUBLE / (sa.n_sh + sb.n_sh - i.m), 6) >= 0.05
+""",
         "dedup_simhash": f"""
 WITH {_TOKS},
 words AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks),
@@ -668,6 +998,22 @@ p AS (
 )
 SELECT a, b, cos FROM p WHERE cos >= 0.45
 """,
+        "dedup_embcos_lsh": f"""
+WITH eb AS ({_tbl_buckets}),
+candp AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM eb x JOIN eb y ON x.bkt = y.bkt
+  WHERE x.vec_id < y.vec_id
+),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+scored AS (
+  SELECT c.a, c.b, {_COS64.format(a='xa.v', b='yb.v')} AS cos
+  FROM candp c JOIN ev xa ON xa.vec_id = c.a JOIN ev yb ON yb.vec_id = c.b
+)
+SELECT a, b, cos FROM scored WHERE cos >= 0.3
+""",
         "sim_topk": f"""
 WITH q AS (
   SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
@@ -690,6 +1036,28 @@ SELECT query_id, neighbor_id, cos FROM (
         "sim_lsh_hist": f"""
 SELECT {bucket_sql} AS bucket, count(*) AS n_vecs
 FROM embeddings GROUP BY 1
+""",
+        "sim_topk_lsh": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv,
+         {bucket_sql} AS bkt
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv,
+         {bucket_sql} AS bkt
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id, {_COS64.format(a='qv', b='cv')} AS cos
+  FROM q JOIN c ON q.bkt = c.bkt
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM s
+) WHERE rn <= 5
 """,
         "events_hourly": """
 SELECT event_type,
@@ -734,5 +1102,18 @@ GROUP BY 1
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS payload_md5
 FROM documents
+""",
+        "mm_features": """
+WITH dims AS (
+  SELECT doc_id, md5(text) AS hx,
+         (doc_id % 5 + 1)::INT AS w, (doc_id % 3 + 1)::INT AS h
+  FROM documents
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+       44::BIGINT AS n_bytes, w AS width, h AS height, 0::INT AS n_samples,
+       round(list_sum(list_transform(range(1, w * h + 1),
+                                     i -> ord(substr(hx, i, 1))))::DOUBLE
+             / (w * h), 6) AS mean_r6
+FROM dims
 """,
     }

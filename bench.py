@@ -28,6 +28,7 @@ from linkgraph.components import connected_components  # noqa: E402
 from linkgraph.extract import extract_links_udf  # noqa: E402
 from linkgraph.labelprop import label_propagation  # noqa: E402
 from linkgraph.pagerank import pagerank  # noqa: E402
+from linkgraph.quotient import quotient_edges  # noqa: E402
 from linkgraph.session import get_spark  # noqa: E402
 from linkgraph.triangles import triangle_counts  # noqa: E402
 
@@ -100,6 +101,13 @@ def main() -> None:
         ).count(),
     )
 
+    timed(
+        "quotient",
+        lambda: quotient_edges(
+            edges, verts.select("id", F.pmod(F.col("id"), F.lit(97)).alias("key"))
+        ).count(),
+    )
+
     # -- training-data pipeline ops ---------------------------------------
     timed(
         "dedup_minhash",
@@ -107,9 +115,17 @@ def main() -> None:
             docs, num_hashes=8, rows_per_band=2, verify_threshold=0.5
         ).count(),
     )
+    dedup.release_caches()
     timed(
         "dedup_ngram",
         lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.05).count(),
+    )
+    dedup.release_caches()
+    timed(
+        "dedup_embcos_lsh",
+        lambda: dedup.embedding_dup_pairs(
+            embs, threshold=0.3, method="lsh", lsh_tables=4, lsh_bits=8
+        ).count(),
     )
     timed("text_quality", lambda: textops.quality(docs).count())
     timed("text_langid", lambda: textops.langid(docs).count())

@@ -6,20 +6,23 @@ table and reading it back both truncates the plan and makes every run
 resumable mid-iteration (BASELINE.json:6,14). The manifest table carries
 per-partition row counts and skew/delta metrics per superstep.
 
-Storage is a directory of Parquet tables. On a cluster with an Iceberg
-catalog the same layout maps 1:1 onto Iceberg tables (``vertex_state``
-partitioned by (run_id, superstep); ``manifest`` append-only); this sandbox
-has no Iceberg runtime jar, so Parquet is the transparent fallback the
-build plan calls for (SURVEY.md §7 step 0).
+Storage is pluggable (linkgraph.storage): the default backend is a
+directory of Parquet tables; ``iceberg://catalog.namespace`` routes the
+same layout onto Iceberg tables (``vertex_state`` partitioned by
+(run_id, algo, superstep), overwritePartitions per superstep; ``manifest``
+append-only) — a config, not a code change. This sandbox has no Iceberg
+runtime jar, so Parquet is the transparent offline default (SURVEY.md §7
+step 0).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import storage as storage_mod
 
 MANIFEST_SCHEMA = (
     "run_id string, algo string, superstep int, partition_id int, rows long, "
@@ -31,15 +34,18 @@ MANIFEST_SCHEMA = (
 class CheckpointManager:
     """Writes vertex-state DataFrames + manifest rows per superstep."""
 
-    def __init__(self, spark: SparkSession, root: str, run_id: str):
+    def __init__(self, spark: SparkSession, root: str, run_id: str, store=None):
+        """``root`` is a parquet directory or an ``iceberg://catalog.ns``
+        URL (linkgraph.storage.for_url); ``store`` overrides it with any
+        object implementing the StateStore interface."""
         self.spark = spark
-        self.root = root.rstrip("/")
+        self.root = root.rstrip("/") if root else root
         self.run_id = run_id
-        os.makedirs(self.root, exist_ok=True)
+        self.store = store if store is not None else storage_mod.for_url(spark, root)
 
-    # -- paths ---------------------------------------------------------
+    # -- paths (parquet backend only; kept for tests/tooling) -----------
     def state_path(self, algo: str, superstep: int) -> str:
-        return f"{self.root}/vertex_state/run_id={self.run_id}/algo={algo}/superstep={superstep}"
+        return self.store.state_path(self.run_id, algo, superstep)
 
     @property
     def manifest_path(self) -> str:
@@ -60,9 +66,7 @@ class CheckpointManager:
         write succeeds, so `completed=true` in the manifest IS the commit
         mark — a killed run leaves at most an orphan state directory that
         resume ignores."""
-        path = self.state_path(algo, superstep)
-        state.write.mode("overwrite").parquet(path)
-        reread = self.spark.read.parquet(path)
+        reread = self.store.write_state(state, self.run_id, algo, superstep)
 
         per_part = (
             reread.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -84,14 +88,12 @@ class CheckpointManager:
             )
             for p in per_part
         ]
-        self.spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.manifest_path)
+        self.store.append_manifest(self.spark.createDataFrame(rows, MANIFEST_SCHEMA))
         return reread
 
     # -- read / resume ---------------------------------------------------
     def manifest(self) -> DataFrame:
-        return self.spark.read.parquet(self.manifest_path)
+        return self.store.read_manifest(self.spark)
 
     def latest_complete(self, algo: str) -> int | None:
         """Highest superstep with a completed manifest entry for this run."""
@@ -112,7 +114,7 @@ class CheckpointManager:
         return int(s) if s is not None else None
 
     def read_state(self, algo: str, superstep: int) -> DataFrame:
-        return self.spark.read.parquet(self.state_path(algo, superstep))
+        return self.store.read_state(self.spark, self.run_id, algo, superstep)
 
 
 def run_id_from_env(default: str = "run-0") -> str:

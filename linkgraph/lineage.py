@@ -18,12 +18,18 @@ analogue of GraphX's periodic-checkpoint idiom.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
+_warned_fallback = False
 
 
 def truncate_plan(df: DataFrame) -> DataFrame:
     """localCheckpoint(eager) + stats reset; returns a frame whose plan is
     a bare LogicalRDD over the materialized blocks."""
+    global _warned_fallback
     ckpt = df.localCheckpoint(eager=True)
     try:
         from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
@@ -34,7 +40,16 @@ def truncate_plan(df: DataFrame) -> DataFrame:
             jrdd, ckpt._jdf.schema(), False
         )
         return _ClassicDF(jdf, spark)
-    except Exception:
-        # non-classic sessions (e.g. Spark Connect): keep the plain
-        # checkpoint — correct, just exposed to the stats-growth issue
+    except (ImportError, AttributeError, TypeError) as exc:
+        # non-classic sessions (e.g. Spark Connect) lack these private
+        # APIs: keep the plain checkpoint — correct, but exposed to the
+        # exponential stats-growth issue this module exists to fix, so the
+        # degraded mode must be VISIBLE (ADVICE round 1), once per process.
+        if not _warned_fallback:
+            _warned_fallback = True
+            log.warning(
+                "truncate_plan: stats reset unavailable (%s); falling back "
+                "to plain localCheckpoint — long BSP loops may hit "
+                "exponential Catalyst stats growth", exc,
+            )
         return ckpt

@@ -46,7 +46,9 @@ def payload_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 
 
 def _decode_one(kind: str, payload: bytes) -> tuple[int, int, int, float]:
-    """(width, height, n_samples, mean_value). STUB: fake codecs only."""
+    """(width, height, n_samples, mean_value). STUB: fake codecs only.
+    Kept as the single-row reference implementation + swap-in point for a
+    real PIL/ffmpeg codec; the batch path below is pure numpy."""
     if payload[:8] == IMG_MAGIC:
         w = int.from_bytes(payload[8:10], "big")
         h = int.from_bytes(payload[10:12], "big")
@@ -63,24 +65,65 @@ def _decode_one(kind: str, payload: bytes) -> tuple[int, int, int, float]:
 
 
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized batch decode: the whole Arrow batch's payloads are packed
+    into ONE uint8 buffer; header fields come from strided gathers and the
+    variable-length body sums from a single cumulative-sum + reduce-by-range
+    — no per-row Python in the hot path (BASELINE.json input_hint)."""
     for pdf in batches:
-        rows = []
-        for mid, kind, payload in zip(
-            pdf["media_id"], pdf["kind"], pdf["payload"]
-        ):
-            w, h, n, mean = _decode_one(kind, bytes(payload))
-            rows.append((int(mid), kind, len(payload), w, h, n, mean))
+        if not len(pdf):
+            yield pd.DataFrame(
+                columns=["media_id", "kind", "n_bytes", "width", "height",
+                         "n_samples", "mean_value"]
+            )
+            continue
+        payloads = [bytes(p) for p in pdf["payload"]]  # arrow buffers -> bytes
+        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                           count=len(payloads))
+        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        starts = off[:-1]
+
+        # header gather: first 12 bytes of every payload as an (n, 12) view
+        head = buf[starts[:, None] + np.arange(12)]
+        is_img = (head[:, :8] == np.frombuffer(IMG_MAGIC, np.uint8)).all(axis=1)
+        is_aud = (head[:, :8] == np.frombuffer(AUD_MAGIC, np.uint8)).all(axis=1)
+        unknown = ~(is_img | is_aud)
+        if unknown.any():
+            kind = str(pdf["kind"].iloc[int(np.argmax(unknown))])
+            raise NotImplementedError(
+                f"real {kind} codec not available in this environment; "
+                "swap the codec stage for a PIL/ffmpeg-backed implementation"
+            )
+        h16 = head.astype(np.int64)
+        w = np.where(is_img, (h16[:, 8] << 8) | h16[:, 9], 0)
+        h = np.where(is_img, (h16[:, 10] << 8) | h16[:, 11], 0)
+        n_samp = np.where(
+            is_aud,
+            (h16[:, 8] << 24) | (h16[:, 9] << 16) | (h16[:, 10] << 8) | h16[:, 11],
+            0,
+        )
+
+        # body means: one global cumsum, then sum over [body_start, body_end)
+        csum = np.zeros(len(buf) + 1, dtype=np.int64)
+        np.cumsum(buf, dtype=np.int64, out=csum[1:])
+        body_start = starts + 12
+        body_len = np.where(is_img, w * h, n_samp)
+        body_end = np.minimum(body_start + body_len, off[1:])
+        sums = csum[body_end] - csum[body_start]
+        n_body = (body_end - body_start).clip(min=0)
+        mean = np.where(n_body > 0, sums / np.maximum(n_body, 1), 0.0)
+
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "media_id",
-                "kind",
-                "n_bytes",
-                "width",
-                "height",
-                "n_samples",
-                "mean_value",
-            ],
+            {
+                "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "n_bytes": lens,
+                "width": w.astype(np.int32),
+                "height": h.astype(np.int32),
+                "n_samples": n_samp.astype(np.int32),
+                "mean_value": mean.astype(np.float64),
+            }
         )
 
 

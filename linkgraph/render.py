@@ -1,0 +1,72 @@
+"""Formatting sinks — fixed-width rows, bitmask projection, debug strings.
+
+≙ reference capabilities:
+- P3 fixed-width row formatter: ``xdis``-style instruction line rendering
+  (/root/reference/src/ccm/xdis.py:79-122 pads offset/opname/arg columns).
+- P6 bitmask -> names projection: compiler-flag decoding
+  (/root/reference/src/ccm/xdis.py:30-46 maps set bits to flag names).
+- S6/S8 display sinks: the ``dis``-family string renderers
+  (xdis.py:79-122; README.rst's printed tables).
+
+All column-level work is JVM expressions; the only driver-side step is the
+explicitly-bounded ``to_debug_string`` (a *display* sink — it limits before
+collecting, so it is never a distributed-compute path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def fixed_width_row(
+    df: DataFrame,
+    specs: list[tuple[str, int]],
+    out_col: str = "line",
+    sep: str = " ",
+) -> DataFrame:
+    """Append ``out_col``: each (col, width) rendered right-padded (strings)
+    or left-padded (numerics) to width, joined by ``sep``."""
+    parts = []
+    for col, width in specs:
+        c = F.col(col)
+        is_num = dict(df.dtypes).get(col, "string") not in ("string",)
+        padded = (
+            F.lpad(c.cast("string"), width, " ")
+            if is_num
+            else F.rpad(c.cast("string"), width, " ")
+        )
+        parts.append(padded)
+    return df.withColumn(out_col, F.concat_ws(sep, *parts))
+
+
+def bitmask_names(mask_col, names: list[str]):
+    """Column expr: array of ``names[i]`` for every set bit i of mask_col
+    (the reference's flag decoding, xdis.py:30-46)."""
+    return F.filter(
+        F.array(
+            *[
+                F.when(mask_col.bitwiseAND(F.lit(1 << i)) != 0, F.lit(nm))
+                for i, nm in enumerate(names)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def to_debug_string(df: DataFrame, n: int = 20, order_by: list[str] | None = None) -> str:
+    """Bounded string-render sink (S8): deterministic first-n rows as a
+    fixed-width text table. Limits BEFORE collecting."""
+    cols = df.columns
+    if order_by:
+        df = df.orderBy(*order_by)
+    rows = df.limit(n).collect()
+    widths = {
+        c: max(len(c), *(len(str(r[c])) for r in rows)) if rows else len(c)
+        for c in cols
+    }
+    header = " | ".join(c.ljust(widths[c]) for c in cols)
+    sepline = "-+-".join("-" * widths[c] for c in cols)
+    body = [
+        " | ".join(str(r[c]).ljust(widths[c]) for c in cols) for r in rows
+    ]
+    return "\n".join([header, sepline, *body])

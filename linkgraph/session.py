@@ -44,9 +44,21 @@ def get_spark(
     # Shuffle files on tmpfs when available: this factory only ever builds
     # local[...] sessions (a cluster gets its local dirs from the resource
     # manager), and local shuffles are otherwise bottlenecked on one disk.
+    # Gated on actual free space (tmpfs is typically capped at 50% of RAM;
+    # spilling a big run into a nearly-full /dev/shm fails where plain disk
+    # would succeed — ADVICE round 1). $LINKGRAPH_LOCAL_DIR overrides.
     local_dir = os.environ.get("LINKGRAPH_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/linkgraph-spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            free_bytes = st.f_bavail * st.f_frsize
+        except OSError:
+            free_bytes = 0
+        min_free = int(
+            os.environ.get("LINKGRAPH_SHM_MIN_FREE_BYTES", str(8 << 30))
+        )
+        if free_bytes >= min_free:
+            local_dir = "/dev/shm/linkgraph-spark-local"
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -1,0 +1,82 @@
+"""Structured Streaming ingestion — incremental link extraction.
+
+The batch engine's page->links->edges pipeline, re-expressed as a stream:
+``readStream`` over an append-only pages table (the Common-Crawl drop
+folder / Iceberg snapshot stream at cluster scale), the SAME vectorized
+extraction UDF (linkgraph.extract — one code path for batch and stream),
+watermarked event-time windows for late crawl timestamps, and a
+``writeStream`` sink in append mode. ``Trigger.AvailableNow`` turns the
+same query into an incremental batch (used by tests and the oracle query:
+stream output == batch output, row for row).
+
+Scale notes: stateless extraction scales embarrassingly (one Arrow batch
+per micro-batch partition); the windowed rate aggregation keeps state
+bounded by the watermark (late rows beyond it are dropped, state evicted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .extract import extract_links_udf
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+
+def stream_pages(
+    spark: SparkSession, path: str, schema: str = PAGES_SCHEMA
+) -> DataFrame:
+    """readStream over an append-only parquet pages directory."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_extract_links(pages: DataFrame) -> DataFrame:
+    """pages stream -> (src_url, pos, dst_url) stream (same UDF as batch)."""
+    return pages.select(
+        F.col("url").alias("src_url"),
+        *( [F.col("warc_ts")] if "warc_ts" in pages.columns else [] ),
+        F.posexplode(extract_links_udf(F.col("html"), F.col("url"))).alias(
+            "pos", "dst_url"
+        ),
+    )
+
+
+def stream_host_rates(
+    links: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked per-window, per-destination-host link counts — the
+    skew/rate monitor a crawl pipeline runs continuously."""
+    from .quotient import host_of
+
+    return (
+        links.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            host_of(F.col("dst_url")).alias("dst_host"),
+        )
+        .agg(F.count("*").alias("n_links"))
+        .select(
+            F.col("w.start").alias("window_start"), "dst_host", "n_links"
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, out_path: str, checkpoint_path: str, timeout_sec: int = 300
+) -> None:
+    """Drain everything currently available into a parquet sink and stop
+    (incremental-batch mode; exactly-once via the checkpoint dir)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_sec}s")

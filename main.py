@@ -55,7 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--job", default="all",
                    choices=["extract", "pagerank", "components", "labelprop",
                             "triangles", "complexity", "all"])
-    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="parquet dir, or iceberg://catalog.namespace to "
+                        "checkpoint into Iceberg tables (requires an "
+                        "Iceberg catalog on the session)")
     p.add_argument("--run-id", default="run-0")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--tol", type=float, default=1e-6,

@@ -35,10 +35,12 @@ import pyspark  # noqa: E402
 SPARK_HOME = Path(pyspark.__file__).parent
 MASTER = "spark://127.0.0.1:7077"
 
-N_VERTICES = 4_000_000
-AVG_DEG = 8
+N_VERTICES = 8_000_000
+AVG_DEG = 16
 SUPERSTEPS = 12
-N_PAGES = 400_000
+N_PAGES = 1_600_000
+N_BLOCKS = 32
+STORE = "/dev/shm/linkgraph-cluster-store"
 EXECUTOR_CORES = 4
 EXECUTOR_MEM = "6g"
 LEVELS = {8: "2 executors x 4 cores", 32: "8 executors x 4 cores"}
@@ -62,7 +64,7 @@ def spark_class(*args):
     )
 
 
-def submit(cores_max: int) -> dict:
+def submit(cores_max: int, mode: str = "run", timeout: int = 2400) -> dict:
     cmd = [
         str(SPARK_HOME / "bin" / "spark-submit"),
         "--master", MASTER,
@@ -80,9 +82,10 @@ def submit(cores_max: int) -> dict:
         "--conf", "spark.ui.showConsoleProgress=false",
         str(REPO / "scripts" / "cluster_job.py"),
         str(N_VERTICES), str(AVG_DEG), str(SUPERSTEPS), str(N_PAGES),
+        str(N_BLOCKS), STORE, mode,
     ]
     proc = subprocess.run(cmd, env=ENV, capture_output=True, text=True,
-                          cwd=str(REPO), timeout=2400)
+                          cwd=str(REPO), timeout=timeout)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -107,6 +110,12 @@ def main() -> None:
     )
     time.sleep(6)
     try:
+        import shutil
+
+        shutil.rmtree(STORE, ignore_errors=True)
+        print("prep: building block store at full width ...", file=sys.stderr)
+        prep = submit(32, mode="prep", timeout=5400)
+        print(prep, file=sys.stderr)
         results = {}
         for cores_max in LEVELS:
             print(f"submitting cores.max={cores_max} ({LEVELS[cores_max]}) ...",
@@ -142,11 +151,16 @@ Submitted with `spark-submit --master {MASTER} --py-files dist/linkgraph.zip
 scripts/cluster_job.py` (the engine's shipping mechanism).
 
 Input: synthetic power-law graph, {N_VERTICES:,} vertices,
-{lo['n_edges']:,} edges (linkgraph.synthgraph, seed 42, identical at both
-levels); {N_PAGES:,} synthesized HTML pages for the extraction path.
-PageRank throughput = edges/sec per superstep at steady state (median of
-the last 6 of 12 supersteps; early supersteps pay cache/JIT/Python-worker
-warmup).
+{lo['n_edges']:,} edges (linkgraph.synthgraph, seed 42), compacted ONCE
+into a {N_BLOCKS}-block CSR store (linkgraph.pagerank_csr.build_blocked,
+prep run at full width) that BOTH levels load — byte-identical input, so
+the timing isolates superstep throughput; {N_PAGES:,} synthesized HTML
+pages for the extraction path. PageRank runs the engine's scale path
+(blocked CSR: per-superstep traffic is O(B * rank-block) vectors, edges
+never re-shuffle; bit-matched to the flat DataFrame path and networkx by
+tests/test_pagerank_csr.py). Throughput = edges/sec per superstep at
+steady state (median of the last 6 of 12 supersteps; early supersteps pay
+edge-cache fill + JIT + Python-worker warmup).
 
 | workload | metric | N (2 exec) | 4N (8 exec) | efficiency |
 |---|---|---|---|---|

@@ -150,5 +150,54 @@ def test_embedding_dup_lsh_matches_bruteforce_when_bucketed(spark):
         (2, [-1.0, 0.5, 0.2, 0.1]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    lsh = dedup.embedding_dup_pairs(df, 0.9, method="lsh", lsh_dims=(0, 1)).collect()
+    lsh = dedup.embedding_dup_pairs(
+        df, 0.9, method="lsh", lsh_tables=1, lsh_bits=2, n_dims=4
+    ).collect()
     assert {(r["a"], r["b"]) for r in lsh} == {(0, 1)}
+
+
+def test_embedding_multi_table_lsh_recall_beats_single(spark):
+    """A pair split by table 0's hyperplane is still caught by another
+    table (OR-of-ANDs recall)."""
+    # dim 0 sign differs (tiny magnitude) -> table 0 separates them; the
+    # other 63 dims agree -> tables 1..3 bucket them together.
+    a = [0.001] + [1.0] * 63
+    b = [-0.001] + [1.0] * 63
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "vec_id long, embedding array<float>"
+    )
+    single = dedup.embedding_dup_pairs(
+        df, 0.9, method="lsh", lsh_tables=1, lsh_bits=8
+    ).collect()
+    multi = dedup.embedding_dup_pairs(
+        df, 0.9, method="lsh", lsh_tables=4, lsh_bits=8
+    ).collect()
+    assert single == []  # table 0 probes dim 0 and splits the pair
+    assert {(r["a"], r["b"]) for r in multi} == {(0, 1)}
+
+
+def test_ngram_capped_vs_exact_on_fixture(spark, docs_df):
+    """df_cap=None (exact) is a superset of the capped default; on this
+    fixture no shingle is hot, so they coincide."""
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, threshold=0.0, df_cap=None
+        ).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, threshold=0.0, log_drops=False
+        ).collect()
+    }
+    assert capped == exact
+    dedup.release_caches()
+
+
+def test_lsh_rows_per_band_divisibility(spark, docs_df):
+    sigs = dedup.minhash_signatures(docs_df, 8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        dedup.lsh_candidate_pairs(sigs, num_hashes=8, rows_per_band=3)

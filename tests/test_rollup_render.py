@@ -1,0 +1,60 @@
+"""Nested rollup (A5) + formatting sinks (P3/P6/S8) unit tests."""
+
+from pyspark.sql import functions as F
+
+from linkgraph.render import bitmask_names, fixed_width_row, to_debug_string
+from linkgraph.rollup import members_digest, nested_members, top_members
+
+
+def _df(spark):
+    rows = [(1, 10, "a"), (1, 5, "b"), (2, 7, "c"), (1, 8, "d")]
+    return spark.createDataFrame(rows, "key int, id int, name string")
+
+
+def test_nested_members_sorted(spark):
+    out = nested_members(_df(spark), "key", ("id", "name"))
+    got = {r["key"]: (r["n_members"], [tuple(m) for m in r["members"]])
+           for r in out.collect()}
+    assert got == {
+        1: (3, [(5, "b"), (8, "d"), (10, "a")]),
+        2: (1, [(7, "c")]),
+    }
+
+
+def test_top_members_caps_group(spark):
+    out = top_members(_df(spark), "key", order="id", k=2, member_cols=("id",))
+    got = {r["key"]: [m["id"] for m in r["members"]] for r in out.collect()}
+    assert got == {1: [5, 8], 2: [7]}
+
+
+def test_members_digest(spark):
+    nested = nested_members(_df(spark), "key", ("id", "name"))
+    got = {r["key"]: r["members_str"] for r in members_digest(nested, ("id", "name")).collect()}
+    assert got == {1: "5/b,8/d,10/a", 2: "7/c"}
+
+
+def test_fixed_width_row(spark):
+    df = spark.createDataFrame([(7, "abc")], "k int, s string")
+    out = fixed_width_row(df, [("k", 4), ("s", 6)]).collect()[0]["line"]
+    assert out == "   7 abc   "
+
+
+def test_bitmask_names(spark):
+    names = ["A", "B", "C", "D"]
+    df = spark.createDataFrame([(0,), (1,), (5,), (15,)], "m int")
+    got = [
+        r[0]
+        for r in df.select(
+            F.concat_ws("|", bitmask_names(F.col("m"), names))
+        ).collect()
+    ]
+    assert got == ["", "A", "A|C", "A|B|C|D"]
+
+
+def test_to_debug_string(spark):
+    df = spark.createDataFrame([(2, "y"), (1, "x")], "k int, v string")
+    s = to_debug_string(df, n=10, order_by=["k"])
+    lines = s.splitlines()
+    assert lines[0].split("|")[0].strip() == "k"
+    assert "1" in lines[2] and "x" in lines[2]
+    assert "2" in lines[3] and "y" in lines[3]

@@ -1,0 +1,75 @@
+"""SCC == networkx.strongly_connected_components (min-member labels).
+
+≙ reference A3: P = nx.number_strongly_connected_components
+(/root/reference/src/ccm/complexity.py:84,114,144).
+"""
+
+import random
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.quotient import quotient_edges
+from linkgraph.scc import scc_count, strongly_connected_components
+
+
+def _random_digraph(seed: int, n: int, m: int):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.add((u, v))
+    return edges
+
+
+def _nx_labels(n, edges):
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(edges)
+    want = {}
+    for comp in nx.strongly_connected_components(g):
+        mn = min(comp)
+        for v in comp:
+            want[v] = mn
+    return want
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 40, 60), (2, 60, 150), (3, 25, 25)])
+def test_scc_matches_networkx(spark, seed, n, m):
+    edges_py = _random_digraph(seed, n, m)
+    edges = spark.createDataFrame(sorted(edges_py), "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(spark, edges, verts).collect()
+    }
+    assert got == _nx_labels(n, edges_py)
+
+
+def test_scc_cycle_plus_tail(spark):
+    # 0->1->2->0 cycle, 2->3->4 tail, isolated 5
+    e = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(spark, edges, verts).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5}
+    assert scc_count(spark, edges, verts) == 4
+
+
+def test_scc_quotient_is_dag(spark):
+    """The SCC condensation must be a DAG (textbook invariant)."""
+    edges_py = _random_digraph(9, 50, 120)
+    edges = spark.createDataFrame(sorted(edges_py), "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    comps = strongly_connected_components(spark, edges, verts).select(
+        "id", F.col("component").alias("key")
+    )
+    q = quotient_edges(edges, comps)
+    qpairs = {(r["q_src"], r["q_dst"]) for r in q.collect()}
+    g = nx.DiGraph(list(qpairs))
+    assert nx.is_directed_acyclic_graph(g)
