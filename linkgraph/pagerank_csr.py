@@ -13,28 +13,41 @@ per-partition CSR blocks, PageRank run *on that layout*): the classic
   re-derived in float64 at load time so the compact store is 12B/edge with
   no precision loss vs the flat path), written to Parquet partitioned by
   (db, sb) — the static side of every superstep
-- a superstep joins the B^2-row *block index* (no edge payload) with the B
-  rank-vector rows and runs a numpy ``bincount`` kernel per destination
-  block inside ``applyInPandas``. The edge arrays are side-loaded from the
-  Parquet block store and memoized in a worker-global LRU cache bounded by
-  $LINKGRAPH_EDGE_CACHE_BYTES (default 1 GiB) and keyed by a per-build
-  token, so rebuilding a graph — even at the same path — can never serve
-  stale arrays (spark.python.worker.reuse keeps workers alive across
-  supersteps). Per-superstep traffic is O(B * |rank block|) vectors —
-  never O(|E|) rows.
+- **supersteps are checkpoint-to-checkpoint map jobs, not shuffles.** The
+  north star mandates per-superstep vertex-state checkpoints anyway, so
+  the engine makes the checkpoint the *transport*: rank vectors live as
+  per-block ``.npy`` files on shared storage (``{store}/ranks/<run>/
+  step<k>/``); one Spark job per superstep groups the tiny (sb, db) block
+  index by destination block and runs a numpy kernel that memory-maps the
+  static edge blocks + the previous step's rank blocks, ``bincount``s the
+  contributions, applies teleport/damping/dangling, writes the next rank
+  block (atomic tmp+rename, idempotent under task retry/speculation), and
+  returns only (block, l1, dm) scalars. NOTHING fat ever crosses the
+  Arrow boundary or a shuffle — per-superstep Spark traffic is O(B) rows
+  of scalars, and the plan is rebuilt from a truncated static frame each
+  step, so there is no lineage growth and no per-step localCheckpoint.
+  (Round-2 measurements: shipping the rank vectors through a
+  groupBy+applyInPandas exchange cost ~2 GB of shuffle+Arrow per superstep
+  and produced kernel-time collapse at 32-way parallelism on tmpfs.)
+
+Edge arrays are decoded from the Parquet block store ONCE per host into
+raw .npy sidecars and then memory-mapped by every worker (shared
+page-cache/tmpfs pages — no per-worker decoded copies); the worker-global
+LRU holds only mmap handles, keyed by a per-build token so rebuilding a
+graph — even at the same store path — can never serve stale arrays.
 
 NOTHING O(V) ever lands on the driver: block sizes, dangling-vertex local
-indices, and the initial rank vectors all live in per-block DataFrame rows
-(`block_meta` / the state frame). The only driver-side values are scalars
-(n, n_dangling, per-superstep L1/dangling aggregates).
+indices, and the initial rank vectors are written by distributed prep
+jobs from per-block DataFrame rows (`block_meta`). The only driver-side
+values are scalars (n, n_dangling, per-superstep L1/dangling aggregates).
 
-At cluster scale the block store lives on shared storage (HDFS/S3/Iceberg
-data files) and the worker cache plays the role of executor-resident state;
-sizing: pick B so a block's rank vector fits an executor
-(10^12 vertices * 8B / B ≈ 1-2 GiB → B ≈ 4-8k). The per-superstep
-duplicate-rv shuffle is O(nnz-block-pairs × block bytes); with
+At cluster scale the block store and the per-step rank files live on
+shared storage (HDFS/S3/Iceberg data files) and the mmap sidecars play
+the role of executor-local block cache; sizing: pick B so a block's rank
+vector fits an executor (10^12 vertices * 8B / B ≈ 1-2 GiB → B ≈ 4-8k).
+Per-superstep storage traffic is O(nnz-block-pairs × block bytes); with
 locality-preserving vertex ids (same-host pages hash to the same block —
-the standard web-graph trick) the pair grid is sparse and the shuffle far
+the standard web-graph trick) the pair grid is sparse and reads fall far
 below the dense O(B·|rank|) bound.
 
 Semantics are identical to linkgraph.pagerank / networkx.pagerank
@@ -63,16 +76,18 @@ from .pagerank import (
     _unpersist_rdds,
 )
 
-# worker-global LRU memo: (build_token, db, sb) -> (sl, dl, w) numpy
-# triplets. Bounded by $LINKGRAPH_EDGE_CACHE_BYTES; the build token makes
-# a rebuilt graph (even one overwriting the same store path) a cache miss
-# instead of a stale hit.
+# worker-global LRU of OPEN MEMMAP HANDLES: (build_token, db, sb) ->
+# (sl, dl, w) np.memmap triples over the shared .npy sidecar cache (see
+# _load_block). Handles are virtual — the underlying pages live ONCE in
+# the page cache / tmpfs and are shared by every worker on the host, so
+# the cache is bounded by entry count, not bytes. The build token makes a
+# rebuilt graph (even one overwriting the same store path) a miss instead
+# of a stale hit.
 _EDGE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
-_EDGE_CACHE_NBYTES = 0
 
 
-def _cache_cap_bytes() -> int:
-    return int(os.environ.get("LINKGRAPH_EDGE_CACHE_BYTES", str(1 << 30)))
+def _cache_max_entries() -> int:
+    return int(os.environ.get("LINKGRAPH_EDGE_CACHE_ENTRIES", "8192"))
 
 
 @dataclass
@@ -226,34 +241,78 @@ def load_blocked(spark, store_path: str) -> BlockedGraph:
     )
 
 
+def _npy_cache_dir(store_path: str, token: str) -> str:
+    """Directory for the decoded .npy sidecars. Prefer inside the store
+    (shared storage / tmpfs); fall back to a host-local tmp dir when the
+    store is read-only (e.g. an S3 mount) — that is exactly the
+    executor-local block-cache pattern of a real cluster."""
+    d = f"{store_path}/npy"
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        import tempfile
+
+        d = f"{tempfile.gettempdir()}/linkgraph-npy-{token}"
+        os.makedirs(d, exist_ok=True)
+        return d
+
+
 def _load_block(store_path: str, token: str, db: int, sb: int):
-    """Worker-side: (sl, dl, w) arrays for one edge block, LRU-cached."""
-    global _EDGE_CACHE_NBYTES
+    """Worker-side: (sl, dl, w) arrays for one edge block.
+
+    First touch of a block ANYWHERE on the host converts its parquet to
+    three raw .npy files (atomic tmp+rename, idempotent across racing
+    workers); every subsequent load — by any worker process — is an
+    ``np.load(mmap_mode='r')``: zero decode, zero copy, pages shared via
+    the page cache. This removes the per-worker decoded-array duplication
+    that thrashed memory at high worker counts (round-2 4N bench showed
+    14-68s erratic supersteps from exactly that; with shared mmaps the
+    resident cost is ONE 16B/edge image host-wide)."""
     key = (token, db, sb)
     hit = _EDGE_CACHE.get(key)
     if hit is not None:
         _EDGE_CACHE.move_to_end(key)
         return hit
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{store_path}/edges/db={db}/sb={sb}", columns=["sl", "dl", "od"]
-    )
-    sl = t.column("sl").to_numpy().astype(np.int32, copy=False)
-    dl = t.column("dl").to_numpy().astype(np.int32, copy=False)
-    # weight re-derived in float64: bit-identical to the flat path's
-    # JVM-side 1.0/out_deg double while the store stays 12B/edge
-    w = 1.0 / t.column("od").to_numpy().astype(np.float64)
-    hit = (sl, dl, w)
-    nbytes = sl.nbytes + dl.nbytes + w.nbytes
-    cap = _cache_cap_bytes()
-    while _EDGE_CACHE and _EDGE_CACHE_NBYTES + nbytes > cap:
-        _, old = _EDGE_CACHE.popitem(last=False)
-        _EDGE_CACHE_NBYTES -= sum(a.nbytes for a in old)
-    if nbytes <= cap:
-        _EDGE_CACHE[key] = hit
-        _EDGE_CACHE_NBYTES += nbytes
+    cache_dir = _npy_cache_dir(store_path, token)
+    base = f"{cache_dir}/{db}_{sb}"
+    paths = (f"{base}.sl.npy", f"{base}.dl.npy", f"{base}.w.npy")
+    if not all(os.path.exists(p) for p in paths):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{store_path}/edges/db={db}/sb={sb}", columns=["sl", "dl", "od"]
+        )
+        sl = t.column("sl").to_numpy().astype(np.int32, copy=False)
+        dl = t.column("dl").to_numpy().astype(np.int32, copy=False)
+        # weight in float64: bit-identical to the flat path's JVM-side
+        # 1.0/out_deg double (the parquet store stays 12B/edge)
+        w = 1.0 / t.column("od").to_numpy().astype(np.float64)
+        pid = os.getpid()
+        for arr, path in zip((sl, dl, w), paths):
+            tmp = f"{path}.{pid}.tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, path)  # atomic; racing converters are idempotent
+    hit = tuple(np.load(p, mmap_mode="r") for p in paths)
+    _EDGE_CACHE[key] = hit
+    while len(_EDGE_CACHE) > _cache_max_entries():
+        _EDGE_CACHE.popitem(last=False)
     return hit
+
+
+def _write_npy_atomic(path: str, arr: np.ndarray) -> None:
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)  # atomic; retried/speculative tasks are idempotent
+
+
+def _ranks_root(g: BlockedGraph) -> str:
+    """Per-step rank files must be on storage every worker can reach —
+    the store itself (shared) by default, $LINKGRAPH_RANKS_DIR override."""
+    return os.environ.get("LINKGRAPH_RANKS_DIR", f"{g.store_path}/ranks")
 
 
 def pagerank_blocked(
@@ -262,104 +321,142 @@ def pagerank_blocked(
     damping: float = 0.85,
     tol: float = 1e-9,
     max_iter: int = 100,
+    keep_steps: int = 2,
 ) -> PageRankResult:
-    """-> PageRankResult whose .ranks is (id, rank) via the vertex map."""
+    """-> PageRankResult whose .ranks is (id, rank) via the vertex map.
+
+    One Spark job per superstep (kernel + scalar agg in the same action);
+    rank state travels through the per-step block files, never a shuffle.
+    ``keep_steps`` trailing step directories are retained (resumability /
+    debugging); older ones are removed as the run advances.
+    """
     n = g.n
     store, token = g.store_path, g.build_token
+    run = uuid.uuid4().hex[:12]
+    rdir = f"{_ranks_root(g)}/{run}"
+    os.makedirs(rdir, exist_ok=True)
 
-    # initial state built ON THE EXECUTORS from block_meta (array_repeat is
-    # a JVM expression): (block, size, dangling, rv) — rank vectors never
-    # exist driver-side.
-    before0 = _persistent_rdd_ids(spark)
-    state = truncate_plan(
-        g.block_meta.select(
-            "block",
-            "size",
-            "dangling",
-            F.array_repeat(F.lit(1.0 / n), F.col("size")).alias("rv"),
+    # -- distributed prep: step-0 rank blocks + static dangling sidecars --
+    def prep_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        os.makedirs(f"{rdir}/step0", exist_ok=True)
+        os.makedirs(f"{rdir}/dangling", exist_ok=True)
+        for b, size, dang in zip(pdf["block"], pdf["size"], pdf["dangling"]):
+            b = int(b)
+            _write_npy_atomic(
+                f"{rdir}/step0/b{b}.npy", np.full(int(size), 1.0 / n)
+            )
+            _write_npy_atomic(
+                f"{rdir}/dangling/b{b}.npy",
+                np.asarray(dang, dtype=np.int64),
+            )
+        return pd.DataFrame({"block": [int(b) for b in pdf["block"]]})
+
+    g.block_meta.groupBy("block").applyInPandas(
+        prep_kernel, "block int"
+    ).count()
+
+    # static per-superstep work index: every non-empty (sb, db) pair PLUS a
+    # marker row (sb = -1) per destination block, so blocks with no
+    # in-edges still emit their teleport-only rank file each step. The
+    # repartition happens BEFORE truncation, so the cached LogicalRDD is
+    # physically range-clustered by db into exactly B partitions (~one
+    # destination block per task — minimal scheduling overhead, no hash
+    # collisions doubling a task) and the superstep job is a SINGLE
+    # mapInPandas stage — no exchange at all, which also
+    # means AQE's size-based partition coalescing can never collapse the
+    # (few-KB!) work rows into one task and serialize the kernels (it did:
+    # round-2 probe showed 32 kernels x 0.33s running serially, wall 10.5s
+    # at local[32]).
+    work = truncate_plan(
+        g.pair_index.select("sb", "db", "dsize")
+        .unionByName(
+            g.block_meta.select(
+                F.lit(-1).cast(g.pair_index.schema["sb"].dataType).alias("sb"),
+                F.col("block").alias("db"),
+                F.col("size").alias("dsize"),
+            )
         )
+        .repartitionByRange(g.n_blocks, "db")
     )
-    ckpt_ids = _persistent_rdd_ids(spark) - before0
 
     dangling = g.n_dangling / n
     supersteps: list[SuperstepInfo] = []
     converged = False
 
-    def reduce_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        db = int(pdf["db"].iloc[0])
-        acc = np.zeros(int(pdf["dsize"].iloc[0]))
-        for sb, rv in zip(pdf["sb"], pdf["rv"]):
-            sl, dl, wv = _load_block(store, token, db, int(sb))
-            rv = np.asarray(rv, dtype=np.float64)
-            acc += np.bincount(dl, weights=rv[sl] * wv, minlength=len(acc))
-        return pd.DataFrame({"block": [db], "contrib": [acc]})
-
     for step in range(max_iter):
         with StepTimer() as t:
             base = (1.0 - damping) / n + damping * dangling / n
-            joined = g.pair_index.join(
-                state.select(F.col("block").alias("sb"), "rv"), "sb"
-            )
-            contribs = joined.groupBy("db").applyInPandas(
-                reduce_kernel, "block int, contrib array<double>"
-            )
+            cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
 
-            # update step is pure JVM (higher-order array functions inside
-            # whole-stage codegen) — the contribs Arrow return is the only
-            # Python traffic besides the reduce input
-            new_rv = F.transform(
-                F.coalesce(
-                    F.col("contrib"),
-                    F.array_repeat(F.lit(0.0), F.col("size")),
-                ),
-                lambda c: F.lit(base) + F.lit(damping) * c,
+            def make_step_fn(_cur, _nxt, _base):
+                def one_db(grp: pd.DataFrame):
+                    db = int(grp["db"].iloc[0])
+                    dsize = int(grp["dsize"].iloc[0])
+                    acc = np.zeros(dsize)
+                    for sb in sorted(int(s) for s in grp["sb"] if int(s) >= 0):
+                        sl, dl, wv = _load_block(store, token, db, sb)
+                        rv = np.load(f"{_cur}/b{sb}.npy", mmap_mode="r")
+                        acc += np.bincount(
+                            dl, weights=rv[sl] * wv, minlength=dsize
+                        )
+                    new = _base + damping * acc
+                    old = np.load(f"{_cur}/b{db}.npy", mmap_mode="r")
+                    l1 = float(np.abs(new - old).sum())
+                    dang = np.load(f"{rdir}/dangling/b{db}.npy", mmap_mode="r")
+                    dm = float(new[dang].sum()) if len(dang) else 0.0
+                    os.makedirs(_nxt, exist_ok=True)
+                    _write_npy_atomic(f"{_nxt}/b{db}.npy", new)
+                    return db, l1, dm
+
+                def step_fn(batches):
+                    # one partition = whole db-groups (physical clustering
+                    # by the pre-truncation repartition); batches never
+                    # span partitions, so concat + groupby is exact
+                    dfs = [b for b in batches if len(b)]
+                    if not dfs:
+                        return
+                    pdf = pd.concat(dfs, ignore_index=True)
+                    rows = [one_db(grp) for _, grp in pdf.groupby("db")]
+                    yield pd.DataFrame(rows, columns=["block", "l1", "dm"])
+
+                return step_fn
+
+            row = (
+                work.mapInPandas(
+                    make_step_fn(cur, nxt, base),
+                    "block int, l1 double, dm double",
+                )
+                .agg(F.sum("l1").alias("l1"), F.sum("dm").alias("dm"))
+                .collect()[0]
             )
-            before = _persistent_rdd_ids(spark)
-            upd = state.join(contribs, "block", "left").select(
-                "block",
-                "size",
-                "dangling",
-                F.col("rv").alias("rv_old"),
-                new_rv.alias("rv"),
-            )
-            new_state = upd.select(
-                "block",
-                "size",
-                "dangling",
-                "rv",
-                F.aggregate(
-                    F.zip_with(
-                        F.col("rv"), F.col("rv_old"), lambda a, b: F.abs(a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("l1"),
-                F.aggregate(
-                    F.transform(
-                        F.col("dangling"),
-                        lambda i: F.element_at(F.col("rv"), i + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dm"),
-            )
-            new_state = truncate_plan(new_state)
-            row = new_state.agg(
-                F.sum("l1").alias("l1"), F.sum("dm").alias("dm")
-            ).collect()[0]
             delta, next_dangling = float(row["l1"]), float(row["dm"])
-            new_ids = _persistent_rdd_ids(spark) - before
-            _unpersist_rdds(spark, ckpt_ids)
-            ckpt_ids = new_ids
-            state = new_state.select("block", "size", "dangling", "rv")
+            stale = step - keep_steps + 1
+            if stale >= 0:
+                import shutil
+
+                shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
         supersteps.append(SuperstepInfo(step, delta, dangling, t.seconds))
         dangling = next_dangling
         if delta < tol:
             converged = True
             break
 
+    last = f"{rdir}/step{len(supersteps)}"
+
+    def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        _last = last
+        out = []
+        for b in pdf["block"]:
+            b = int(b)
+            rv = np.load(f"{_last}/b{b}.npy")
+            out.append((b, rv))
+        return pd.DataFrame(out, columns=["block", "rv"])
+
+    ranks_blocks = g.block_meta.groupBy("block").applyInPandas(
+        read_kernel, "block int, rv array<double>"
+    )
     flat = (
-        state.select("block", F.posexplode("rv").alias("local", "rank"))
+        ranks_blocks.select("block", F.posexplode("rv").alias("local", "rank"))
         .join(g.vmap, ["block", "local"])
         .select("id", "rank")
     )

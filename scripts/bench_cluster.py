@@ -35,7 +35,7 @@ import pyspark  # noqa: E402
 SPARK_HOME = Path(pyspark.__file__).parent
 MASTER = "spark://127.0.0.1:7077"
 
-N_VERTICES = 8_000_000
+N_VERTICES = 24_000_000
 AVG_DEG = 16
 SUPERSTEPS = 12
 N_PAGES = 1_600_000
@@ -48,7 +48,10 @@ LEVELS = {8: "2 executors x 4 cores", 32: "8 executors x 4 cores"}
 ENV = {
     **os.environ,
     "SPARK_HOME": str(SPARK_HOME),
-    "SPARK_LOCAL_DIRS": "/dev/shm/linkgraph-cluster-local",
+    # build-phase shuffles are tens of GB at 1.4B edges: keep them on real
+    # disk so tmpfs stays free for the block store + rank files (the
+    # superstep itself barely shuffles — file-based transport)
+    "SPARK_LOCAL_DIRS": "/tmp/linkgraph-cluster-local",
     "SPARK_LOG_DIR": "/tmp/linkgraph-cluster-logs",
     "SPARK_NO_DAEMONIZE": "1",
     "PYSPARK_PYTHON": sys.executable,
@@ -73,6 +76,13 @@ def submit(cores_max: int, mode: str = "run", timeout: int = 2400) -> dict:
         "--conf", f"spark.cores.max={cores_max}",
         "--conf", f"spark.executor.cores={EXECUTOR_CORES}",
         "--conf", f"spark.executor.memory={EXECUTOR_MEM}",
+        # every executor JVM must size its GC/thread pools for ITS core
+        # slice, not the whole machine: 8 co-located JVMs each spawning
+        # 32-core-sized GC threads oversubscribe the box and produce
+        # multi-second straggler supersteps at the 4N level only
+        "--conf", "spark.executor.extraJavaOptions="
+                  f"-XX:ActiveProcessorCount={EXECUTOR_CORES} "
+                  f"-XX:ParallelGCThreads={EXECUTOR_CORES} -XX:ConcGCThreads=2",
         "--conf", "spark.driver.memory=8g",
         "--conf", "spark.sql.shuffle.partitions=128",
         "--conf", "spark.sql.adaptive.enabled=true",
@@ -110,9 +120,9 @@ def main() -> None:
     )
     time.sleep(6)
     try:
-        import shutil
-
-        shutil.rmtree(STORE, ignore_errors=True)
+        # the store is deterministic in (N_VERTICES, AVG_DEG, N_BLOCKS,
+        # seed); reuse it if present — delete STORE manually after
+        # changing those params
         print("prep: building block store at full width ...", file=sys.stderr)
         prep = submit(32, mode="prep", timeout=5400)
         print(prep, file=sys.stderr)
