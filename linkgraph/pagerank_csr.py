@@ -242,10 +242,17 @@ def load_blocked(spark, store_path: str) -> BlockedGraph:
 
 
 def _npy_cache_dir(store_path: str, token: str) -> str:
-    """Directory for the decoded .npy sidecars. Prefer inside the store
-    (shared storage / tmpfs); fall back to a host-local tmp dir when the
-    store is read-only (e.g. an S3 mount) — that is exactly the
-    executor-local block-cache pattern of a real cluster."""
+    """Directory for the decoded .npy sidecars. $LINKGRAPH_NPY_DIR (e.g. a
+    tmpfs) overrides; default is inside the store (shared storage); final
+    fallback is a host-local tmp dir when the store is read-only (e.g. an
+    S3 mount) — exactly the executor-local block-cache pattern of a real
+    cluster. The dir is keyed by the build token so distinct builds never
+    share sidecars."""
+    env = os.environ.get("LINKGRAPH_NPY_DIR")
+    if env:
+        d = f"{env}/{token}"
+        os.makedirs(d, exist_ok=True)
+        return d
     d = f"{store_path}/npy"
     try:
         os.makedirs(d, exist_ok=True)

@@ -39,8 +39,17 @@ N_VERTICES = 24_000_000
 AVG_DEG = 16
 SUPERSTEPS = 12
 N_PAGES = 1_600_000
-N_BLOCKS = 32
-STORE = "/dev/shm/linkgraph-cluster-store"
+# B sized so a rank block (n/B doubles) stays L2-resident (~2 MB): the
+# contribution gather is cache-bound and scales with cores; at B=32 the
+# 6 MB blocks went DRAM-latency-bound and stopped scaling past ~8 cores
+# (measured: 5.9s at 8 cores vs 4.7s at 32)
+N_BLOCKS = 96
+# parquet store on DISK; decoded npy sidecars + per-step rank files on
+# tmpfs (the hot mmap'd working set), so tmpfs stays well under RAM even
+# with 8 executor JVMs up
+STORE = "/tmp/linkgraph-cluster-store"
+NPY_DIR = "/dev/shm/linkgraph-npy"
+RANKS_DIR = "/dev/shm/linkgraph-ranks"
 EXECUTOR_CORES = 4
 EXECUTOR_MEM = "6g"
 LEVELS = {8: "2 executors x 4 cores", 32: "8 executors x 4 cores"}
@@ -52,6 +61,10 @@ ENV = {
     # disk so tmpfs stays free for the block store + rank files (the
     # superstep itself barely shuffles — file-based transport)
     "SPARK_LOCAL_DIRS": "/tmp/linkgraph-cluster-local",
+    # driver-side too: pagerank_blocked resolves the rank-file root on the
+    # driver; workers get the same via spark.executorEnv.* below
+    "LINKGRAPH_NPY_DIR": "/dev/shm/linkgraph-npy",
+    "LINKGRAPH_RANKS_DIR": "/dev/shm/linkgraph-ranks",
     "SPARK_LOG_DIR": "/tmp/linkgraph-cluster-logs",
     "SPARK_NO_DAEMONIZE": "1",
     "PYSPARK_PYTHON": sys.executable,
@@ -90,6 +103,8 @@ def submit(cores_max: int, mode: str = "run", timeout: int = 2400) -> dict:
         "--conf", "spark.python.worker.reuse=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
+        "--conf", f"spark.executorEnv.LINKGRAPH_NPY_DIR={NPY_DIR}",
+        "--conf", f"spark.executorEnv.LINKGRAPH_RANKS_DIR={RANKS_DIR}",
         str(REPO / "scripts" / "cluster_job.py"),
         str(N_VERTICES), str(AVG_DEG), str(SUPERSTEPS), str(N_PAGES),
         str(N_BLOCKS), STORE, mode,

@@ -32,7 +32,11 @@ from linkgraph.synthgraph import synth_edges, synth_vertices
 
 def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path):
     if store_path and os.path.exists(f"{store_path}/_info.json"):
-        return load_blocked(spark, store_path), None
+        g = load_blocked(spark, store_path)
+        if g.n == n_vertices and g.n_blocks == n_blocks:
+            return g, None
+        # stale store from different params: rebuild in place
+        g.unpersist()
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = synth_edges(spark, n_vertices, avg_deg, num_partitions=parts).persist()
     n_edges = edges.count()
