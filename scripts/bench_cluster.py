@@ -35,19 +35,21 @@ import pyspark  # noqa: E402
 SPARK_HOME = Path(pyspark.__file__).parent
 MASTER = "spark://127.0.0.1:7077"
 
-N_VERTICES = 24_000_000
-AVG_DEG = 16
-SUPERSTEPS = 12
-N_PAGES = 1_600_000
-# B sized so a rank block (n/B doubles) stays L2-resident (~2 MB): the
-# contribution gather is cache-bound and scales with cores; at B=32 the
-# 6 MB blocks went DRAM-latency-bound and stopped scaling past ~8 cores
-# (measured: 5.9s at 8 cores vs 4.7s at 32)
-N_BLOCKS = 96
+N_VERTICES = int(os.environ.get("BENCH_N_VERTICES", 24_000_000))
+AVG_DEG = int(os.environ.get("BENCH_AVG_DEG", 16))
+SUPERSTEPS = int(os.environ.get("BENCH_SUPERSTEPS", 20))
+N_PAGES = int(os.environ.get("BENCH_N_PAGES", 1_600_000))
+# web-graph locality: fraction of links that stay inside the src's host;
+# host-clustered ids + range blocking keep them in the diagonal block
+# pair, whose rank vector + accumulator are cache-resident
+INTRA_HOST = float(os.environ.get("BENCH_INTRA_HOST", 0.85))
+# B sized so both locals of a pair fit 16 bits (packed-u32 edge words,
+# 4B/edge streamed) and a rank block (n/B doubles) stays ~L2-resident
+N_BLOCKS = int(os.environ.get("BENCH_N_BLOCKS", 384))
 # parquet store on DISK; decoded npy sidecars + per-step rank files on
 # tmpfs (the hot mmap'd working set), so tmpfs stays well under RAM even
 # with 8 executor JVMs up
-STORE = "/tmp/linkgraph-cluster-store"
+STORE = os.environ.get("BENCH_STORE", "/tmp/linkgraph-cluster-store")
 NPY_DIR = "/dev/shm/linkgraph-npy"
 RANKS_DIR = "/dev/shm/linkgraph-ranks"
 EXECUTOR_CORES = 4
@@ -107,7 +109,7 @@ def submit(cores_max: int, mode: str = "run", timeout: int = 2400) -> dict:
         "--conf", f"spark.executorEnv.LINKGRAPH_RANKS_DIR={RANKS_DIR}",
         str(REPO / "scripts" / "cluster_job.py"),
         str(N_VERTICES), str(AVG_DEG), str(SUPERSTEPS), str(N_PAGES),
-        str(N_BLOCKS), STORE, mode,
+        str(N_BLOCKS), STORE, mode, str(INTRA_HOST),
     ]
     proc = subprocess.run(cmd, env=ENV, capture_output=True, text=True,
                           cwd=str(REPO), timeout=timeout)
@@ -120,7 +122,7 @@ def submit(cores_max: int, mode: str = "run", timeout: int = 2400) -> dict:
 
 
 def main() -> None:
-    (REPO / "dist" / "linkgraph.zip").exists() or subprocess.run(
+    subprocess.run(  # always repackage: a stale zip ships stale engine code
         [sys.executable, str(REPO / "scripts" / "make_package.py")], check=True
     )
     os.makedirs(ENV["SPARK_LOG_DIR"], exist_ok=True)

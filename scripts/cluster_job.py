@@ -12,8 +12,14 @@ same store, so the N and 4N levels see byte-identical input and the timing
 isolates superstep throughput.
 
 argv: n_vertices avg_deg supersteps n_pages [n_blocks] [store_path] [mode]
+      [intra_host]
 mode: "prep" = synth+build store only; "run" (default) = load/build, then
 measure PageRank supersteps + extraction. Prints one RESULT JSON line.
+
+The measured PageRank path: host-local synthetic graph (intra_host links
+stay in their range block — the Common-Crawl layout), native scatter-add
+kernel, barrier transport (all supersteps in ONE Spark job, slots =
+cluster cores, zero per-superstep scheduling overhead).
 """
 
 from __future__ import annotations
@@ -30,20 +36,25 @@ from linkgraph.pagerank_csr import build_blocked, load_blocked, pagerank_blocked
 from linkgraph.synthgraph import synth_edges, synth_vertices
 
 
-def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path):
+def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path, intra_host):
     if store_path and os.path.exists(f"{store_path}/_info.json"):
-        g = load_blocked(spark, store_path)
-        if g.n == n_vertices and g.n_blocks == n_blocks:
-            return g, None
-        # stale store from different params: rebuild in place
-        g.unpersist()
+        try:
+            g = load_blocked(spark, store_path)
+            if g.n == n_vertices and g.n_blocks == n_blocks:
+                return g, None
+            g.unpersist()  # stale store from different params: rebuild
+        except ValueError:
+            pass  # old store format: rebuild
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = synth_edges(spark, n_vertices, avg_deg, num_partitions=parts).persist()
+    edges = synth_edges(
+        spark, n_vertices, avg_deg, num_partitions=parts,
+        intra_host=intra_host,
+    ).persist()
     n_edges = edges.count()
     t0 = time.perf_counter()
     g = build_blocked(
         spark, edges, synth_vertices(spark, n_vertices, num_partitions=parts),
-        n_blocks=n_blocks, store_path=store_path,
+        n_blocks=n_blocks, store_path=store_path, blocking="range",
     )
     build_sec = time.perf_counter() - t0
     edges.unpersist()
@@ -52,23 +63,29 @@ def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path):
 
 def main() -> None:
     n_vertices, avg_deg, supersteps, n_pages = (int(x) for x in sys.argv[1:5])
-    n_blocks = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+    n_blocks = int(sys.argv[5]) if len(sys.argv) > 5 else 384
     store_path = sys.argv[6] if len(sys.argv) > 6 else None
     mode = sys.argv[7] if len(sys.argv) > 7 else "run"
+    intra_host = float(sys.argv[8]) if len(sys.argv) > 8 else 0.85
     spark = SparkSession.builder.appName("linkgraph-cluster-bench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    g, build_info = ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path)
+    g, build_info = ensure_store(
+        spark, n_vertices, avg_deg, n_blocks, store_path, intra_host
+    )
     if mode == "prep":
         print("RESULT " + json.dumps({"mode": "prep", **(build_info or {})}))
         spark.stop()
         return
 
-    # edge count from the store (w column is per-edge)
     n_edges = spark.read.parquet(f"{g.store_path}/edges").count()
 
-    res = pagerank_blocked(spark, g, tol=0.0, max_iter=supersteps)
+    slots = spark.sparkContext.defaultParallelism
+    res = pagerank_blocked(
+        spark, g, tol=0.0, max_iter=supersteps, transport="barrier",
+        barrier_slots=slots,
+    )
     step_secs = [round(s.seconds, 3) for s in res.supersteps]
     # steady state: median of the last half (edge-block cache fill, JIT and
     # python-worker warmup dominate the first supersteps)
