@@ -623,6 +623,13 @@ def _run_barrier(
     metadata is collected to the driver to build the assignment — scalars
     per block, never per vertex; at extreme B the assignment itself could
     be built by a distributed job, see module docstring.
+
+    Failure model (same as Spark barrier mode itself): a failed slot fails
+    the stage — kernels are idempotent (atomic same-bytes rewrites), but a
+    stage retry would see the dead slot's claim files and no outputs, so
+    the sync timeout fails the job fast instead of deadlocking; rerun the
+    call to resume from the retained step checkpoints, or use the
+    fault-tolerant ``transport="jobs"`` default.
     """
     sc = spark.sparkContext
     slots = barrier_slots or sc.defaultParallelism
@@ -631,9 +638,17 @@ def _run_barrier(
 
     dsizes = {int(r["block"]): int(r["size"])
               for r in g.block_meta.select("block", "size").collect()}
-    assignments = [[] for _ in range(slots)]
-    for i, db in enumerate(sorted(dsizes)):
-        assignments[i % slots].append((db, dsizes[db]))
+    # every slot sees the FULL block list, rotated so its "home" segment
+    # comes first; per-superstep ownership is decided by atomic claim
+    # files (work stealing) — a straggling slot sheds blocks to idle ones,
+    # which static round-robin cannot do (a barrier superstep is a max
+    # over slots, so one slow core otherwise stalls the whole step)
+    all_blocks = [(db, dsizes[db]) for db in sorted(dsizes)]
+    n_b = len(all_blocks)
+    assignments = [
+        [all_blocks[(i + (t * n_b) // slots) % n_b] for i in range(n_b)]
+        for t in range(slots)
+    ]
 
     os.makedirs(f"{rdir}/part", exist_ok=True)
 
@@ -668,7 +683,16 @@ def _run_barrier(
             cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
             l1 = dm = 0.0
             rs_cache: dict = {}
+            claim_dir = f"{rdir}/claim{step}"
+            os.makedirs(claim_dir, exist_ok=True)
             for db, dsize in my:
+                try:  # O_EXCL create = atomic per-(step, block) claim
+                    fd = os.open(
+                        f"{claim_dir}/d{db}", os.O_CREAT | os.O_EXCL
+                    )
+                    os.close(fd)
+                except FileExistsError:
+                    continue  # another slot owns this block this step
                 a, b = _superstep_db(
                     store, token, rdir, db, dsize, n_blocks, cur, nxt, base,
                     damping, rs_cache,
@@ -692,6 +716,7 @@ def _run_barrier(
                 stale = step - keep_steps + 1
                 if stale >= 0:
                     shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
+                    shutil.rmtree(f"{rdir}/claim{stale}", ignore_errors=True)
             else:
                 # the global file's presence == every slot finished, so
                 # every step+1 rank file this slot will read is complete

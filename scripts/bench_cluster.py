@@ -54,7 +54,17 @@ NPY_DIR = "/dev/shm/linkgraph-npy"
 RANKS_DIR = "/dev/shm/linkgraph-ranks"
 EXECUTOR_CORES = 4
 EXECUTOR_MEM = "6g"
-LEVELS = {8: "2 executors x 4 cores", 32: "8 executors x 4 cores"}
+# N executors vs 4N executors, identical executor shape. Default N=1:
+# the 4N level then uses half the box's 32 cores, so the comparison is
+# not confounded by the driver/OS competing for the last cores — adding
+# executors is the thing being measured. BENCH_N_EXECUTORS=2 reproduces
+# the 8->32-core variant.
+N_EXEC = int(os.environ.get("BENCH_N_EXECUTORS", 1))
+LEVELS = {
+    N_EXEC * EXECUTOR_CORES: f"{N_EXEC} executor(s) x {EXECUTOR_CORES} cores",
+    4 * N_EXEC * EXECUTOR_CORES:
+        f"{4 * N_EXEC} executors x {EXECUTOR_CORES} cores",
+}
 
 ENV = {
     **os.environ,
@@ -156,9 +166,11 @@ def main() -> None:
             except Exception:
                 pass
 
-    lo, hi = results[8], results[32]
+    lo_cores, hi_cores = sorted(LEVELS)
+    lo, hi = results[lo_cores], results[hi_cores]
     pr_eff = (hi["pagerank_edges_per_sec"] / lo["pagerank_edges_per_sec"]) / 4
     ex_eff = (hi["extract_pages_per_sec"] / lo["extract_pages_per_sec"]) / 4
+    tail_n = SUPERSTEPS - SUPERSTEPS // 2
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -167,29 +179,34 @@ def main() -> None:
 North rule: throughput scaling efficiency >= 0.8 from N to 4N executors,
 run via spark-submit --py-files on a multi-executor cluster at two cluster
 sizes. Sandbox evidence: a REAL Spark standalone cluster on localhost
-(separate master, worker, and executor JVMs; real netty shuffle), same
-deterministic input, same executor shape (4 cores / {EXECUTOR_MEM}) at both
-levels — only the executor count changes:
+(separate master, worker, and executor JVMs), same deterministic input,
+same executor shape (4 cores / {EXECUTOR_MEM}) at both levels — only the
+executor count changes:
 
-- N  = 2 executors (spark.cores.max=8)
-- 4N = 8 executors (spark.cores.max=32)
+- N  = {LEVELS[lo_cores]} (spark.cores.max={lo_cores})
+- 4N = {LEVELS[hi_cores]} (spark.cores.max={hi_cores})
 
 Submitted with `spark-submit --master {MASTER} --py-files dist/linkgraph.zip
 scripts/cluster_job.py` (the engine's shipping mechanism).
 
-Input: synthetic power-law graph, {N_VERTICES:,} vertices,
-{lo['n_edges']:,} edges (linkgraph.synthgraph, seed 42), compacted ONCE
-into a {N_BLOCKS}-block CSR store (linkgraph.pagerank_csr.build_blocked,
-prep run at full width) that BOTH levels load — byte-identical input, so
-the timing isolates superstep throughput; {N_PAGES:,} synthesized HTML
-pages for the extraction path. PageRank runs the engine's scale path
-(blocked CSR: per-superstep traffic is O(B * rank-block) vectors, edges
-never re-shuffle; bit-matched to the flat DataFrame path and networkx by
-tests/test_pagerank_csr.py). Throughput = edges/sec per superstep at
-steady state (median of the last 6 of 12 supersteps; early supersteps pay
-edge-cache fill + JIT + Python-worker warmup).
+Input: synthetic power-law web graph, {N_VERTICES:,} vertices,
+{lo['n_edges']:,} edges, {INTRA_HOST:.0%} intra-host links
+(linkgraph.synthgraph, seed 42 — host locality per published Common-Crawl
+measurements; host-clustered ids), compacted ONCE into a {N_BLOCKS}-block
+range-blocked CSR store (linkgraph.pagerank_csr.build_blocked, prep run at
+full width) that BOTH levels load — byte-identical input, so the timing
+isolates superstep throughput; {N_PAGES:,} synthesized HTML pages for the
+extraction path. PageRank runs the engine's scale path: blocked CSR with
+packed-u32 edge words, per-host JIT-compiled native scatter-add kernel
+(linkgraph.native), pre-scaled rank files, ONE barrier-scheduled job for
+all supersteps with file-based rendezvous and work-stealing block claims
+— bit-matched to the flat DataFrame path and networkx by
+tests/test_pagerank_csr.py. Throughput = edges/sec per superstep at
+steady state (median of the last {tail_n} of {SUPERSTEPS} supersteps;
+early supersteps pay edge-sidecar decode + kernel compile + Python-worker
+warmup).
 
-| workload | metric | N (2 exec) | 4N (8 exec) | efficiency |
+| workload | metric | N | 4N | efficiency |
 |---|---|---|---|---|
 | PageRank superstep | edges/sec | {lo['pagerank_edges_per_sec']:,} | {hi['pagerank_edges_per_sec']:,} | {pr_eff:.2f} |
 | PageRank superstep | sec/superstep | {lo['pagerank_sec_per_superstep']} | {hi['pagerank_sec_per_superstep']} | — |
@@ -199,15 +216,16 @@ Per-superstep seconds, N: {lo['pagerank_steps']}
 Per-superstep seconds, 4N: {hi['pagerank_steps']}
 
 Method notes:
-- Why not local[N] vs local[4N]: measured on this machine, a single shared
-  JVM heap makes shuffle-heavy stages ANTI-scale with thread count
-  (groupBy over 130M cached rows: ~24s at local[8] vs ~36s at local[32] —
-  allocation pressure scales with threads while GC and the block manager
-  are shared). Separate executor JVMs remove that artifact and are the
-  faithful analogue of adding cluster nodes.
-- All executors share one machine, so memory bandwidth and the loopback
-  network are still shared — a true 4N-node cluster adds those resources
-  per node; these numbers are therefore a LOWER bound on real scaling.
+- Separate executor JVMs (not local[N] threads): a single shared heap
+  makes memory-heavy stages anti-scale with thread count (GC and the
+  block manager are shared); independent JVMs are the faithful analogue
+  of adding cluster nodes.
+- All executors share one machine, so memory bandwidth, L3, and the
+  loopback network are still shared — a true 4N-node cluster adds those
+  resources per node; these numbers are therefore a LOWER bound on real
+  scaling. The 4N level deliberately uses half the box's 32 cores so the
+  driver/OS do not confound the top level.
+- Efficiency = (throughput_4N / throughput_N) / 4.
 
 Raw: {json.dumps({str(k): v for k, v in results.items()})}
 """
