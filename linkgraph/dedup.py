@@ -110,6 +110,7 @@ def ngram_jaccard_pairs(
     log_drops: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """-> (a, b, jaccard) for doc pairs with shingle-set Jaccard >= threshold.
 
@@ -120,27 +121,40 @@ def ngram_jaccard_pairs(
     (same role as hub-salting in pagerank). The default is FINITE; pass
     ``df_cap=None`` only for exact small-input/oracle runs. Dropped hot
     shingles are logged (``log_drops``) so capped recall is visible, never
-    silent.
+    silent. ``shingles`` lets a pipeline running several dedup ops feed
+    them all from ONE persisted (doc_id, shingle) scan (see
+    shingle_table); the tokenize+explode pass is the dominant cost.
     """
-    sh = shingle_table(docs, n, id_col, text_col)
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = _register_cache(shingle_table(docs, n, id_col, text_col).persist())
     if df_cap is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df")).persist()
-        _register_cache(dfreq)
-        if log_drops:
-            row = dfreq.agg(
-                F.sum(F.when(F.col("df") > df_cap, 1).otherwise(0)).alias("hot"),
-                F.count("*").alias("total"),
-            ).collect()[0]
-            if int(row["hot"] or 0):
-                log.warning(
-                    "ngram_jaccard_pairs: df_cap=%d drops %d/%d distinct "
-                    "shingles (recall is capped, not exact)",
-                    df_cap, int(row["hot"]), int(row["total"]),
-                )
-        sh = sh.join(
-            dfreq.where(F.col("df") <= df_cap).select("shingle"), "shingle"
+        # the guard is an ANTI-join against only the over-cap ("stop")
+        # shingles — a tiny set at any sane cap, so it broadcasts and the
+        # capped table costs one map-side filter, not a second shuffle
+        # over the whole inverted index
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+            .persist()
         )
-    sh = _register_cache(sh.persist())
+        _register_cache(hot)
+        n_hot = hot.count()
+        if n_hot and log_drops:
+            log.warning(
+                "ngram_jaccard_pairs: df_cap=%d drops %d hot shingles "
+                "(recall is capped, not exact)",
+                df_cap, n_hot,
+            )
+        if n_hot:
+            joined = sh.join(
+                F.broadcast(hot) if n_hot < 1_000_000 else hot,
+                "shingle", "left_anti",
+            )
+            sh = _register_cache(joined.persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("x")
@@ -254,14 +268,19 @@ def minhash_dedup_pairs(
     verify_threshold: float | None = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates, optionally verified with exact shingle Jaccard.
 
     -> (a, b, jaccard) when verifying, else (a, b). The shingle table is
     built and persisted ONCE, feeding both the signature aggregation and
-    the verification joins (one tokenize+explode pass over the corpus).
+    the verification joins (one tokenize+explode pass over the corpus);
+    pass ``shingles`` to feed several dedup ops from one shared scan.
     """
-    sh = _register_cache(shingle_table(docs, n, id_col, text_col).persist())
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = _register_cache(shingle_table(docs, n, id_col, text_col).persist())
     sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles=sh)
     cand = lsh_candidate_pairs(sigs, num_hashes, rows_per_band)
     if verify_threshold is None:
