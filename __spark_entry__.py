@@ -29,6 +29,7 @@ from linkgraph.components import connected_components  # noqa: E402
 from linkgraph.extract import extract_links_udf, extract_text_udf  # noqa: E402
 from linkgraph.labelprop import label_propagation  # noqa: E402
 from linkgraph.pagerank import pagerank  # noqa: E402
+from linkgraph.pagerank_csr import build_blocked, pagerank_blocked  # noqa: E402
 from linkgraph.quotient import node_induced_subgraph, quotient_edges  # noqa: E402
 from linkgraph.scc import strongly_connected_components  # noqa: E402
 from linkgraph.triangles import triangle_counts  # noqa: E402
@@ -136,6 +137,21 @@ def q_graph_pagerank2(spark, sf_dir):
     verts = tpcgraph.vertices_of(edges)
     res = pagerank(spark, edges, verts, tol=0.0, max_iter=2)
     return res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+
+
+def q_graph_pagerank2_blocked(spark, sf_dir):
+    """Two supersteps through the SCALE path — blocked CSR store, packed
+    edge words, native scatter-add kernel, pre-scaled rank files — against
+    the SAME DuckDB oracle as graph_pagerank2: direct evidence the
+    100TB-path engine computes what the declarative SQL says."""
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    g = build_blocked(spark, edges, verts.select("id"), n_blocks=8)
+    res = pagerank_blocked(spark, g, tol=0.0, max_iter=2)
+    out = res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+    out = out.localCheckpoint()  # materialize before the store is unpinned
+    g.unpersist()
+    return out
 
 
 def q_graph_components(spark, sf_dir):
@@ -257,6 +273,20 @@ def q_render_flags(spark, sf_dir):
         "doc_id",
         F.concat_ws("|", bitmask_names(mask, FLAG_NAMES)).alias("flags"),
     )
+
+
+def q_render_dot(spark, sf_dir):
+    """DOT-source viz sink (S9 ≙ draw_graph, drawing.py:20-65): the
+    nation->region membership graph rendered as one DOT edge line per row;
+    the bounded whole-document render is render.to_dot."""
+    from linkgraph.render import dot_lines
+
+    nation = tpcgraph.load(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.col("n_name").alias("src"),
+        F.concat(F.lit("region"), F.col("n_regionkey")).alias("dst"),
+    )
+    return dot_lines(edges)
 
 
 def q_extract_text_rt(spark, sf_dir):
@@ -484,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": q_graph_degrees,
         "graph_pagerank2": q_graph_pagerank2,
+        "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_components": q_graph_components,
         "graph_complexity": q_graph_complexity,
         "graph_labelprop2": q_graph_labelprop2,
@@ -494,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_subgraph": q_graph_subgraph,
         "graph_rollup": q_graph_rollup,
         "render_fixed": q_render_fixed,
+        "render_dot": q_render_dot,
         "render_flags": q_render_flags,
         "extract_text_rt": q_extract_text_rt,
         "extract_links_rt": q_extract_links_rt,
@@ -705,6 +737,19 @@ r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
 {',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
 SELECT id, round(r, 9) AS rank9 FROM r2
 """,
+        # the blocked-CSR native-kernel path must compute exactly what the
+        # declarative SQL says — same oracle as the flat path
+        "graph_pagerank2_blocked": f"""
+WITH {_EDGES},
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+outd AS (
+  SELECT v.id, coalesce(o.c, 0) AS od FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+),
+r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
+{',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
+SELECT id, round(r, 9) AS rank9 FROM r2
+""",
         "graph_components": f"""
 WITH RECURSIVE {_SEDGES}, {_COMPS}
 SELECT v.id, coalesce(c.component, v.id) AS component
@@ -833,6 +878,11 @@ SELECT n_nationkey,
        lpad(n_nationkey::VARCHAR, 4, ' ') || ' ' ||
        rpad(n_name, 16, ' ') || ' ' ||
        lpad(n_regionkey::VARCHAR, 4, ' ') AS line
+FROM nation
+""",
+        "render_dot": """
+SELECT '  "' || n_name || '" -> "region' || n_regionkey::VARCHAR || '";'
+       AS dot
 FROM nation
 """,
         "render_flags": """

@@ -70,3 +70,50 @@ def to_debug_string(df: DataFrame, n: int = 20, order_by: list[str] | None = Non
         " | ".join(str(r[c]).ljust(widths[c]) for c in cols) for r in rows
     ]
     return "\n".join([header, sepline, *body])
+
+
+def dot_lines(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+    out_col: str = "dot",
+) -> DataFrame:
+    """One DOT edge statement per row: ``  "src" -> "dst";``.
+
+    ≙ S9 ``draw_graph`` (/root/reference/src/ccm/drawing.py:20-65) as a
+    *text* sink: the engine renders the graph to DOT source distributed
+    (pure JVM string expressions), and any graphviz ships it to pixels
+    off-cluster — the scale-sane split of the reference's matplotlib
+    figure sink. Pair with ``to_dot`` for a bounded whole-document render.
+    """
+    arrow = "->" if directed else "--"
+    return edges.select(
+        F.concat(
+            F.lit('  "'),
+            F.col(src_col).cast("string"),
+            F.lit(f'" {arrow} "'),
+            F.col(dst_col).cast("string"),
+            F.lit('";'),
+        ).alias(out_col)
+    )
+
+
+def to_dot(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+    name: str = "g",
+    max_edges: int = 10_000,
+) -> str:
+    """Bounded whole-document DOT render (display sink: limits BEFORE
+    collecting, like to_debug_string — never a distributed-compute path)."""
+    lines = [
+        r[0]
+        for r in dot_lines(edges, src_col, dst_col, directed)
+        .limit(max_edges)
+        .collect()
+    ]
+    head = "digraph" if directed else "graph"
+    return f"{head} {name} {{\n" + "\n".join(sorted(lines)) + "\n}\n"

@@ -58,3 +58,21 @@ def test_to_debug_string(spark):
     assert lines[0].split("|")[0].strip() == "k"
     assert "1" in lines[2] and "x" in lines[2]
     assert "2" in lines[3] and "y" in lines[3]
+
+
+def test_dot_lines_and_document(spark):
+    from linkgraph.render import dot_lines, to_dot
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+    )
+    lines = {r["dot"] for r in dot_lines(edges).collect()}
+    assert lines == {
+        '  "a" -> "b";', '  "b" -> "c";', '  "a" -> "c";'
+    }
+    doc = to_dot(edges, name="t")
+    assert doc.startswith("digraph t {\n")
+    assert doc.endswith("}\n")
+    assert doc.count(";") == 3
+    undoc = to_dot(edges, directed=False)
+    assert '"a" -- "b";' in undoc and undoc.startswith("graph g {")
