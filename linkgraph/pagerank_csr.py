@@ -474,6 +474,18 @@ def _prep_run(g: BlockedGraph, rdir: str) -> None:
     ).count()
 
 
+def _completed_steps(rdir: str) -> list[np.ndarray]:
+    """Contiguous prefix of per-step global (l1, dm) records in ``rdir`` —
+    ``part/g<k>.npy`` exists iff every slot finished superstep k, so the
+    prefix length is exactly the resumable position."""
+    out = []
+    k = 0
+    while os.path.exists(f"{rdir}/part/g{k}.npy"):
+        out.append(np.load(f"{rdir}/part/g{k}.npy"))
+        k += 1
+    return out
+
+
 def pagerank_blocked(
     spark,
     g: BlockedGraph,
@@ -483,6 +495,7 @@ def pagerank_blocked(
     keep_steps: int = 2,
     transport: str = "jobs",
     barrier_slots: int | None = None,
+    run_dir: str | None = None,
 ) -> PageRankResult:
     """-> PageRankResult whose .ranks is (id, rank) via the vertex map.
 
@@ -492,23 +505,53 @@ def pagerank_blocked(
     supersteps (zero per-superstep scheduling overhead; used by the
     scaling bench, where a native-kernel superstep is sub-second).
     Rank state travels through the per-step block files in both modes;
-    ``keep_steps`` trailing step directories are retained (resumability /
-    debugging); older ones are removed as the run advances.
-    """
-    rdir = f"{_ranks_root(g)}/{uuid.uuid4().hex[:12]}"
-    os.makedirs(rdir, exist_ok=True)
-    _prep_run(g, rdir)
+    ``keep_steps`` trailing step directories are retained; older ones are
+    removed as the run advances.
 
-    if transport == "barrier":
+    ``run_dir`` names the run's checkpoint directory; a killed run handed
+    the same ``run_dir`` RESUMES mid-iteration: the per-step global metric
+    file marks a superstep complete, so the engine skips prep + every
+    finished superstep and continues from the retained rank files (prior
+    supersteps appear in the result with seconds=0.0). Both transports
+    write identical state, so a run may resume under the other transport.
+    """
+    rdir = run_dir or f"{_ranks_root(g)}/{uuid.uuid4().hex[:12]}"
+    os.makedirs(f"{rdir}/part", exist_ok=True)
+    prior = _completed_steps(rdir)
+    start_step = len(prior)
+    if start_step == 0:
+        _prep_run(g, rdir)
+    prior_info = [
+        SuperstepInfo(
+            k,
+            float(rec[0]),
+            (g.n_dangling / g.n if k == 0 else float(prior[k - 1][1])),
+            0.0,
+        )
+        for k, rec in enumerate(prior)
+    ]
+    dangling0 = (
+        float(prior[-1][1]) if prior else g.n_dangling / g.n
+    )
+    if prior and prior_info[-1].l1_delta < tol:
+        supersteps, converged = [], True
+    elif start_step >= max_iter:
+        supersteps, converged = [], False
+    elif transport == "barrier":
         supersteps, converged = _run_barrier(
-            spark, g, rdir, damping, tol, max_iter, keep_steps, barrier_slots
+            spark, g, rdir, damping, tol, max_iter, keep_steps,
+            barrier_slots, start_step, dangling0,
         )
     elif transport == "jobs":
         supersteps, converged = _run_jobs(
-            spark, g, rdir, damping, tol, max_iter, keep_steps
+            spark, g, rdir, damping, tol, max_iter, keep_steps,
+            start_step, dangling0,
         )
     else:
         raise ValueError(f"unknown transport {transport!r}")
+    supersteps = prior_info + supersteps
+    if supersteps and supersteps[-1].l1_delta < tol:
+        converged = True
 
     last = f"{rdir}/step{len(supersteps)}"
 
@@ -532,7 +575,8 @@ def pagerank_blocked(
 
 
 def _run_jobs(
-    spark, g: BlockedGraph, rdir: str, damping, tol, max_iter, keep_steps
+    spark, g: BlockedGraph, rdir: str, damping, tol, max_iter, keep_steps,
+    start_step: int = 0, dangling0: float | None = None,
 ):
     n, store, token = g.n, g.store_path, g.build_token
     n_blocks = g.n_blocks
@@ -551,11 +595,11 @@ def _run_jobs(
         ).repartitionByRange(g.n_blocks, "db")
     )
 
-    dangling = g.n_dangling / n
+    dangling = g.n_dangling / n if dangling0 is None else dangling0
     supersteps: list[SuperstepInfo] = []
     converged = False
 
-    for step in range(max_iter):
+    for step in range(start_step, max_iter):
         with StepTimer() as t:
             base = (1.0 - damping) / n + damping * dangling / n
             cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
@@ -590,6 +634,12 @@ def _run_jobs(
                 .collect()[0]
             )
             delta, next_dangling = float(row["l1"]), float(row["dm"])
+            # same completion marker as barrier mode: g<k> present == step
+            # done, both the resume position and the metrics record
+            _write_npy_atomic(
+                f"{rdir}/part/g{step}.npy",
+                np.array([delta, next_dangling]),
+            )
             stale = step - keep_steps + 1
             if stale >= 0:
                 shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
@@ -603,7 +653,7 @@ def _run_jobs(
 
 def _run_barrier(
     spark, g: BlockedGraph, rdir: str, damping, tol, max_iter, keep_steps,
-    barrier_slots,
+    barrier_slots, start_step: int = 0, dangling0: float | None = None,
 ):
     """All supersteps in one barrier-mode job.
 
@@ -674,11 +724,11 @@ def _run_barrier(
         my = []
         for part in it:
             my.extend(part)
-        dangling = n_dangling / n
+        dangling = n_dangling / n if dangling0 is None else dangling0
         step_walls = []
         t_prev = time.perf_counter()
         steps_done = 0
-        for step in range(max_iter):
+        for step in range(start_step, max_iter):
             base = (1.0 - damping) / n + damping * dangling / n
             cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
             l1 = dm = 0.0

@@ -89,3 +89,54 @@ def test_range_blocking_equals_hash(spark, small, tmp_path_factory):
     for k in a:
         assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), k
     rng.unpersist()
+
+
+def test_resume_mid_iteration(spark, small, blocked, tmp_path):
+    full = pagerank_blocked(spark, blocked, tol=0.0, max_iter=14)
+    rdir = str(tmp_path / "run1")
+    part1 = pagerank_blocked(
+        spark, blocked, tol=0.0, max_iter=6, run_dir=rdir
+    )
+    assert len(part1.supersteps) == 6
+    part2 = pagerank_blocked(
+        spark, blocked, tol=0.0, max_iter=14, run_dir=rdir
+    )
+    assert len(part2.supersteps) == 14
+    # first 6 supersteps come from the checkpoint record
+    assert [s.superstep for s in part2.supersteps] == list(range(14))
+    assert part2.supersteps[3].l1_delta == part1.supersteps[3].l1_delta
+    a = collect_map(full.ranks, "id", "rank")
+    b = collect_map(part2.ranks, "id", "rank")
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), k
+
+
+def test_resume_across_transports(spark, small, blocked, tmp_path):
+    rdir = str(tmp_path / "run2")
+    pagerank_blocked(
+        spark, blocked, tol=0.0, max_iter=5, run_dir=rdir,
+        transport="barrier", barrier_slots=2,
+    )
+    res = pagerank_blocked(
+        spark, blocked, tol=0.0, max_iter=10, run_dir=rdir, transport="jobs"
+    )
+    assert len(res.supersteps) == 10
+    ref = pagerank_blocked(spark, blocked, tol=0.0, max_iter=10)
+    a = collect_map(ref.ranks, "id", "rank")
+    b = collect_map(res.ranks, "id", "rank")
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), k
+
+
+def test_resume_already_converged_is_noop(spark, small, blocked, tmp_path):
+    rdir = str(tmp_path / "run3")
+    first = pagerank_blocked(
+        spark, blocked, tol=1e-8, max_iter=200, run_dir=rdir
+    )
+    assert first.converged
+    again = pagerank_blocked(
+        spark, blocked, tol=1e-8, max_iter=200, run_dir=rdir
+    )
+    assert again.converged
+    assert len(again.supersteps) == len(first.supersteps)
+    assert all(s.seconds == 0.0 for s in again.supersteps)
