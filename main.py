@@ -15,6 +15,11 @@ Jobs:
   extract     pages -> links + edges + vertices (written under --out)
   pagerank    converged ranks (+ per-superstep checkpoints when
               --checkpoint-dir is set; --resume continues a run_id)
+  pagerank-blocked  the scale path: one-time CSR block compaction under
+              --out (reused across runs), native-kernel supersteps
+              (--transport jobs|barrier, --blocking hash|range,
+              --n-blocks); --resume continues the run_id mid-iteration
+              from the per-step checkpoint files
   components  connected components (small-star/large-star)
   labelprop   synchronous label propagation (--iterations)
   triangles   per-vertex triangle counts
@@ -53,7 +58,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pages", required=True, help="pages table path (parquet dir)")
     p.add_argument("--out", required=True, help="output root directory")
     p.add_argument("--job", default="all",
-                   choices=["extract", "pagerank", "components", "labelprop",
+                   choices=["extract", "pagerank", "pagerank-blocked",
+                            "components", "labelprop",
                             "triangles", "complexity", "all"])
     p.add_argument("--checkpoint-dir", default=None,
                    help="parquet dir, or iceberg://catalog.namespace to "
@@ -65,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="PageRank L1 tolerance PER VERTEX (networkx semantics)")
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--iterations", type=int, default=5, help="labelprop supersteps")
+    p.add_argument("--n-blocks", type=int, default=None,
+                   help="pagerank-blocked: vertex blocks (default 2x "
+                        "shuffle partitions)")
+    p.add_argument("--transport", default="jobs", choices=["jobs", "barrier"],
+                   help="pagerank-blocked superstep transport")
+    p.add_argument("--blocking", default="hash", choices=["hash", "range"],
+                   help="pagerank-blocked vertex blocking (range = "
+                        "host-locality layout for dense host-sorted ids)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--local-cores", type=int, default=None)
     args = p.parse_args(argv)
@@ -121,6 +135,37 @@ def main(argv: list[str] | None = None) -> int:
                               {"step": s.superstep, "l1": s.l1_delta,
                                "sec": round(s.seconds, 3)}
                               for s in res.supersteps]}))
+    if "pagerank-blocked" in jobs:
+        from linkgraph.pagerank_csr import (
+            build_blocked, load_blocked, pagerank_blocked,
+        )
+
+        store = f"{out}/blocked_store"
+        try:
+            g = load_blocked(spark, store)  # reuse a previous compaction
+        except (FileNotFoundError, ValueError):
+            g = build_blocked(spark, edges, vertices.select("id"),
+                              n_blocks=args.n_blocks, store_path=store,
+                              blocking=args.blocking)
+        n = vertices.count()
+        run_dir = f"{out}/blocked_ranks/{args.run_id}"
+        if not args.resume:
+            import shutil as _sh
+
+            _sh.rmtree(run_dir, ignore_errors=True)
+        res = pagerank_blocked(spark, g, tol=args.tol * n,
+                               max_iter=args.max_iter,
+                               transport=args.transport, run_dir=run_dir)
+        res.ranks.write.mode("overwrite").parquet(f"{out}/ranks_blocked")
+        print(json.dumps({"job": "pagerank-blocked",
+                          "iterations": res.iterations,
+                          "converged": res.converged,
+                          "n_blocks": g.n_blocks,
+                          "supersteps": [
+                              {"step": s.superstep, "l1": s.l1_delta,
+                               "sec": round(s.seconds, 3)}
+                              for s in res.supersteps]}))
+
     if "components" in jobs or "complexity" in jobs:
         comps = connected_components(spark, edges, vertices, checkpoint=ckpt)
         comps.write.mode("overwrite").parquet(f"{out}/components")
