@@ -159,6 +159,22 @@ def q_graph_components(spark, sf_dir):
     return connected_components(spark, edges, tpcgraph.vertices_of(edges))
 
 
+def q_graph_components_blocked(spark, sf_dir):
+    """Connected components through the blocked-CSR scale path (min-label
+    scatter supersteps on the compacted store) vs the same recursive-CTE
+    oracle as the flat small-star/large-star row."""
+    from linkgraph.components_csr import (
+        connected_components_blocked, symmetrize,
+    )
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    verts = tpcgraph.vertices_of(edges)
+    g = build_blocked(spark, symmetrize(edges), verts.select("id"), n_blocks=8)
+    out = connected_components_blocked(spark, g).localCheckpoint()
+    g.unpersist()
+    return out
+
+
 def q_graph_complexity(spark, sf_dir):
     edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
     comps = connected_components(spark, edges, tpcgraph.vertices_of(edges))
@@ -516,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank2": q_graph_pagerank2,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_components": q_graph_components,
+        "graph_components_blocked": q_graph_components_blocked,
         "graph_complexity": q_graph_complexity,
         "graph_labelprop2": q_graph_labelprop2,
         "graph_triangles": q_graph_triangles,
@@ -749,6 +766,11 @@ outd AS (
 r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
 {',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
 SELECT id, round(r, 9) AS rank9 FROM r2
+""",
+        "graph_components_blocked": f"""
+WITH RECURSIVE {_SEDGES}, {_COMPS}
+SELECT v.id, coalesce(c.component, v.id) AS component
+FROM sverts v LEFT JOIN comp c ON v.id = c.id
 """,
         "graph_components": f"""
 WITH RECURSIVE {_SEDGES}, {_COMPS}

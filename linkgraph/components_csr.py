@@ -1,0 +1,176 @@
+"""Connected components on the blocked-CSR store — min-label supersteps.
+
+The same compacted layout, transport, and native kernels that power
+pagerank_blocked (linkgraph.pagerank_csr) generalize to any
+gather-COMBINE-apply superstep; here the combiner is MIN and the vertex
+state is a label vector, giving weak connected components by min-label
+propagation (≙ the flat small-star/large-star path in
+linkgraph.components, and the reference's P — /root/reference/src/ccm/
+complexity.py:84 — at web scale).
+
+- labels are float64 global vertex indices (exact for < 2^53 vertices),
+  so the per-step label files are bit-compatible with the rank-file
+  transport and the scatter-min kernel shares the scatter-add layout
+  (packed u32 edge words / int32 pairs, see linkgraph.native)
+- a superstep is the same single-stage map job over the per-db work
+  index: load my label block, scatter-min every source block's labels
+  into it, write the next label file, return ONE changed-count scalar
+- convergence: no label changed anywhere (integer-exact, no tolerance)
+- the store must be built from SYMMETRIZED edges (undirected
+  reachability): ``build_blocked(spark, symmetrize(edges), ...)``
+- complexity: O(diameter of the component graph) supersteps; web graphs
+  are short-diameter, and each superstep is cache-shaped exactly like a
+  PageRank superstep, so the 0.84-efficiency scaling evidence in
+  BENCH/BASELINE.md carries over to this operator
+
+Output matches linkgraph.components.connected_components EXACTLY
+(component = min vertex id in the component): the converged min-INDEX
+labels are remapped to min vertex ids with one group-by + join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import native
+from .lineage import truncate_plan
+from .pagerank_csr import (
+    BlockedGraph,
+    _load_block,
+    _ranks_root,
+    _write_npy_atomic,
+)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """edges(src,dst) -> both directions (weak-connectivity input)."""
+    return edges.select("src", "dst").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+
+
+def connected_components_blocked(
+    spark,
+    g: BlockedGraph,
+    max_iter: int = 200,
+    keep_steps: int = 2,
+) -> DataFrame:
+    """-> (id, component), component = min vertex id in the component.
+
+    ``g`` MUST be built from symmetrized edges (see ``symmetrize``);
+    propagation only follows stored edge direction.
+    """
+    n_blocks, store, token = g.n_blocks, g.store_path, g.build_token
+    rdir = f"{_ranks_root(g)}/cc-{uuid.uuid4().hex[:12]}"
+    os.makedirs(rdir, exist_ok=True)
+
+    # global index base per block: labels must be totally ordered across
+    # blocks. O(B) scalars on the driver — never O(V).
+    sizes = {
+        int(r["block"]): int(r["size"])
+        for r in g.block_meta.select("block", "size").collect()
+    }
+    goff, acc_off = {}, 0
+    for b in sorted(sizes):
+        goff[b] = acc_off
+        acc_off += sizes[b]
+
+    def prep_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        os.makedirs(f"{rdir}/step0", exist_ok=True)
+        for b, size in zip(pdf["block"], pdf["size"]):
+            b = int(b)
+            _write_npy_atomic(
+                f"{rdir}/step0/b{b}.npy",
+                goff[b] + np.arange(int(size), dtype=np.float64),
+            )
+        return pd.DataFrame({"block": [int(b) for b in pdf["block"]]})
+
+    g.block_meta.groupBy("block").applyInPandas(
+        prep_kernel, "block int"
+    ).count()
+
+    work = truncate_plan(
+        g.block_meta.select(
+            F.col("block").alias("db"), F.col("size").alias("dsize")
+        ).repartitionByRange(g.n_blocks, "db")
+    )
+
+    steps = 0
+    for step in range(max_iter):
+        cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
+
+        def make_step_fn(_cur, _nxt):
+            def step_fn(batches):
+                dfs = [b for b in batches if len(b)]
+                if not dfs:
+                    return
+                pdf = pd.concat(dfs, ignore_index=True)
+                rows = []
+                lbl_cache: dict = {}
+                for db, dsize in zip(pdf["db"], pdf["dsize"]):
+                    db = int(db)
+                    old = np.load(f"{_cur}/b{db}.npy")
+                    acc = old.copy()
+                    blk = _load_block(store, token, db, n_blocks)
+                    offs = blk[1]
+                    for sb in np.flatnonzero(np.diff(offs)):
+                        a, b_ = int(offs[sb]), int(offs[sb + 1])
+                        ls = lbl_cache.get(sb)
+                        if ls is None:
+                            ls = np.load(f"{_cur}/b{sb}.npy", mmap_mode="r")
+                            lbl_cache[sb] = ls
+                        if blk[0] == "p":
+                            native.scatter_min_pack16(blk[2][a:b_], ls, acc)
+                        else:
+                            native.scatter_min32(
+                                blk[2][a:b_], blk[3][a:b_], ls, acc
+                            )
+                    changed = int((acc != old).sum())
+                    os.makedirs(_nxt, exist_ok=True)
+                    _write_npy_atomic(f"{_nxt}/b{db}.npy", acc)
+                    rows.append((db, changed))
+                yield pd.DataFrame(rows, columns=["block", "changed"])
+
+            return step_fn
+
+        changed = int(
+            work.mapInPandas(make_step_fn(cur, nxt), "block int, changed long")
+            .agg(F.sum("changed").alias("c"))
+            .collect()[0]["c"]
+        )
+        steps = step + 1
+        stale = step - keep_steps + 1
+        if stale >= 0:
+            shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
+        if changed == 0:
+            break
+
+    last = f"{rdir}/step{steps}"
+
+    def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b in pdf["block"]:
+            b = int(b)
+            out.append((b, np.load(f"{last}/b{b}.npy")))
+        return pd.DataFrame(out, columns=["block", "lv"])
+
+    labels = (
+        g.block_meta.groupBy("block")
+        .applyInPandas(read_kernel, "block int, lv array<double>")
+        .select("block", F.posexplode("lv").alias("local", "glabel"))
+        .join(g.vmap, ["block", "local"])
+        .select("id", F.col("glabel").cast("long").alias("glabel"))
+    )
+    # min-INDEX label -> min vertex ID per component (exactly the flat
+    # path's contract); one aggregation + one broadcast-able join on the
+    # (small) per-component reps
+    reps = labels.groupBy("glabel").agg(F.min("id").alias("component"))
+    return labels.join(reps, "glabel").select("id", "component")

@@ -56,6 +56,24 @@ void scatter32(const int32_t *sl, const int32_t *dl, int64_t n,
                const double *rs, double *acc) {
     for (int64_t i = 0; i < n; i++) acc[dl[i]] += rs[sl[i]];
 }
+
+/* min-combiner variants: label propagation / connected components */
+void scatter_min_pack16(const uint32_t *e, int64_t n, const double *rs,
+                        double *acc) {
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t w = e[i];
+        double v = rs[w >> 16];
+        if (v < acc[w & 0xffffu]) acc[w & 0xffffu] = v;
+    }
+}
+
+void scatter_min32(const int32_t *sl, const int32_t *dl, int64_t n,
+                   const double *rs, double *acc) {
+    for (int64_t i = 0; i < n; i++) {
+        double v = rs[sl[i]];
+        if (v < acc[dl[i]]) acc[dl[i]] = v;
+    }
+}
 """
 
 _CHUNK = 1 << 18  # numpy fallback: 256k-edge chunks keep temps ~L2-sized
@@ -111,6 +129,8 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
+    lib.scatter_min_pack16.argtypes = lib.scatter_pack16.argtypes
+    lib.scatter_min32.argtypes = lib.scatter32.argtypes
     return lib
 
 
@@ -172,3 +192,43 @@ def scatter_add32(
         s = np.asarray(sl[off:off + _CHUNK]).astype(np.int64, copy=False)
         d = np.asarray(dl[off:off + _CHUNK]).astype(np.int64, copy=False)
         acc += np.bincount(d, weights=rs[s], minlength=dsize)
+
+
+def scatter_min_pack16(e: np.ndarray, rs: np.ndarray, acc: np.ndarray) -> None:
+    """acc[e & 0xffff] = min(acc[...], rs[e >> 16]) — min-combiner for
+    label propagation / connected components over the packed layout."""
+    lib = get_lib()
+    if lib is not None:
+        e = np.ascontiguousarray(e, dtype=np.uint32)
+        lib.scatter_min_pack16(
+            e.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(len(e)), _as_f64_ptr(rs), _as_f64_ptr(acc),
+        )
+        return
+    for off in range(0, len(e), _CHUNK):
+        w = np.asarray(e[off:off + _CHUNK])
+        np.minimum.at(
+            acc,
+            (w & np.uint32(0xFFFF)).astype(np.int64),
+            rs[(w >> np.uint32(16)).astype(np.int64)],
+        )
+
+
+def scatter_min32(
+    sl: np.ndarray, dl: np.ndarray, rs: np.ndarray, acc: np.ndarray
+) -> None:
+    """acc[dl[i]] = min(acc[dl[i]], rs[sl[i]]) for int32 locals."""
+    lib = get_lib()
+    if lib is not None:
+        sl = np.ascontiguousarray(sl, dtype=np.int32)
+        dl = np.ascontiguousarray(dl, dtype=np.int32)
+        lib.scatter_min32(
+            sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(len(sl)), _as_f64_ptr(rs), _as_f64_ptr(acc),
+        )
+        return
+    for off in range(0, len(sl), _CHUNK):
+        s = np.asarray(sl[off:off + _CHUNK]).astype(np.int64, copy=False)
+        d = np.asarray(dl[off:off + _CHUNK]).astype(np.int64, copy=False)
+        np.minimum.at(acc, d, rs[s])
