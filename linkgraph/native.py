@@ -86,19 +86,45 @@ def _cache_dir() -> str:
     env = os.environ.get("LINKGRAPH_NATIVE_DIR")
     if env:
         return env
+    # per-uid, mode-0700 cache dir: a world-writable shared path would let
+    # another local user pre-plant kern_<md5>.so for every worker to
+    # dlopen (round-2 ADVICE, medium)
+    uid = os.getuid()
     if os.path.isdir("/dev/shm"):
-        return "/dev/shm/linkgraph-native"
-    return os.path.join(tempfile.gettempdir(), "linkgraph-native")
+        return f"/dev/shm/linkgraph-native-{uid}"
+    return os.path.join(tempfile.gettempdir(), f"linkgraph-native-{uid}")
+
+
+def _dir_is_trusted(d: str) -> bool:
+    """True iff ``d`` is owned by the current uid and not group/world
+    writable — the precondition for dlopening a cached .so from it."""
+    try:
+        st = os.stat(d)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
 
 
 def _compile() -> "ctypes.CDLL | None":
     """Compile (or reuse) the kernel .so for this host; None on failure."""
     src_hash = hashlib.md5(_C_SRC.encode()).hexdigest()[:16]
     d = _cache_dir()
+    if os.path.isdir(d) and not _dir_is_trusted(d):
+        log.warning(
+            "native kernel cache dir %s is not owned-by-uid/0700-safe; "
+            "refusing to load cached .so — numpy fallback", d,
+        )
+        return None
     so_path = os.path.join(d, f"kern_{src_hash}.so")
     if not os.path.exists(so_path):
         try:
-            os.makedirs(d, exist_ok=True)
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            if not _dir_is_trusted(d):
+                log.warning(
+                    "native kernel cache dir %s untrusted after mkdir; "
+                    "numpy fallback", d,
+                )
+                return None
             c_path = os.path.join(d, f"kern_{src_hash}.c")
             with open(f"{c_path}.{os.getpid()}", "w") as f:
                 f.write(_C_SRC)

@@ -75,6 +75,8 @@ import uuid
 from collections import OrderedDict
 from dataclasses import dataclass
 
+from dataclasses import field
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -110,6 +112,11 @@ class BlockedGraph:
     n: int
     n_dangling: int
     n_blocks: int
+    # caller-supplied build fingerprint (input path/rows, synth params, …)
+    # persisted in _info.json so a reopened store can be checked against
+    # the parameters the caller WOULD build with (round-2 ADVICE: silent
+    # reuse of a store built from different inputs/params)
+    fingerprint: dict = field(default_factory=dict)
 
     def unpersist(self) -> None:
         for df in (self.vmap, self.block_meta):
@@ -126,6 +133,7 @@ def build_blocked(
     n_blocks: int | None = None,
     store_path: str | None = None,
     blocking: str = "hash",
+    fingerprint: dict | None = None,
 ) -> BlockedGraph:
     """One-time compaction: edges(src,dst) + vertices(id) -> BlockedGraph.
 
@@ -266,11 +274,13 @@ def build_blocked(
                 "n_blocks": n_blocks,
                 "blocking": blocking,
                 "build_token": build_token,
+                "fingerprint": fingerprint or {},
             },
             f,
         )
     return BlockedGraph(
-        store_path, build_token, pair_index, vmap, block_meta, n, n_dangling, n_blocks
+        store_path, build_token, pair_index, vmap, block_meta, n, n_dangling,
+        n_blocks, fingerprint or {},
     )
 
 
@@ -295,6 +305,7 @@ def load_blocked(spark, store_path: str) -> BlockedGraph:
         int(info["n"]),
         int(info["n_dangling"]),
         int(info["n_blocks"]),
+        info.get("fingerprint") or {},
     )
 
 
@@ -474,6 +485,33 @@ def _prep_run(g: BlockedGraph, rdir: str) -> None:
     ).count()
 
 
+def _clear_stale_steps(rdir: str, start_step: int) -> None:
+    """Driver-side resume hygiene: remove every incomplete superstep's
+    claim dir, slot partials, and (defensively) global files for
+    k >= start_step. A killed barrier run leaves (a) claim files whose
+    blocks no surviving slot would recompute (FileNotFoundError one step
+    later), (b) completed partials that a fresh run would double-count or
+    that let slot 0 publish g{k} before the new slots finish (racing the
+    step+1 reads), and (c) possibly a torn claim/partial mix. Deleting
+    everything at-or-after the resume point restores the invariant the
+    rendezvous relies on: a file exists iff THIS run produced it."""
+    import re
+
+    for name in os.listdir(rdir):
+        m = re.fullmatch(r"claim(\d+)", name)
+        if m and int(m.group(1)) >= start_step:
+            shutil.rmtree(f"{rdir}/{name}", ignore_errors=True)
+    part = f"{rdir}/part"
+    if os.path.isdir(part):
+        for name in os.listdir(part):
+            m = re.fullmatch(r"s(\d+)_t\d+\.npy|g(\d+)\.npy", name)
+            if m and int(m.group(1) or m.group(2)) >= start_step:
+                try:
+                    os.remove(f"{part}/{name}")
+                except OSError:
+                    pass
+
+
 def _completed_steps(rdir: str) -> list[np.ndarray]:
     """Contiguous prefix of per-step global (l1, dm) records in ``rdir`` —
     ``part/g<k>.npy`` exists iff every slot finished superstep k, so the
@@ -580,6 +618,7 @@ def _run_jobs(
 ):
     n, store, token = g.n, g.store_path, g.build_token
     n_blocks = g.n_blocks
+    _clear_stale_steps(rdir, start_step)  # e.g. resuming a killed barrier run
     # static per-superstep work index: ONE row per destination block (the
     # per-db offset index in the decoded store says which source blocks
     # feed it; blocks with no in-edges still emit their teleport-only rank
@@ -679,12 +718,19 @@ def _run_barrier(
     stage retry would see the dead slot's claim files and no outputs, so
     the sync timeout fails the job fast instead of deadlocking; rerun the
     call to resume from the retained step checkpoints, or use the
-    fault-tolerant ``transport="jobs"`` default.
+    fault-tolerant ``transport="jobs"`` default. Before launching, every
+    incomplete superstep's claim files and slot partials (k >= start_step)
+    are deleted driver-side: a killed barrier run leaves claims whose
+    blocks nobody would recompute, partials whose (l1, dm) would be
+    double-counted or let slot 0 publish early, and stale globals — all
+    three resume hazards (round-2 ADVICE, high).
     """
     sc = spark.sparkContext
     slots = barrier_slots or sc.defaultParallelism
     n, store, token = g.n, g.store_path, g.build_token
     n_blocks, n_dangling = g.n_blocks, g.n_dangling
+
+    _clear_stale_steps(rdir, start_step)
 
     dsizes = {int(r["block"]): int(r["size"])
               for r in g.block_meta.select("block", "size").collect()}

@@ -8,8 +8,12 @@ Two paths, one semantics:
 - ``topk_lsh`` — sign-LSH (random-hyperplane family degenerated to
   coordinate hyperplanes so the DuckDB oracle can replicate buckets
   exactly): candidates must share a bucket, then exact re-rank. At 100 TB
-  the bucket join replaces the corpus-wide cross product; multiple probe
-  tables (bit-flip probing) would raise recall — kept single-probe here.
+  the bucket join replaces the corpus-wide cross product.
+  ``probe_flips=1`` adds bit-flip multi-probing: each query also probes
+  every bucket at Hamming distance 1 (the standard multi-probe LSH recall
+  lift — probe count grows by len(dims), bucket-join cost stays bounded
+  by bucket sizes); probed buckets are distinct, so no pair dedup is
+  needed.
 
 All arithmetic is double precision via built-in higher-order array
 functions (zip_with/aggregate) — JVM-side, no Python in the hot path.
@@ -70,6 +74,15 @@ def queries_from(embs: DataFrame, modulus: int, id_col: str = "vec_id", vec_col:
     )
 
 
+def _flip_bit(bkt, i: int, nbits: int):
+    """Bucket string with character i toggled ('0' <-> '1')."""
+    return F.concat(
+        F.substring(bkt, 1, i),
+        F.when(F.substring(bkt, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bkt, i + 2, nbits - i - 1),
+    )
+
+
 def topk_lsh(
     embs: DataFrame,
     queries: DataFrame,
@@ -77,17 +90,26 @@ def topk_lsh(
     dims: tuple[int, ...] = (0, 8, 16, 24, 32, 40, 48, 56),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_flips: int = 0,
 ) -> DataFrame:
-    """-> (query_id, neighbor_id, cos) approximate top-k: same sign bucket
-    only, exact cosine re-rank within the bucket."""
+    """-> (query_id, neighbor_id, cos) approximate top-k: candidates share
+    a sign bucket (``probe_flips=1``: or a bucket one bit-flip away from
+    the query's — multi-probe), exact cosine re-rank within candidates."""
+    if probe_flips not in (0, 1):
+        raise ValueError("probe_flips supports 0 (single) or 1 (Hamming-1)")
     corpus = embs.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
         sign_bucket_col(F.col(vec_col), dims).alias("bkt"),
     )
-    q = queries.select(
-        "query_id", "qvec", sign_bucket_col(F.col("qvec"), dims).alias("bkt")
-    )
+    qb = sign_bucket_col(F.col("qvec"), dims)
+    if probe_flips == 1:
+        probes = F.explode(
+            F.array(qb, *[_flip_bit(qb, i, len(dims)) for i in range(len(dims))])
+        )
+    else:
+        probes = qb
+    q = queries.select("query_id", "qvec", probes.alias("bkt"))
     scored = (
         F.broadcast(q)
         .join(corpus, "bkt")

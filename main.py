@@ -141,12 +141,32 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         store = f"{out}/blocked_store"
+        # fingerprint the compaction inputs: a store reused by path alone
+        # would silently serve ranks for a STALE graph if --pages changed,
+        # and silently ignore --n-blocks/--blocking (round-2 ADVICE, low)
+        fp = {
+            "pages": args.pages,
+            "pages_rows": pages.count(),
+            "n_blocks": args.n_blocks,
+            "blocking": args.blocking,
+        }
+        g = None
         try:
             g = load_blocked(spark, store)  # reuse a previous compaction
+            if g.fingerprint != fp:
+                print(json.dumps({
+                    "job": "pagerank-blocked", "event": "store_rebuild",
+                    "reason": "fingerprint mismatch",
+                    "store_fingerprint": g.fingerprint, "requested": fp,
+                }))
+                g.unpersist()
+                g = None
         except (FileNotFoundError, ValueError):
+            pass
+        if g is None:
             g = build_blocked(spark, edges, vertices.select("id"),
                               n_blocks=args.n_blocks, store_path=store,
-                              blocking=args.blocking)
+                              blocking=args.blocking, fingerprint=fp)
         n = vertices.count()
         run_dir = f"{out}/blocked_ranks/{args.run_id}"
         if not args.resume:

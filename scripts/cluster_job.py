@@ -37,10 +37,22 @@ from linkgraph.synthgraph import synth_edges, synth_vertices
 
 
 def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path, intra_host):
+    # the FULL synth parameter set is the staleness check — a store built
+    # with a different avg_deg/intra_host/blocking must never be silently
+    # reused, or the scaling levels would measure a different graph than
+    # the invocation requests (round-2 ADVICE, low)
+    fp = {
+        "n_vertices": n_vertices,
+        "avg_deg": avg_deg,
+        "n_blocks": n_blocks,
+        "intra_host": intra_host,
+        "blocking": "range",
+        "seed": 42,
+    }
     if store_path and os.path.exists(f"{store_path}/_info.json"):
         try:
             g = load_blocked(spark, store_path)
-            if g.n == n_vertices and g.n_blocks == n_blocks:
+            if g.fingerprint == fp:
                 return g, None
             g.unpersist()  # stale store from different params: rebuild
         except ValueError:
@@ -55,6 +67,7 @@ def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path, intra_host):
     g = build_blocked(
         spark, edges, synth_vertices(spark, n_vertices, num_partitions=parts),
         n_blocks=n_blocks, store_path=store_path, blocking="range",
+        fingerprint=fp,
     )
     build_sec = time.perf_counter() - t0
     edges.unpersist()

