@@ -156,13 +156,12 @@ def main() -> None:
     # (round-2 judge finding #4)
     queries = simsearch.queries_from(embs, 50).persist()
     queries.count()
-    timed(
-        "sim_topk_lsh",
-        lambda: simsearch.topk_lsh(embs, queries, k=5, probe_flips=1).count(),
+    ann = lambda: simsearch.topk_lsh(  # noqa: E731
+        embs, queries, k=5, n_tables=10, bits_per_table=6, probe_flips=1
     )
+    timed("sim_topk_lsh", lambda: ann().count())
     lsh_pairs = {
-        (r["query_id"], r["neighbor_id"])
-        for r in simsearch.topk_lsh(embs, queries, k=5, probe_flips=1).collect()
+        (r["query_id"], r["neighbor_id"]) for r in ann().collect()
     }
     bf_pairs = {
         (r["query_id"], r["neighbor_id"])

@@ -91,29 +91,87 @@ def topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_flips: int = 0,
+    n_tables: int | None = None,
+    bits_per_table: int = 6,
+    n_dims: int = 64,
 ) -> DataFrame:
-    """-> (query_id, neighbor_id, cos) approximate top-k: candidates share
-    a sign bucket (``probe_flips=1``: or a bucket one bit-flip away from
-    the query's — multi-probe), exact cosine re-rank within candidates."""
+    """-> (query_id, neighbor_id, cos) approximate top-k.
+
+    Single-table mode (``n_tables=None``): candidates share the sign
+    bucket over ``dims``; the oracle-checked base path.
+    Multi-table mode (``n_tables=T``): T hash tables over disjoint
+    deterministic hyperplane sets (dedup.lsh_table_dims — same OR-of-ANDs
+    construction as embedding_dup_pairs); a pair is a candidate if it
+    collides in ANY table. ``probe_flips=1`` additionally probes every
+    bucket at Hamming distance 1 per table (multi-probe LSH). Candidate
+    pairs are DISTINCT'd before the exact-cosine re-rank, so vectors join
+    back once per pair regardless of how many tables collide. Recall is
+    tuned by (T, bits, probes): weakly-clustered corpora need coarse
+    bands + many tables (the sf0.1 fixture is near-random — p(bit
+    agree) ≈ 0.62 for true top-5 neighbors — so ≥0.9 recall forces a
+    candidate fraction no sublinear method avoids; on real clustered
+    embeddings the same knobs prune far harder)."""
     if probe_flips not in (0, 1):
         raise ValueError("probe_flips supports 0 (single) or 1 (Hamming-1)")
+
+    if n_tables is None:
+        table_dims = {0: dims}
+    else:
+        from .dedup import lsh_table_dims
+
+        table_dims = dict(enumerate(lsh_table_dims(n_tables, bits_per_table, n_dims)))
+
+    def keys_for(vec, probe: bool):
+        per_table = []
+        for t, d in table_dims.items():
+            b = sign_bucket_col(vec, d)
+            base = F.concat(F.lit(f"{t}:"), b)
+            if probe:
+                n = len(d)
+                # Hamming-1 probes via ONE transform over bit positions —
+                # an unrolled per-bit concat chain blows past janino's
+                # 64KB codegen method limit at realistic (tables × bits)
+                flips = F.transform(
+                    F.sequence(F.lit(1), F.lit(n)),
+                    lambda i: F.concat(
+                        F.lit(f"{t}:"),
+                        F.substring(b, F.lit(1), i - 1),
+                        F.when(
+                            F.substring(b, i, F.lit(1)) == "1", F.lit("0")
+                        ).otherwise(F.lit("1")),
+                        F.substring(b, i + 1, F.lit(n) - i),
+                    ),
+                )
+                per_table.append(F.concat(F.array(base), flips))
+            else:
+                per_table.append(F.array(base))
+        if len(per_table) == 1 and not probe:
+            return per_table[0][0]  # single-table scalar: original plan shape
+        allk = F.concat(*per_table) if len(per_table) > 1 else per_table[0]
+        return F.explode(allk)
+
     corpus = embs.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v"),
-        sign_bucket_col(F.col(vec_col), dims).alias("bkt"),
+        keys_for(F.col(vec_col), probe=False).alias("bkt"),
     )
-    qb = sign_bucket_col(F.col("qvec"), dims)
-    if probe_flips == 1:
-        probes = F.explode(
-            F.array(qb, *[_flip_bit(qb, i, len(dims)) for i in range(len(dims))])
-        )
-    else:
-        probes = qb
-    q = queries.select("query_id", "qvec", probes.alias("bkt"))
-    scored = (
+    q = queries.select(
+        "query_id", keys_for(F.col("qvec"), probe=probe_flips == 1).alias("bkt")
+    )
+    cand = (
         F.broadcast(q)
         .join(corpus, "bkt")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            queries.select("query_id", "qvec"), "query_id"
+        )
+        .join(
+            embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
+            "neighbor_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
