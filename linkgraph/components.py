@@ -33,35 +33,35 @@ def _canon_pairs(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(pairs: DataFrame) -> DataFrame:
-    """For each u: m = min(Γ(u) ∪ {u}); connect every strictly-larger
-    neighbor to m. Keeps pair orientation (larger, smaller)."""
+    """For each a: m = min(Γ(a) ∪ {a}); connect every strictly-larger
+    neighbor b to m. Output pairs are canonical by construction
+    (u = m <= a < b = v), so no re-canonicalization; the dedup shuffle is
+    deferred to the small-star that always follows (its final distinct) —
+    one less exchange per round, and round plans stay small (Catalyst
+    planning time is the dominant per-round driver cost on small inputs)."""
     sym = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
     mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
-    out = (
+    return (
         sym.join(mins, "a")
-        .where(F.col("b") > F.col("a"))
-        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .where((F.col("b") > F.col("a")) & (F.col("m") != F.col("b")))
+        .select(F.col("m").alias("u"), F.col("b").alias("v"))
     )
-    return out.where(F.col("u") != F.col("v")).select(
-        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-    ).distinct()
 
 
 def _small_star(pairs: DataFrame) -> DataFrame:
     """Key each pair by its larger endpoint; connect all smaller neighbors
-    (and the key itself) to the minimum."""
+    (and the key itself) to the minimum. Output pairs are canonical by
+    construction (m = min(Γ ∪ {a}) <= every emitted partner)."""
     keyed = pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))  # b < a
     mins = keyed.groupBy("a").agg(F.min("b").alias("m"))  # m = min(Γ ∪ {a})
     attach_neighbors = keyed.join(mins, "a").select(
-        F.col("b").alias("u"), F.col("m").alias("v")
+        F.col("m").alias("u"), F.col("b").alias("v")
     )
-    attach_self = mins.select(F.col("a").alias("u"), F.col("m").alias("v"))
+    attach_self = mins.select(F.col("m").alias("u"), F.col("a").alias("v"))
     out = attach_neighbors.unionByName(attach_self)
-    return out.where(F.col("u") != F.col("v")).select(
-        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-    ).distinct()
+    return out.where(F.col("u") != F.col("v")).distinct()
 
 
 def _signature(pairs: DataFrame) -> tuple[int, int]:
