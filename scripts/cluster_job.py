@@ -88,13 +88,35 @@ def main() -> None:
         spark, n_vertices, avg_deg, n_blocks, store_path, intra_host
     )
     if mode == "prep":
-        print("RESULT " + json.dumps({"mode": "prep", **(build_info or {})}))
+        # warm the per-host npy sidecar cache at full width: the first
+        # touch of each block converts parquet -> packed npy (one-time,
+        # CPU-heavy); doing it here keeps that cost out of the measured
+        # (and possibly 1-core) runs, which then only mmap
+        import shutil
+        import uuid
+
+        from linkgraph.pagerank_csr import _ranks_root
+
+        warm_dir = f"{_ranks_root(g)}/prep-warm-{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        pagerank_blocked(spark, g, tol=0.0, max_iter=1, run_dir=warm_dir)
+        warm_sec = time.perf_counter() - t0
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        print("RESULT " + json.dumps({
+            "mode": "prep", "decode_warm_sec": round(warm_sec, 3),
+            **(build_info or {}),
+        }))
         spark.stop()
         return
 
     n_edges = spark.read.parquet(f"{g.store_path}/edges").count()
 
-    slots = spark.sparkContext.defaultParallelism
+    # barrier slots must equal the cluster's ACTUAL core grant:
+    # defaultParallelism is clamped to >=2, which on a 1-core cluster asks
+    # the barrier stage for more simultaneous slots than exist and hangs
+    # the scheduler until the barrier-check timeout
+    cores_max = spark.conf.get("spark.cores.max", None)
+    slots = int(cores_max) if cores_max else spark.sparkContext.defaultParallelism
     res = pagerank_blocked(
         spark, g, tol=0.0, max_iter=supersteps, transport="barrier",
         barrier_slots=slots,
@@ -105,7 +127,11 @@ def main() -> None:
     tail = sorted(step_secs[len(step_secs) // 2:])
     pr_sec = tail[len(tail) // 2]
 
-    pages = spark.range(0, n_pages, numPartitions=parts).select(
+    # ~10k pages per task: a fixed 128-way split of a small page set puts
+    # ~250ms of per-task dispatch overhead on every 500-page task, which
+    # swamps the 1-core level; both levels share the same partitioning
+    pages_parts = max(16, min(parts, n_pages // 10_000))
+    pages = spark.range(0, n_pages, numPartitions=pages_parts).select(
         F.concat(F.lit("https://bench.example/p"), F.col("id")).alias("url"),
         F.encode(
             F.concat(
@@ -134,10 +160,20 @@ def main() -> None:
             F.explode(extract_links_udf(F.col("html"), F.col("url")))
         ).count()
 
-    run_extract()  # warm python workers
-    t0 = time.perf_counter()
-    n_links = run_extract()
-    ex_sec = time.perf_counter() - t0
+    # warm python workers on a 1/16 slice that keeps the full partitioning
+    # (limit() would collapse to one partition and leave workers cold); a
+    # full warm pass would double the N-level wall clock for no signal
+    pages.where(F.col("url").substr(-1, 1).isin("0", "8")).select(
+        F.explode(extract_links_udf(F.col("html"), F.col("url")))
+    ).count()
+    # two timed passes, keep the best: per-pass noise on a shared
+    # virtualized host is strictly additive (contention only slows a pass)
+    ex_secs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_links = run_extract()
+        ex_secs.append(time.perf_counter() - t0)
+    ex_sec = min(ex_secs)
 
     print(
         "RESULT "
@@ -150,6 +186,7 @@ def main() -> None:
                 "pagerank_sec_per_superstep": round(pr_sec, 3),
                 "pagerank_edges_per_sec": round(n_edges / pr_sec, 1),
                 "extract_sec": round(ex_sec, 3),
+                "extract_secs_all": [round(s, 3) for s in ex_secs],
                 "extract_pages_per_sec": round(n_pages / ex_sec, 1),
                 "n_links": n_links,
             }
