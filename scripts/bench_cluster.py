@@ -328,6 +328,16 @@ Method notes:
 - Reproduce: `python scripts/bench_cluster.py` (env knobs in the script;
   keep the machine otherwise idle).
 
+Iceberg attempt (mandated backend, BASELINE.json:6,16): the storage seam
+is implemented (linkgraph/storage.py IcebergStateStore — catalog tables,
+overwritePartitions superstep rewrites) and an end-to-end integration
+test exists (tests/test_iceberg.py), but a container-wide search finds NO
+iceberg-spark-runtime jar (pyspark/jars has no iceberg/delta/hudi
+artifacts), the sandbox has no network egress, and package installation
+is prohibited — the jar is genuinely unobtainable here. The test
+self-skips with that reason and runs the real catalog round-trip the
+moment a jar is supplied via $LINKGRAPH_ICEBERG_JAR.
+
 Raw (all {REPS} repetitions): {json.dumps([{str(k): v for k, v in r.items()} for r in runs])}
 """
     (bench_dir / "BASELINE.md").write_text(md)
