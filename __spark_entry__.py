@@ -26,7 +26,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from linkgraph import dedup, simsearch, textops, tpcgraph  # noqa: E402
 from linkgraph.complexity import component_complexity, graph_complexity  # noqa: E402
 from linkgraph.components import connected_components  # noqa: E402
-from linkgraph.extract import extract_links_udf, extract_text_udf  # noqa: E402
+from linkgraph.extract import (  # noqa: E402
+    extract_anchors_udf,
+    extract_links_udf,
+    extract_text_udf,
+)
 from linkgraph.labelprop import label_propagation  # noqa: E402
 from linkgraph.pagerank import pagerank  # noqa: E402
 from linkgraph.pagerank_csr import build_blocked, pagerank_blocked  # noqa: E402
@@ -104,7 +108,10 @@ def _synth_pages(docs: DataFrame) -> DataFrame:
     anchors = F.aggregate(
         F.transform(
             F.sequence(F.lit(0), F.col("doc_id") % 3),
-            lambda j: F.concat(F.lit('<a href="'), href(j), F.lit('">x</a>')),
+            lambda j: F.concat(
+                F.lit('<a href="'), href(j), F.lit('">t'), k(j),
+                F.lit("&amp;s</a>"),
+            ),
         ),
         F.lit(""),
         lambda acc, x: F.concat(acc, x),
@@ -340,6 +347,25 @@ def q_extract_links_rt(spark, sf_dir):
             "pos", "dst_url"
         ),
     ).select("src_doc", F.col("pos").cast("int").alias("pos"), "dst_url")
+
+
+def q_extract_anchors_rt(spark, sf_dir):
+    """Anchor-text-enriched link extraction (A7: per-edge textual context;
+    the reference's source-line enrichment, source.py:48-63, realized on
+    the web analogue). Anchors carry an &amp; escape to pin the
+    restricted-entity unescape."""
+    pages = _synth_pages(_docs(spark, sf_dir))
+    return pages.select(
+        F.col("doc_id").alias("src_doc"),
+        F.posexplode(extract_anchors_udf(F.col("html"), F.col("url"))).alias(
+            "pos", "a"
+        ),
+    ).select(
+        "src_doc",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("a.dst_url").alias("dst_url"),
+        F.col("a.anchor").alias("anchor"),
+    )
 
 
 def q_stream_links(spark, sf_dir):
@@ -648,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_flags": q_render_flags,
         "extract_text_rt": q_extract_text_rt,
         "extract_links_rt": q_extract_links_rt,
+        "extract_anchors_rt": q_extract_anchors_rt,
         "stream_links": q_stream_links,
         "stream_host_rates": q_stream_host_rates,
         "text_stats": q_text_stats,
@@ -1102,6 +1129,18 @@ l AS (
 )
 SELECT src_doc, j::INT AS pos,
        'https://docs.example/d' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url
+FROM l
+""",
+        "extract_anchors_rt": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT doc_id AS src_doc,
+         unnest(range(0, doc_id % 3 + 1)) AS j
+  FROM documents
+)
+SELECT src_doc, j::INT AS pos,
+       'https://docs.example/d' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url,
+       't' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) || '&s' AS anchor
 FROM l
 """,
         # watermarked tumbling windows: append mode emits exactly the

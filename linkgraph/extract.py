@@ -34,10 +34,11 @@ import re
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 P_RE = re.compile(r"<p(?:\s[^>]*)?>(.*?)</p>", re.DOTALL)
 A_RE = re.compile(r"<a\s+href=\"([^\"]*)\"", re.DOTALL)
+A_TEXT_RE = re.compile(r"<a\s+href=\"([^\"]*)\"[^>]*>(.*?)</a>", re.DOTALL)
 ABS_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/]*)(.*)$", re.DOTALL)
 BASE_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/]*)(.*)$", re.DOTALL)
 
@@ -86,6 +87,24 @@ def extract_links(html: bytes, base_url: str) -> list[str]:
     return out
 
 
+def extract_links_with_text(html: bytes, base_url: str) -> list[tuple[str, str]]:
+    """Canonical ordered (dst_url, anchor_text) extraction — the link
+    enriched with its textual context. ≙ reference capability A7
+    (source-line enrichment of instructions, source.py:48-63 — which the
+    reference ships broken, source.py:108,116; the engine implements the
+    capability on the web analogue: anchor text is the per-edge context a
+    crawl pipeline actually wants). Anchor text gets the same
+    restricted-entity unescape as TEXT; href normalization and the
+    keep/drop rule are identical to extract_links."""
+    doc = html.decode("utf-8")
+    out: list[tuple[str, str]] = []
+    for href, text in A_TEXT_RE.findall(doc):
+        n = _normalize_href(href, base_url)
+        if n is not None:
+            out.append((n, _unescape(text)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # 2. vectorized pandas implementations (the Spark path)
 # ---------------------------------------------------------------------------
@@ -111,18 +130,10 @@ def text_series(html: pd.Series) -> pd.Series:
     return joined.reindex(doc.index, fill_value="").astype("object")
 
 
-def links_series(html: pd.Series, base_url: pd.Series) -> pd.Series:
-    """Vectorized ordered-link extraction; returns a Series of list[str]."""
-    doc = _decode(html)
-    hrefs = doc.str.extractall(A_RE)[0]
-    empty = pd.Series([[] for _ in range(len(doc))], index=doc.index, dtype="object")
-    if hrefs.empty:
-        return empty
-    hrefs = hrefs.str.split("#", n=1).str[0]
-    hrefs = hrefs[hrefs != ""]
-    if hrefs.empty:
-        return empty
-
+def _normalize_href_series(hrefs: pd.Series, base_url: pd.Series) -> pd.Series:
+    """Vectorized href normalization. ``hrefs`` carries a (row, match)
+    MultiIndex with fragment ALREADY stripped and empties dropped;
+    ``base_url`` is indexed by row. Whole-Series str ops only."""
     rowidx = hrefs.index.get_level_values(0)
     base = base_url.reindex(rowidx)
     base.index = hrefs.index
@@ -142,15 +153,64 @@ def links_series(html: pd.Series, base_url: pd.Series) -> pd.Series:
     absolute = aparts[0].str.lower() + "://" + aparts[1].str.lower() + aparts[2].fillna("")
     rooted = bscheme + "://" + bhost + hrefs
     relative = bscheme + "://" + bhost + bdir + hrefs
+    return relative.mask(is_root, rooted).mask(is_abs, absolute)
 
-    norm = relative.mask(is_root, rooted).mask(is_abs, absolute)
-    lists = norm.groupby(level=0).agg(list)
-    out = lists.reindex(doc.index)
+
+def _relist(lists: pd.Series, index) -> pd.Series:
+    """Reindex per-row lists over the full row index, [] where no match."""
+    out = lists.reindex(index)
     missing = out.isna()
     if missing.any():
         out = out.astype("object")
-        out[missing] = pd.Series([[] for _ in range(int(missing.sum()))], index=out.index[missing])
+        out[missing] = pd.Series(
+            [[] for _ in range(int(missing.sum()))], index=out.index[missing]
+        )
     return out.astype("object")
+
+
+def links_series(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """Vectorized ordered-link extraction; returns a Series of list[str]."""
+    doc = _decode(html)
+    hrefs = doc.str.extractall(A_RE)[0]
+    empty = pd.Series([[] for _ in range(len(doc))], index=doc.index, dtype="object")
+    if hrefs.empty:
+        return empty
+    hrefs = hrefs.str.split("#", n=1).str[0]
+    hrefs = hrefs[hrefs != ""]
+    if hrefs.empty:
+        return empty
+    norm = _normalize_href_series(hrefs, base_url)
+    return _relist(norm.groupby(level=0).agg(list), doc.index)
+
+
+def anchors_series(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """Vectorized (dst_url, anchor) extraction; Series of list[dict].
+
+    The scan (extractall), normalization, and unescape are whole-Series
+    ops; only the final list<struct> assembly touches Python objects (the
+    Arrow struct boundary requires records either way)."""
+    doc = _decode(html)
+    empty = pd.Series([[] for _ in range(len(doc))], index=doc.index, dtype="object")
+    m = doc.str.extractall(A_TEXT_RE)
+    if m.empty:
+        return empty
+    hrefs = m[0].str.split("#", n=1).str[0]
+    keep = hrefs != ""
+    hrefs = hrefs[keep]
+    if hrefs.empty:
+        return empty
+    text = (
+        m[1][keep]
+        .str.replace("&lt;", "<", regex=False)
+        .str.replace("&gt;", ">", regex=False)
+        .str.replace("&amp;", "&", regex=False)
+    )
+    norm = _normalize_href_series(hrefs, base_url)
+    recs = pd.Series(
+        [{"dst_url": u, "anchor": a} for u, a in zip(norm, text)],
+        index=norm.index, dtype="object",
+    )
+    return _relist(recs.groupby(level=0).agg(list), doc.index)
 
 
 # ---------------------------------------------------------------------------
@@ -159,6 +219,13 @@ def links_series(html: pd.Series, base_url: pd.Series) -> pd.Series:
 
 extract_text_udf = F.pandas_udf(text_series, StringType())
 extract_links_udf = F.pandas_udf(links_series, ArrayType(StringType()))
+extract_anchors_udf = F.pandas_udf(
+    anchors_series,
+    ArrayType(StructType([
+        StructField("dst_url", StringType()),
+        StructField("anchor", StringType()),
+    ])),
+)
 
 
 def build_links(pages_df):
@@ -176,6 +243,25 @@ def build_links(pages_df):
             ),
         )
         .select("src_url", "dst_url", F.col("pos").cast("int").alias("pos"))
+    )
+
+
+def build_anchor_links(pages_df):
+    """pages(url, html, ...) -> links(src_url, pos, dst_url, anchor) —
+    the edge table ENRICHED with its textual context (anchor text), the
+    web instance of the reference's A7 source-line enrichment. Anchor
+    text is the classic off-page relevance signal; a training pipeline
+    aggregates it per dst_url."""
+    return pages_df.select(
+        F.col("url").alias("src_url"),
+        F.posexplode(extract_anchors_udf(F.col("html"), F.col("url"))).alias(
+            "pos", "a"
+        ),
+    ).select(
+        "src_url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("a.dst_url").alias("dst_url"),
+        F.col("a.anchor").alias("anchor"),
     )
 
 

@@ -6,7 +6,9 @@ import pytest
 
 from linkgraph import corpus
 from linkgraph.extract import (
+    anchors_series,
     extract_links,
+    extract_links_with_text,
     extract_text,
     extracted_text,
     links_series,
@@ -35,6 +37,35 @@ def test_links_exact_vectorized_vs_reference(n_pages):
         ref = extract_links(r.html, r.url)
         assert list(vec.iloc[i]) == ref, r.url
         assert ref == links_by_url[r.url], r.url
+
+
+@pytest.mark.parametrize("n_pages", [corpus.TINY, corpus.SMALL])
+def test_anchors_vectorized_vs_reference(n_pages):
+    """A7 enrichment: vectorized (dst_url, anchor) == canonical, and the
+    dst_url sequence must equal extract_links exactly (same keep/drop +
+    normalization)."""
+    rows, _ = corpus.gen_corpus(corpus.DEFAULT_SEED, n_pages)
+    html = pd.Series([r.html for r in rows])
+    base = pd.Series([r.url for r in rows])
+    vec = anchors_series(html, base)
+    for i, r in enumerate(rows):
+        ref = extract_links_with_text(r.html, r.url)
+        got = [(d["dst_url"], d["anchor"]) for d in vec.iloc[i]]
+        assert got == ref, r.url
+        assert [u for u, _ in ref] == extract_links(r.html, r.url), r.url
+
+
+def test_anchor_unescape_and_inner_markup():
+    html = (
+        b'<html><a href="https://h.example/a"><b>B &amp; C</b></a>'
+        b'<a href="#frag-only">dropped</a>'
+        b'<a href="/rel">r &lt;tag&gt;</a></html>'
+    )
+    got = extract_links_with_text(html, "https://base.example/dir/page")
+    assert got == [
+        ("https://h.example/a", "<b>B & C</b>"),
+        ("https://base.example/rel", "r <tag>"),
+    ]
 
 
 def test_spark_text_udf_byte_identity(spark, small):
