@@ -70,12 +70,13 @@ def main() -> None:
     # annotations in the pre-execution formatted plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    from linkgraph import dedup, textops, tpcgraph
-    from linkgraph.extract import extract_links_udf
+    from linkgraph import dedup, simsearch, textops, tpcgraph
+    from linkgraph.extract import extract_anchors_udf, extract_links_udf
     from linkgraph.quotient import quotient_edges
     from linkgraph.triangles import triangle_counts
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     edges = tpcgraph.order_edges(spark, SF_DIR)
     verts = tpcgraph.vertices_of(edges)
 
@@ -101,6 +102,21 @@ def main() -> None:
         "exact dedup (single groupBy)": dedup.exact_groups(docs),
         "ngram shingles (zip_with, no per-element slice)": dedup.shingle_table(
             docs
+        ),
+        "ngram jaccard w/ df-cap (window guard rides the shingle exchange)":
+            dedup.ngram_jaccard_pairs(docs, threshold=0.5, log_drops=False),
+        "ANN top-k (multi-table sign-LSH, Hamming-1 probes, broadcast queries)":
+            simsearch.topk_lsh(
+                embs, simsearch.queries_from(embs, 50), k=5,
+                n_tables=10, bits_per_table=6, probe_flips=1,
+            ),
+        "anchor-enriched extraction (list<struct> pandas UDF)": docs.select(
+            F.posexplode(
+                extract_anchors_udf(
+                    F.encode("text", "UTF-8"),
+                    F.concat(F.lit("https://x.example/"), F.col("doc_id")),
+                )
+            )
         ),
     }
 
