@@ -302,6 +302,16 @@ slice warm-up (additive-noise model: contention only slows a pass).
 | PageRank superstep | **{pr_med:.2f}** | {[round(e, 2) for e in pr_effs]} |
 | link extraction (pandas UDF) | **{ex_med:.2f}** | {[round(e, 2) for e in ex_effs]} |
 
+Reading the PageRank ratios: values slightly above 1.0 are expected for
+this superstep design, not an artifact to clip — the single-slot N level
+serializes per-superstep work that is embarrassingly parallel at 4N
+(256 rank-block npy writes, per-source-block mmap opens, the coordinator
+reduce), and a single core has less memory-level parallelism than four
+independent ones. The spread brackets the ideal 1.0: the engine's
+superstep adds no measurable N->4N coordination cost (no shuffle, no
+barrier RPC, O(B) scalar rendezvous files), which is precisely what the
+gate tests.
+
 ## All repetitions
 
 | run | PR sec/superstep N -> 4N | PR eff | extract sec N -> 4N | extract eff |
