@@ -214,6 +214,32 @@ def q_graph_complexity_multi(spark, sf_dir):
     return out.select(*[F.col(c).cast("long").alias(c) for c in cols])
 
 
+def q_checkpoint_manifest(spark, sf_dir):
+    """S7: the metadata sink (manifest ≙ the reference's code_info) —
+    commit marks + row accounting for a 2-superstep checkpointed PageRank
+    run: each superstep's vertex-state write records exactly |V| rows
+    across its partitions and completed=true only after the state write
+    succeeded (the commit mark resume trusts)."""
+    import tempfile
+
+    from linkgraph.checkpoint import CheckpointManager
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    ckpt = CheckpointManager(
+        spark, tempfile.mkdtemp(prefix="lg-ckpt-q-"), "oracle-run"
+    )
+    pagerank(spark, edges, verts, tol=0.0, max_iter=2, checkpoint=ckpt)
+    return (
+        ckpt.manifest()
+        .groupBy("run_id", "algo", "superstep")
+        .agg(
+            F.sum("rows").cast("long").alias("total_rows"),
+            F.min(F.col("completed").cast("int")).cast("boolean").alias("completed"),
+        )
+    )
+
+
 def q_graph_labelprop2(spark, sf_dir):
     edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
     return label_propagation(spark, edges, tpcgraph.vertices_of(edges), iterations=2)
@@ -662,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components_blocked": q_graph_components_blocked,
         "graph_complexity": q_graph_complexity,
         "graph_complexity_multi": q_graph_complexity_multi,
+        "checkpoint_manifest": q_checkpoint_manifest,
         "graph_labelprop2": q_graph_labelprop2,
         "graph_triangles": q_graph_triangles,
         "graph_csr": q_graph_csr,
@@ -963,6 +990,15 @@ SELECT v.component, v.N, coalesce(s.E, 0)::BIGINT AS E, v.D, v.X, v.entry_points
        (coalesce(s.E, 0) - v.N + v.X + 2)::BIGINT AS hst_generalised,
        (v.D - v.X + 2)::BIGINT AS harrison
 FROM vstats v LEFT JOIN estats s ON v.component = s.component
+""",
+        # S7 metadata sink: manifest row accounting + commit marks for a
+        # 2-superstep checkpointed pagerank (|V| rows per superstep)
+        "checkpoint_manifest": f"""
+WITH {_EDGES}
+SELECT 'oracle-run' AS run_id, 'pagerank' AS algo, s::INT AS superstep,
+       (SELECT count(*) FROM verts)::BIGINT AS total_rows,
+       TRUE AS completed
+FROM (SELECT unnest([0, 1]) AS s)
 """,
         # whole-graph generalised formulas with P > 1 (sparser closure)
         "graph_complexity_multi": f"""

@@ -164,8 +164,12 @@ def test_resume_killed_barrier_run_under_barrier(spark, small, blocked, tmp_path
     assert set(a) == set(b)
     for k in a:
         assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), k
-    # the bogus partial must not have leaked into the step-5 metrics
-    assert res.supersteps[5].l1_delta == ref.supersteps[5].l1_delta
+    # the bogus partial (999.0) must not have leaked into the step-5
+    # metrics; tolerance because work-stealing assigns blocks to slots
+    # non-deterministically and the l1 partial-sum order follows it
+    assert math.isclose(
+        res.supersteps[5].l1_delta, ref.supersteps[5].l1_delta, rel_tol=1e-9
+    )
 
 
 def test_resume_already_converged_is_noop(spark, small, blocked, tmp_path):
