@@ -528,6 +528,18 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dup clusters: verified MinHash pairs -> connected
+    components -> canonical representative per cluster. The end-of-
+    pipeline dedup operator (keep rep, drop is_dup rows), composed from
+    the engine's own pair + CC operators."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=8, rows_per_band=2, n=3, verify_threshold=0.05
+    )
+    return dedup.dup_clusters(spark, pairs, docs)
+
+
 def q_dedup_embcos_lsh(spark, sf_dir):
     """Multi-table banded sign-LSH near-dup — the embedding scale path."""
     return dedup.embedding_dup_pairs(
@@ -714,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_cand": q_dedup_lsh_cand,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embcos": q_dedup_embcos,
         "dedup_embcos_lsh": q_dedup_embcos_lsh,
         "sim_topk": q_sim_topk,
@@ -1303,6 +1316,40 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE round(i.m::DOUBLE / (sa.n_sh + sb.n_sh - i.m), 6) >= 0.05
+""",
+        # transitive closure of the verified-pair graph -> clusters
+        "dedup_clusters": f"""
+WITH RECURSIVE {_TOKS}, {_SHINGLES}, {_sigf},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS m
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE round(i.m::DOUBLE / (sa.n_sh + sb.n_sh - i.m), 6) >= 0.05
+),
+und AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(x, y) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.x, u2.v FROM reach r JOIN und u2 ON r.y = u2.u
+),
+comp AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_rep FROM reach GROUP BY x),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+sz AS (SELECT cluster_rep, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster_rep, sz.cluster_size::BIGINT AS cluster_size,
+       (l.doc_id <> l.cluster_rep) AS is_dup
+FROM lab l JOIN sz ON l.cluster_rep = sz.cluster_rep
 """,
         "dedup_simhash": f"""
 WITH {_TOKS},

@@ -305,6 +305,34 @@ def minhash_dedup_pairs(
     )
 
 
+def dup_clusters(
+    spark, pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dup pairs -> transitive dup CLUSTERS: the operator a dedup pipeline
+    actually ends with (keep one canonical doc per cluster, drop the rest).
+
+    -> (doc_id, cluster_rep, cluster_size, is_dup) where cluster_rep is
+    the min doc id of the pair-graph connected component (docs in no pair
+    are singleton clusters). Composition of engine operators: the pair
+    table (minhash/ngram/simhash/embedding — any of them) feeds the same
+    small-star/large-star components used on the link graph, so cluster
+    formation scales exactly like graph CC (O(log n) rounds of
+    shuffle-on-id), never a driver-side union-find.
+    """
+    from .components import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    verts = docs.select(F.col(id_col).alias("id"))
+    comp = connected_components(spark, edges, verts)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_rep"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("id") != F.col("component")).alias("is_dup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

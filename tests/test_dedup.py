@@ -201,3 +201,17 @@ def test_lsh_rows_per_band_divisibility(spark, docs_df):
 
     with _pytest.raises(ValueError, match="divisible"):
         dedup.lsh_candidate_pairs(sigs, num_hashes=8, rows_per_band=3)
+
+
+def test_dup_clusters_transitive(spark):
+    """a~b and b~c must land in ONE cluster with rep=min even when (a,c)
+    was never a pair (transitivity via CC); untouched docs are singleton
+    canonical rows."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 4)], "a long, b long")
+    got = {r["doc_id"]: r for r in dedup.dup_clusters(spark, pairs, docs).collect()}
+    assert {got[i]["cluster_rep"] for i in (1, 3, 5)} == {1}
+    assert got[1]["cluster_size"] == 3 and got[5]["is_dup"] and not got[1]["is_dup"]
+    assert got[2]["cluster_rep"] == 2 and got[4]["is_dup"]
+    assert got[0]["cluster_size"] == 1 and not got[0]["is_dup"]
