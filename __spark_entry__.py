@@ -394,6 +394,28 @@ def q_extract_anchors_rt(spark, sf_dir):
     )
 
 
+def q_graph_dict_decode(spark, sf_dir):
+    """P4: dictionary decode (id <-> url). Links become 64-bit-hash edges
+    and are decoded BACK to urls through the vertex dictionary — the
+    round-trip only matches the closed-form link set if the dictionary is
+    collision-free and the decode joins are correct (the reference's
+    offset->instruction dictionary, xdis.py:638-651). The oracle never
+    needs the engine's hash: it checks the url-level fixpoint."""
+    from linkgraph.extract import build_links
+    from linkgraph.graph import build_graph
+
+    pages = _synth_pages(_docs(spark, sf_dir))
+    links = build_links(pages)
+    edges, vertices = build_graph(pages, links)
+    dict_src = vertices.select(F.col("id").alias("src"), F.col("url").alias("src_url"))
+    dict_dst = vertices.select(F.col("id").alias("dst"), F.col("url").alias("dst_url"))
+    return (
+        edges.join(dict_src, "src").join(dict_dst, "dst")
+        .select("src_url", "dst_url")
+        .distinct()
+    )
+
+
 def q_stream_links(spark, sf_dir):
     """Structured Streaming link extraction (AvailableNow incremental
     drain) — must equal the batch extraction row-for-row, so it shares the
@@ -714,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_rt": q_extract_text_rt,
         "extract_links_rt": q_extract_links_rt,
         "extract_anchors_rt": q_extract_anchors_rt,
+        "graph_dict_decode": q_graph_dict_decode,
         "stream_links": q_stream_links,
         "stream_host_rates": q_stream_host_rates,
         "text_stats": q_text_stats,
@@ -1178,6 +1201,18 @@ l AS (
 )
 SELECT src_doc, j::INT AS pos,
        'https://docs.example/d' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url
+FROM l
+""",
+        # P4 dictionary decode: url -> id -> url fixpoint over the
+        # closed-form link set (distinct; no engine hash needed)
+        "graph_dict_decode": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents
+)
+SELECT DISTINCT
+  'https://docs.example/d' || doc_id AS src_url,
+  'https://docs.example/d' || ((doc_id * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url
 FROM l
 """,
         "extract_anchors_rt": """

@@ -133,12 +133,16 @@ def ngram_jaccard_pairs(
         enriched = sh.withColumn(
             "df", F.count("*").over(Window.partitionBy("shingle"))
         )
+        # the capped inverted index is consumed FOUR times downstream
+        # (self-join x/y + both size joins) and Spark's exchange reuse
+        # does not collapse them across the aliases — persist (lazily;
+        # registered for caller release) so it computes once per action
+        enriched = _register_cache(enriched.persist())
         if log_drops:
             # ONE aggregation job: materializes the enriched cache for the
             # main query AND returns the drop stats in the same pass, so
             # capped recall stays visible, never silent (log_drops=False
             # keeps the guard fully lazy — zero extra driver actions)
-            enriched = _register_cache(enriched.persist())
             row = enriched.agg(
                 F.count_if(F.col("df") > df_cap).alias("inst"),
                 F.approx_count_distinct(
