@@ -76,7 +76,11 @@ def label_propagation(
                 step,
             ).select("id", "label")
         else:
-            labels = truncate_plan(labels)
+            # lazy truncation: iterations are FIXED (no convergence check
+            # reads a scalar per round), so no per-round driver action is
+            # needed at all — the caller's one action computes the whole
+            # chain, each round's blocks still checkpointed/cached en route
+            labels = truncate_plan(labels, eager=False)
     return labels
 
 
