@@ -79,7 +79,8 @@ def main() -> None:
     # checked via the graph_pagerank2 entry). networkx convergence
     # semantics: stop when L1 error < n * tol, tol=1e-6.
     t0 = time.perf_counter()
-    g = build_blocked(spark, edges, verts.select("id"), n_blocks=8)
+    g = build_blocked(spark, edges, verts.select("id"), n_blocks=8,
+                      n_vertices=n_verts)
     res = pagerank_blocked(
         spark, g, tol=n_verts * 1e-6, max_iter=60,
         transport="barrier", barrier_slots=8,

@@ -134,6 +134,7 @@ def build_blocked(
     store_path: str | None = None,
     blocking: str = "hash",
     fingerprint: dict | None = None,
+    n_vertices: int | None = None,
 ) -> BlockedGraph:
     """One-time compaction: edges(src,dst) + vertices(id) -> BlockedGraph.
 
@@ -173,7 +174,7 @@ def build_blocked(
             ),
         ).cast("int")
     elif blocking == "hash":
-        n = None
+        n = n_vertices  # caller-known count skips one counting job
         block_expr = F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
     else:
         raise ValueError(f"unknown blocking {blocking!r}")
@@ -210,7 +211,9 @@ def build_blocked(
             ).alias("od"),
         )
     )
-    block_meta = truncate_plan(block_meta)
+    # lazy truncation: the n_dangling aggregate below is the materializing
+    # action (one job instead of checkpoint + aggregate)
+    block_meta = truncate_plan(block_meta, eager=False)
     n_dangling = int(
         block_meta.agg(
             F.sum(F.size(F.filter("od", lambda x: x == 0)))
@@ -258,7 +261,8 @@ def build_blocked(
                 F.col("block").alias("db"), F.col("size").alias("dsize")
             ),
             "db",
-        )
+        ),
+        eager=False,  # the _pairs write below materializes it
     )
     # persist the sidecar tables so a BlockedGraph is reloadable without a
     # rebuild (resumable runs; bench iteration)
