@@ -613,6 +613,17 @@ def q_sim_topk_mp(spark, sf_dir):
     )
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF ANN top-k: nearest-centroid cells (deterministic codebook),
+    nprobe=2 probe, exact re-rank within the probed cells — the
+    coarse-quantizer scale path beside the sign-LSH one."""
+    embs = _embs(spark, sf_dir)
+    return simsearch.topk_ivf(
+        embs, simsearch.queries_from(embs, 50), k=5,
+        centroid_modulus=40, nprobe=2,
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -756,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_hist": q_sim_lsh_hist,
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_mp": q_sim_topk_mp,
+        "sim_topk_ivf": q_sim_topk_ivf,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "rel_pricing": q_rel_pricing,
@@ -1504,6 +1516,49 @@ s AS (
          {_COS64.format(a='a.v', b='b.v')} AS cos
   FROM cand c JOIN vq a ON c.query_id = a.vec_id
               JOIN vq b ON c.neighbor_id = b.vec_id
+)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM s
+) WHERE rn <= 5
+""",
+        # IVF: nearest-centroid cells, nprobe=2, exact re-rank in-cell
+        "sim_topk_ivf": f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cvec FROM v WHERE vec_id % 40 = 0),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT a.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS64.format(a='a.v', b='c.cvec')} DESC, c.cid ASC
+           ) AS rn
+    FROM v a CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % 50 = 0),
+qcells AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS64.format(a='q.qv', b='c.cvec')} DESC, c.cid ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT qc.query_id, ce.vec_id AS neighbor_id
+  FROM qcells qc JOIN cells ce ON qc.cell = ce.cell
+  WHERE qc.query_id <> ce.vec_id
+),
+s AS (
+  SELECT c.query_id, c.neighbor_id, {_COS64.format(a='q.qv', b='n.v')} AS cos
+  FROM cand c JOIN q ON c.query_id = q.query_id
+              JOIN v n ON c.neighbor_id = n.vec_id
 )
 SELECT query_id, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id

@@ -186,6 +186,95 @@ def topk_lsh(
     )
 
 
+def centroids_from(
+    embs: DataFrame, modulus: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: every vec with
+    id % modulus == 0 becomes a centroid (cid, cvec). A production IVF
+    would k-means these; a deterministic subset keeps the oracle
+    closed-form while exercising the identical query shape."""
+    return embs.where(F.col(id_col) % modulus == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+
+def ivf_cells(
+    embs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: each vector joins its nearest centroid by cosine
+    (rounded; ties -> min cid) -> (vec_id, cell). The broadcast
+    cross-score + per-vector argmax is the standard IVF build pass — at
+    10^12 rows it is one map-side pass over the corpus (centroids
+    broadcast), then everything downstream is bucketed by cell."""
+    scored = embs.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("vec_id2"),
+        "cid",
+        F.round(cosine_col(F.col(vec_col), F.col("cvec")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id2").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id2").alias("vec_id"), F.col("cid").alias("cell"))
+    )
+
+
+def topk_ivf(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_modulus: int = 40,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (query_id, neighbor_id, cos) approximate top-k via IVF: corpus
+    vectors live in their nearest-centroid cell; a query probes its
+    ``nprobe`` closest cells and re-ranks exactly within them. The
+    coarse-quantizer alternative to sign-LSH (both are `queries()`
+    entries; recall grows with nprobe, candidate cost is bounded by cell
+    sizes — never the corpus cross product)."""
+    cents = centroids_from(embs, centroid_modulus, id_col, vec_col)
+    cells = ivf_cells(embs, cents, id_col, vec_col)
+    qscored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cid",
+        F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    qcells = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    cand = (
+        qcells.join(cells, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        cand.join(queries.select("query_id", "qvec"), "query_id")
+        .join(
+            embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def bucket_histogram(
     embs: DataFrame,
     dims: tuple[int, ...] = (0, 8, 16, 24, 32, 40, 48, 56),

@@ -70,3 +70,26 @@ def test_bucket_histogram(spark, embs_df):
         want[b] = want.get(b, 0) + 1
     assert got == want
     assert sum(got.values()) == len(v)
+
+
+def test_ivf_subset_of_bruteforce_and_recall(spark, embs_df):
+    """IVF results are drawn from the probed cells only; with generous
+    nprobe the top-k must converge to the exact bruteforce answer."""
+    from linkgraph import simsearch
+
+    qs = simsearch.queries_from(embs_df, 7)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.topk_bruteforce(embs_df, qs, k=3).collect()
+    }
+    cents = simsearch.centroids_from(embs_df, 5)
+    n_cells = cents.count()
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.topk_ivf(
+            embs_df, qs, k=3, centroid_modulus=5, nprobe=n_cells
+        ).collect()
+    }
+    assert full == bf  # probing every cell == exact
+    few = simsearch.topk_ivf(embs_df, qs, k=3, centroid_modulus=5, nprobe=1)
+    assert 0 < few.count() <= len(bf)
