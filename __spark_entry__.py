@@ -550,6 +550,27 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli downsampling (md5-prefix coin, rate 0.3):
+    the reproducible corpus-sampling primitive a training pipeline uses
+    instead of rand()."""
+    from linkgraph import sampling
+
+    return sampling.hash_sample(_docs(spark, sf_dir), rate=0.3).select(
+        "doc_id", "source"
+    )
+
+
+def q_sample_cap_source(spark, sf_dir):
+    """Per-source cap (<=15 docs per source, longest-first priority) —
+    the domain-dominance knob of a crawl mixture."""
+    from linkgraph import sampling
+
+    return sampling.cap_per_source(_docs(spark, sf_dir), cap=15).select(
+        "doc_id", "source", F.col("source_rank").cast("int").alias("source_rank")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dup clusters: verified MinHash pairs -> connected
     components -> canonical representative per cluster. The end-of-
@@ -761,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "sample_hash": q_sample_hash,
+        "sample_cap_source": q_sample_cap_source,
         "dedup_embcos": q_dedup_embcos,
         "dedup_embcos_lsh": q_dedup_embcos_lsh,
         "sim_topk": q_sim_topk,
@@ -932,6 +955,7 @@ cand AS (
 
     # multi-table banded sign-LSH buckets (mirrors dedup.lsh_table_dims(4,8,64))
     from linkgraph.dedup import lsh_table_dims
+    from linkgraph.sampling import hash_threshold
 
     # per-table sign buckets for the benched multi-probe ANN config
     # (mirrors simsearch.topk_lsh n_tables/bits_per_table via the same
@@ -1363,6 +1387,20 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE round(i.m::DOUBLE / (sa.n_sh + sb.n_sh - i.m), 6) >= 0.05
+""",
+        # deterministic md5-prefix Bernoulli coin, rate 0.3 over k=6 hex
+        "sample_hash": f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(doc_id || ':s1'), 1, 6) < '{hash_threshold(0.3)}'
+""",
+        "sample_cap_source": """
+SELECT doc_id, source, source_rank::INT AS source_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS source_rank
+  FROM documents
+) WHERE source_rank <= 15
 """,
         # transitive closure of the verified-pair graph -> clusters
         "dedup_clusters": f"""

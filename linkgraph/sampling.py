@@ -1,0 +1,58 @@
+"""Deterministic corpus sampling / per-source caps — training-data curation.
+
+A 100 TB crawl is never trained on wholesale: pipelines downsample by
+rate, upweight/downweight by quality, and cap any single source so no
+domain dominates the mixture. Both operators here are DETERMINISTIC
+(md5-hash uniforms / explicit priority orderings), so runs are
+reproducible, resumable, and DuckDB-oracle-checkable — never `rand()`:
+
+- ``hash_sample``: Bernoulli(p) via the lexicographic md5 prefix — a
+  fixed-length lowercase-hex prefix compares exactly like the integer it
+  encodes, so ``substr(md5(id||seed), 1, k) < hex(floor(p * 16^k))``
+  IS a uniform coin both engines evaluate identically. Changing ``seed``
+  draws an independent sample; the rate is exact to 16^-k.
+- ``cap_per_source``: keep the top ``cap`` documents per source under an
+  explicit priority (longest-first, id tie-break) — one window, one
+  shuffle by source; the skew knob for dominant domains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def hash_threshold(rate: float, k: int = 6) -> str:
+    """Lowercase-hex threshold h with P[md5-prefix < h] == rate (±16^-k)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * 16 ** k), 16 ** k - 1), f"0{k}x")
+
+
+def hash_sample(
+    docs: DataFrame, rate: float, seed: str = "s1", id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) subsample keyed on (id, seed)."""
+    coin = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, k
+    )
+    return docs.where(coin < F.lit(hash_threshold(rate, k)))
+
+
+def cap_per_source(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Keep at most ``cap`` docs per source; priority = longest first,
+    min id tie-break. Adds ``source_rank`` (1-based priority within the
+    source) so callers can audit what the cap dropped."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc(length_col), F.asc(id_col)
+    )
+    return (
+        docs.withColumn("source_rank", F.row_number().over(w))
+        .where(F.col("source_rank") <= cap)
+    )

@@ -1,0 +1,39 @@
+"""Deterministic sampling / per-source caps (training-data curation)."""
+
+import hashlib
+
+from linkgraph import sampling
+
+
+def test_hash_sample_matches_reference_coin(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(400)], "doc_id long, source string"
+    )
+    got = {r["doc_id"] for r in sampling.hash_sample(docs, 0.25).collect()}
+    thr = sampling.hash_threshold(0.25)
+    want = {
+        i for i in range(400)
+        if hashlib.md5(f"{i}:s1".encode()).hexdigest()[:6] < thr
+    }
+    assert got == want
+    assert 0.15 < len(got) / 400 < 0.35  # rate lands near 0.25
+
+
+def test_hash_sample_seed_independence(spark):
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, 0.5, seed="a").collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(docs, 0.5, seed="b").collect()}
+    assert a != b
+    # independent coins: overlap near rate^2 * n
+    assert 0.1 < len(a & b) / 500 < 0.4
+
+
+def test_cap_per_source_priority(spark):
+    rows = [(i, "s0" if i < 6 else "s1", 100 - i) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = sampling.cap_per_source(docs, cap=2)
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    # longest-first: s0 keeps docs 0,1 (n_chars 100,99); s1 keeps 6,7
+    assert got == {("s0", 0), ("s0", 1), ("s1", 6), ("s1", 7)}
+    ranks = {r["doc_id"]: r["source_rank"] for r in out.collect()}
+    assert ranks[0] == 1 and ranks[1] == 2
