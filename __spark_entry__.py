@@ -443,6 +443,33 @@ def q_stream_links(spark, sf_dir):
     )
 
 
+def q_stream_first_seen(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    first-seen url dedup across micro-batches — emits each distinct link
+    target exactly once for the life of the stream (the crawl-frontier
+    primitive). Emitted set == DISTINCT targets, closed-form for DuckDB."""
+    import tempfile
+
+    from linkgraph.streaming import (
+        run_available_now,
+        stream_extract_links,
+        stream_first_seen,
+        stream_pages,
+    )
+
+    pages = _synth_pages(_docs(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="lg-fseen-q-")
+    src, out, ckpt = f"{tmp}/pages", f"{tmp}/out", f"{tmp}/ckpt"
+    pages.select("url", "html").write.mode("overwrite").parquet(src)
+    firsts = stream_first_seen(
+        stream_extract_links(
+            stream_pages(spark, src, schema="url string, html binary")
+        )
+    )
+    run_available_now(firsts, out, ckpt)
+    return spark.read.parquet(out).select("dst_url")
+
+
 STREAM_TS_BASE = "2024-01-01 00:00:00"
 
 
@@ -771,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dict_decode": q_graph_dict_decode,
         "stream_links": q_stream_links,
         "stream_host_rates": q_stream_host_rates,
+        "stream_first_seen": q_stream_first_seen,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1261,6 +1289,16 @@ l AS (
 SELECT src_doc, j::INT AS pos,
        'https://docs.example/d' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url,
        't' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) || '&s' AS anchor
+FROM l
+""",
+        # stateful first-seen dedup == distinct link targets
+        "stream_first_seen": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents
+)
+SELECT DISTINCT
+  'https://docs.example/d' || ((doc_id * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url
 FROM l
 """,
         # watermarked tumbling windows: append mode emits exactly the

@@ -63,6 +63,33 @@ def stream_host_rates(
     )
 
 
+def stream_first_seen(links: DataFrame, key_col: str = "dst_url") -> DataFrame:
+    """First-seen dedup across micro-batches — a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): per-key boolean state; each key is
+    emitted exactly once over the life of the stream, no matter how many
+    batches or occurrences carry it. The crawl-frontier primitive ("have
+    we seen this url before?") that built-in stateless ops can't express
+    incrementally; state size = one flag per distinct key, the streaming
+    analogue of dedup_exact."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def emit_first(key, pdfs, state):
+        for _ in pdfs:
+            pass  # drain the batch iterator; occurrences beyond the first are dropped
+        if not state.exists:
+            state.update((True,))
+            yield pd.DataFrame({key_col: [key[0]]})
+
+    return links.groupBy(key_col).applyInPandasWithState(
+        emit_first,
+        f"{key_col} string",
+        "seen boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, out_path: str, checkpoint_path: str, timeout_sec: int = 300
 ) -> None:

@@ -97,3 +97,33 @@ def test_stream_host_rates_watermark(spark, tmp_path):
     for (_, host), cnt in got.items():
         assert host in ("t.example", "u.example")
         assert cnt >= 1
+
+
+def test_stream_first_seen_incremental(spark, tmp_path):
+    """Custom stateful operator: each key emitted exactly once for the
+    stream's life — a second drain with overlapping keys emits only the
+    NEW ones (state survives across AvailableNow runs via checkpoint)."""
+    from linkgraph.streaming import stream_first_seen
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "first_out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_pages(spark, src, n=8)  # targets q0..q6 (mod 7) + r0..r7
+    firsts = stream_first_seen(stream_extract_links(stream_pages(spark, src)))
+    run_available_now(firsts, out, ckpt)
+    got1 = sorted(r["dst_url"] for r in spark.read.parquet(out).collect())
+    assert len(got1) == len(set(got1))  # no duplicates
+    want1 = {f"https://t.example/q{(i * 3) % 7}" for i in range(8)} | {
+        f"https://u.example/r{i}" for i in range(8)
+    }
+    assert set(got1) == want1
+
+    _write_pages(spark, src, n=12)  # overwrite-write adds pages 8..11's files
+    firsts2 = stream_first_seen(stream_extract_links(stream_pages(spark, src)))
+    run_available_now(firsts2, out, ckpt)
+    got2 = sorted(r["dst_url"] for r in spark.read.parquet(out).collect())
+    assert len(got2) == len(set(got2))  # still exactly-once per key
+    want2 = {f"https://t.example/q{(i * 3) % 7}" for i in range(12)} | {
+        f"https://u.example/r{i}" for i in range(12)
+    }
+    assert set(got2) == want2
