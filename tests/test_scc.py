@@ -36,7 +36,10 @@ def _nx_labels(n, edges):
     return want
 
 
-@pytest.mark.parametrize("seed,n,m", [(1, 40, 60), (2, 60, 150), (3, 25, 25)])
+@pytest.mark.parametrize(
+    "seed,n,m",
+    [(1, 40, 60), (2, 60, 150), (3, 25, 25), (4, 80, 120), (5, 50, 300)],
+)
 def test_scc_matches_networkx(spark, seed, n, m):
     edges_py = _random_digraph(seed, n, m)
     edges = spark.createDataFrame(sorted(edges_py), "src long, dst long")
