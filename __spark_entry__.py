@@ -358,6 +358,17 @@ def q_render_dot(spark, sf_dir):
     return dot_lines(edges)
 
 
+def q_render_debug(spark, sf_dir):
+    """Bounded deterministic debug render (S8 as dataflow): top-15 nation
+    rows by key, fixed-width lines with subset-derived column widths."""
+    from linkgraph.render import debug_lines
+
+    nation = tpcgraph.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return debug_lines(nation, 15, ["n_nationkey"])
+
+
 def q_extract_text_rt(spark, sf_dir):
     pages = _synth_pages(_docs(spark, sf_dir))
     return pages.select(
@@ -792,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_fixed": q_render_fixed,
         "render_dot": q_render_dot,
         "render_flags": q_render_flags,
+        "render_debug": q_render_debug,
         "extract_text_rt": q_extract_text_rt,
         "extract_links_rt": q_extract_links_rt,
         "extract_anchors_rt": q_extract_anchors_rt,
@@ -1243,6 +1255,26 @@ SELECT doc_id,
          CASE WHEN ((doc_id % 16) >> 2) & 1 = 1 THEN 'VARARGS' END,
          CASE WHEN ((doc_id % 16) >> 3) & 1 = 1 THEN 'VARKEYWORDS' END) AS flags
 FROM documents
+""",
+        # S8 bounded debug render: top-15 by key, widths from the subset
+        "render_debug": """
+WITH top AS (
+  SELECT n_nationkey, n_name, n_regionkey,
+         row_number() OVER (ORDER BY n_nationkey) AS line_no
+  FROM nation QUALIFY line_no <= 15
+),
+w AS (
+  SELECT greatest(length('n_nationkey'), max(length(n_nationkey::VARCHAR))) AS w1,
+         greatest(length('n_name'), max(length(n_name))) AS w2,
+         greatest(length('n_regionkey'), max(length(n_regionkey::VARCHAR))) AS w3
+  FROM top
+)
+SELECT line_no::INT AS line_no,
+       concat_ws(' | ',
+         lpad(n_nationkey::VARCHAR, w1::INT, ' '),
+         rpad(n_name, w2::INT, ' '),
+         lpad(n_regionkey::VARCHAR, w3::INT, ' ')) AS line
+FROM top CROSS JOIN w
 """,
         "extract_text_rt": "SELECT doc_id, text AS text_extracted FROM documents",
         "extract_links_rt": """

@@ -15,7 +15,7 @@ collecting, so it is never a distributed-compute path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def fixed_width_row(
@@ -50,6 +50,44 @@ def bitmask_names(mask_col, names: list[str]):
             ]
         ),
         lambda x: x.isNotNull(),
+    )
+
+
+def debug_lines(
+    df: DataFrame, n: int, order_by: list[str], sep: str = " | "
+) -> DataFrame:
+    """S8 as a DATAFLOW sink: the bounded debug render, deterministic and
+    distributed — top-``n`` rows under an explicit total order, each
+    rendered as one fixed-width line whose column widths are the max
+    display width over the bounded subset (the same auto-layout rule as
+    ``to_debug_string``, but the result is (line_no, line) rows, never a
+    driver-side string). The limit happens BEFORE the width aggregation,
+    so the whole sink touches n rows regardless of input size."""
+    cols = df.columns
+    dtypes = dict(df.dtypes)
+    w = Window.orderBy(*order_by)
+    top = (
+        df.withColumn("line_no", F.row_number().over(w))
+        .where(F.col("line_no") <= n)
+    )
+    widths = top.agg(
+        *[
+            F.greatest(
+                F.lit(len(c)), F.max(F.length(F.col(c).cast("string")))
+            ).alias(f"w_{c}")
+            for c in cols
+        ]
+    )
+    parts = []
+    for c in cols:
+        fn = "lpad" if dtypes.get(c, "string") != "string" else "rpad"
+        parts.append(F.expr(f"{fn}(cast(`{c}` as string), w_{c}, ' ')"))
+    return (
+        top.crossJoin(F.broadcast(widths))
+        .select(
+            F.col("line_no").cast("int").alias("line_no"),
+            F.concat_ws(sep, *parts).alias("line"),
+        )
     )
 
 

@@ -76,3 +76,20 @@ def test_dot_lines_and_document(spark):
     assert doc.count(";") == 3
     undoc = to_dot(edges, directed=False)
     assert '"a" -- "b";' in undoc and undoc.startswith("graph g {")
+
+
+def test_debug_lines_bounded_deterministic(spark):
+    """S8 dataflow sink: top-n under the explicit order, widths from the
+    bounded subset, numerics left-padded / strings right-padded."""
+    from linkgraph.render import debug_lines
+
+    df = spark.createDataFrame(
+        [(3, "ccc"), (1, "a"), (2, "bbbbbbb"), (10, "d")],
+        "k long, name string",
+    )
+    out = {r["line_no"]: r["line"] for r in debug_lines(df, 3, ["k"]).collect()}
+    assert set(out) == {1, 2, 3}
+    # widths from subset {1,2,3}: k width = len("k")=1, name width = 7
+    assert out[1] == "1 | a      "
+    assert out[2] == "2 | bbbbbbb"
+    assert out[3] == "3 | ccc    "
