@@ -161,6 +161,20 @@ def q_graph_pagerank2_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_hits2(spark, sf_dir):
+    """Two HITS rounds (hubs & authorities, L1-normalized per half-step)
+    against the same unrolled-SQL oracle style as graph_pagerank2."""
+    from linkgraph.hits import hits
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    out = hits(spark, edges, tpcgraph.vertices_of(edges), iterations=2)
+    return out.select(
+        "id",
+        F.round("hub", 9).alias("hub9"),
+        F.round("authority", 9).alias("auth9"),
+    )
+
+
 def q_graph_components(spark, sf_dir):
     edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
     return connected_components(spark, edges, tpcgraph.vertices_of(edges))
@@ -788,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pagerank2": q_graph_pagerank2,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
+        "graph_hits2": q_graph_hits2,
         "graph_components": q_graph_components,
         "graph_components_blocked": q_graph_components_blocked,
         "graph_complexity": q_graph_complexity,
@@ -954,6 +969,28 @@ c_{out} AS (
 """
 
 
+def _hits_half(prev: str, out: str, direction: str) -> str:
+    """One unrolled HITS half-step (sum over in- or out-edges, then L1
+    normalize; zero-fill vertices with no contribution — mirrors
+    linkgraph.hits._l1_normalize)."""
+    jc, gc = ("src", "dst") if direction == "auth" else ("dst", "src")
+    col = "authority" if direction == "auth" else "hub"
+    pcol = "hub" if direction == "auth" else "authority"
+    return f"""
+{out}r AS (
+  SELECT v.id, coalesce(s.x, 0.0) AS raw FROM verts v
+  LEFT JOIN (
+    SELECT e.{gc} AS id, sum(p.{pcol}) AS x
+    FROM edges e JOIN {prev} p ON e.{jc} = p.id GROUP BY 1
+  ) s ON v.id = s.id
+),
+{out} AS (
+  SELECT id, CASE WHEN (SELECT sum(raw) FROM {out}r) > 0
+    THEN raw / (SELECT sum(raw) FROM {out}r) ELSE 0.0 END AS {col}
+  FROM {out}r
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     mh_cols = ",\n    ".join(
         f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(8)
@@ -1059,6 +1096,17 @@ outd AS (
 r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
 {',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
 SELECT id, round(r, 9) AS rank9 FROM r2
+""",
+        "graph_hits2": f"""
+WITH {_EDGES},
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts)
+,{_hits_half('h0', 'a1', 'auth')}
+,{_hits_half('a1', 'h1', 'hub')}
+,{_hits_half('h1', 'a2', 'auth')}
+,{_hits_half('a2', 'h2', 'hub')}
+SELECT h2.id, round(h2.hub, 9) AS hub9, round(a2.authority, 9) AS auth9
+FROM h2 JOIN a2 ON h2.id = a2.id
 """,
         "graph_components_blocked": f"""
 WITH RECURSIVE {_SEDGES}, {_COMPS}

@@ -1,0 +1,103 @@
+"""HITS (hubs & authorities) over the link graph.
+
+The companion eigenvector algorithm to PageRank (Kleinberg '99): a page's
+AUTHORITY is the summed hub weight of pages linking TO it; its HUB score
+is the summed authority of pages it links to. Widens the engine's graph
+suite beyond the four mandated algorithms with the same dataflow shape:
+each half-step is one join + one sum-aggregate keyed on vertex id — the
+identical shuffle signature as a PageRank superstep, so everything said
+about partitioning/skew there holds here.
+
+Spec (deterministic, SQL-replicable): start h = 1/|V|; per iteration
+  a_raw(v) = Σ_{(u,v)∈E} h(u);   a = a_raw / Σ a_raw   (0 if Σ = 0)
+  h_raw(u) = Σ_{(u,v)∈E} a(v);   h = h_raw / Σ h_raw
+(L1 normalization each half-step — both vectors always sum to 1, so the
+fixpoint equals networkx's sum-normalized ``nx.hits`` at convergence;
+tests pin allclose 1e-6.) Vertices with no in-links have authority 0, no
+out-links hub 0.
+
+Normalization scalars ride as broadcast one-row frames (crossJoin), so a
+fixed-iteration run is ONE lazy plan — no per-round driver action
+(lineage.truncate_plan eager=False per half-step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .lineage import truncate_plan
+
+
+def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+    total = df.agg(F.sum(col).alias("_t"))
+    return df.crossJoin(F.broadcast(total)).select(
+        "id",
+        F.when(F.col("_t") > 0, F.col(col) / F.col("_t"))
+        .otherwise(F.lit(0.0))
+        .alias(col),
+    )
+
+
+def hits(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 50,
+) -> DataFrame:
+    """-> (id, hub, authority) after ``iterations`` full HITS rounds."""
+    e = edges.select("src", "dst").distinct()
+    ids = vertices.select("id")
+    h = truncate_plan(
+        ids.crossJoin(
+            F.broadcast(ids.agg((1.0 / F.count("*")).alias("_h0")))
+        ).select("id", F.col("_h0").alias("hub")),
+        eager=False,
+    )
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        a = _l1_normalize(
+            ids.join(a_raw, "id", "left").select(
+                "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        )
+        a = truncate_plan(a, eager=False)
+        h_raw = (
+            e.join(a.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        h = _l1_normalize(
+            ids.join(h_raw, "id", "left").select(
+                "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        h = truncate_plan(h, eager=False)
+    return h.join(a, "id").select("id", "hub", "authority")
+
+
+def hits_oracle(
+    nodes, edges, iterations: int = 50
+) -> dict[int, tuple[float, float]]:
+    """Pure-Python replica of the spec (test oracle) -> {id: (hub, auth)}."""
+    nodes = list(nodes)
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        a = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            a[v] += h[u]
+        s = sum(a.values())
+        a = {v: (x / s if s > 0 else 0.0) for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            h[u] += a[v]
+        s = sum(h.values())
+        h = {v: (x / s if s > 0 else 0.0) for v, x in h.items()}
+    return {v: (h[v], a[v]) for v in nodes}
