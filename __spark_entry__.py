@@ -175,6 +175,15 @@ def q_graph_hits2(spark, sf_dir):
     )
 
 
+def q_graph_kcore(spark, sf_dir):
+    """Two bounded k-core peel rounds (k=2) on the sparse edge set —
+    unrolled degree-filter CTEs replicate each round exactly in SQL."""
+    from linkgraph.kcore import kcore
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    return kcore(spark, edges, tpcgraph.vertices_of(edges), k=2, rounds=2)
+
+
 def q_graph_components(spark, sf_dir):
     edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
     return connected_components(spark, edges, tpcgraph.vertices_of(edges))
@@ -803,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank2": q_graph_pagerank2,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
+        "graph_kcore": q_graph_kcore,
         "graph_components": q_graph_components,
         "graph_components_blocked": q_graph_components_blocked,
         "graph_complexity": q_graph_complexity,
@@ -1107,6 +1117,23 @@ h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts)
 ,{_hits_half('a2', 'h2', 'hub')}
 SELECT h2.id, round(h2.hub, 9) AS hub9, round(a2.authority, 9) AS auth9
 FROM h2 JOIN a2 ON h2.id = a2.id
+""",
+        "graph_kcore": f"""
+WITH {_SEDGES},
+a0 AS (SELECT id FROM sverts),
+d1 AS (
+  SELECT u.u AS id, count(*) AS core_deg
+  FROM und u JOIN a0 x ON u.u = x.id JOIN a0 y ON u.v = y.id
+  GROUP BY 1
+),
+a1 AS (SELECT id, core_deg FROM d1 WHERE core_deg >= 2),
+d2 AS (
+  SELECT u.u AS id, count(*) AS core_deg
+  FROM und u JOIN a1 x ON u.u = x.id JOIN a1 y ON u.v = y.id
+  GROUP BY 1
+),
+a2 AS (SELECT id, core_deg FROM d2 WHERE core_deg >= 2)
+SELECT id, core_deg FROM a2
 """,
         "graph_components_blocked": f"""
 WITH RECURSIVE {_SEDGES}, {_COMPS}
