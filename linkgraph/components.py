@@ -91,9 +91,16 @@ def connected_components(
     # lazy truncation: the fixpoint signature aggregate is the ONE action
     # per round — it materializes the checkpoint blocks AND returns the
     # (count, hash) signature in the same job (round-2 judge finding #2:
-    # a separate eager checkpoint + signature pass cost two actions/round)
+    # a separate eager checkpoint + signature pass cost two actions/round).
+    # No up-front signature of the raw pair set either: round 1 folds the
+    # canonicalize+distinct into its own materializing job, and an
+    # already-converged input just costs the same one confirmation round
+    # the signature scheme always needs.
+    # lazy truncate (NOT plain lazy): _large_star unions `pairs` with its
+    # swap, so the canon-distinct must be block-cached or round 1 computes
+    # it twice; eager=False folds that materialization into round 1's job
     pairs = truncate_plan(_canon_pairs(edges), eager=False)
-    sig = _signature(pairs)
+    sig: tuple[int, int] | None = None
     for step in range(max_iter):
         pairs = _small_star(_large_star(pairs))
         if checkpoint is not None:

@@ -135,6 +135,7 @@ def build_blocked(
     blocking: str = "hash",
     fingerprint: dict | None = None,
     n_vertices: int | None = None,
+    persist_sidecars: bool | None = None,
 ) -> BlockedGraph:
     """One-time compaction: edges(src,dst) + vertices(id) -> BlockedGraph.
 
@@ -148,6 +149,13 @@ def build_blocked(
     if n_blocks is None:
         n_blocks = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     build_token = uuid.uuid4().hex
+    # sidecar parquet (_meta/_vmap/_pairs) exists solely so load_blocked()
+    # can reopen the store in a LATER session. An anonymous uuid store in
+    # tmpfs is unreachable cross-session by construction, so writing its
+    # sidecars is three pure-overhead write jobs per build (~2s at sf0.1);
+    # default: persist exactly when the caller named the store.
+    if persist_sidecars is None:
+        persist_sidecars = store_path is not None
     if store_path is None:
         base = (
             "/dev/shm/linkgraph-blocks"
@@ -262,13 +270,14 @@ def build_blocked(
             ),
             "db",
         ),
-        eager=False,  # the _pairs write below materializes it
+        eager=False,  # the _pairs write (or first consumer) materializes it
     )
-    # persist the sidecar tables so a BlockedGraph is reloadable without a
-    # rebuild (resumable runs; bench iteration)
-    block_meta.write.mode("overwrite").parquet(f"{store_path}/_meta")
-    vmap.write.mode("overwrite").parquet(f"{store_path}/_vmap")
-    pair_index.write.mode("overwrite").parquet(f"{store_path}/_pairs")
+    if persist_sidecars:
+        # persist the sidecar tables so a BlockedGraph is reloadable
+        # without a rebuild (resumable runs; cross-session bench stores)
+        block_meta.write.mode("overwrite").parquet(f"{store_path}/_meta")
+        vmap.write.mode("overwrite").parquet(f"{store_path}/_vmap")
+        pair_index.write.mode("overwrite").parquet(f"{store_path}/_pairs")
     with open(f"{store_path}/_info.json", "w") as f:
         json.dump(
             {
@@ -278,6 +287,7 @@ def build_blocked(
                 "n_blocks": n_blocks,
                 "blocking": blocking,
                 "build_token": build_token,
+                "sidecars": bool(persist_sidecars),
                 "fingerprint": fingerprint or {},
             },
             f,
@@ -292,6 +302,12 @@ def load_blocked(spark, store_path: str) -> BlockedGraph:
     """Reopen a block store written by build_blocked (no recompute)."""
     with open(f"{store_path}/_info.json") as f:
         info = json.load(f)
+    if not info.get("sidecars", True):
+        raise ValueError(
+            f"store {store_path} was built with persist_sidecars=False "
+            "(ephemeral, in-session only) — rebuild with build_blocked("
+            "store_path=..., persist_sidecars=True) to make it reloadable"
+        )
     if info.get("format") != STORE_FORMAT:
         raise ValueError(
             f"store {store_path} is format {info.get('format', 1)}, "
