@@ -581,6 +581,11 @@ def q_text_langid(spark, sf_dir):
     return textops.langid(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (map-only array lambdas)."""
+    return textops.repetition(_docs(spark, sf_dir))
+
+
 def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
@@ -839,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -1438,6 +1444,59 @@ SELECT doc_id, len(t)::BIGINT AS n_tokens, length(nrm)::BIGINT AS n_chars_norm,
             ELSE round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 6)
        END AS avg_token_len
 FROM toks
+""",
+        "text_repetition": f"""
+WITH {_TOKS},
+lx AS (
+  SELECT d.doc_id, t.t, t.nrm,
+    list_filter(list_transform(string_split(d.text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+gx AS (
+  SELECT doc_id, lines, nrm,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS g2,
+    CASE WHEN len(t) >= 5
+         THEN list_transform(range(1, len(t) - 3),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+         ELSE CAST([] AS VARCHAR[]) END AS g5
+  FROM lx
+),
+ax AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    len(list_distinct(lines)) AS n_dlines,
+    coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
+    coalesce(list_sum(list_transform(list_distinct(lines),
+      d -> CASE WHEN len(list_filter(lines, x -> x = d)) > 1
+           THEN (len(list_filter(lines, x -> x = d)) - 1) * length(d)
+           ELSE 0 END)), 0) AS dup_line_chars,
+    length(nrm) AS n_chars,
+    coalesce(list_max(list_transform(list_distinct(g2),
+      d -> len(list_filter(g2, x -> x = d)))), 0) AS maxc2,
+    list_min(list_filter(list_distinct(g2),
+      d -> len(list_filter(g2, x -> x = d)) =
+           list_max(list_transform(list_distinct(g2),
+             e -> len(list_filter(g2, x -> x = e)))))) AS topg2,
+    coalesce(list_sum(list_transform(list_distinct(g5),
+      d -> CASE WHEN len(list_filter(g5, x -> x = d)) > 1
+           THEN len(list_filter(g5, x -> x = d)) * length(d)
+           ELSE 0 END)), 0) AS dup5_chars
+  FROM gx
+)
+SELECT doc_id,
+  n_lines::BIGINT AS n_lines,
+  CASE WHEN n_lines = 0 THEN 0.0
+       ELSE round((n_lines - n_dlines) / n_lines, 6) END AS dup_line_frac,
+  CASE WHEN line_chars = 0 THEN 0.0
+       ELSE round(dup_line_chars / line_chars, 6) END AS dup_line_char_frac,
+  CASE WHEN n_chars = 0 OR maxc2 = 0 THEN 0.0
+       ELSE round(maxc2 * length(topg2) / n_chars, 6) END AS top_2gram_char_frac,
+  CASE WHEN n_chars = 0 THEN 0.0
+       ELSE round(dup5_chars / n_chars, 6) END AS dup_5gram_frac
+FROM ax
 """,
         "text_quality": f"""
 WITH {_TOKS},

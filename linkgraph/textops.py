@@ -108,6 +108,108 @@ def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     return docs.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+def repetition(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_char_frac, dup_5gram_frac) — Gopher-style repetition
+    signals (Rae et al. 2021, "Scaling Language Models", App. A1.1), the
+    standard filters for machine-generated / boilerplate webtext.
+
+    Deliberately MAP-ONLY: every signal is computed per document with
+    array higher-order functions (distinct + per-element count via
+    filter), so the operator is a pure projection — zero shuffles at any
+    corpus size, unlike the explode+groupBy formulation whose exchange
+    would carry one row per (doc, line/gram). Per-doc cost is
+    O(items x distinct items); web documents are small enough that this
+    beats a corpus-wide shuffle by orders of magnitude at 100 TB.
+
+    Definitions (deterministic, DuckDB-replicable; they count OVERLAPPING
+    gram characters, a documented simplification of Gopher's
+    covered-character versions):
+
+    - lines = non-empty trimmed '\\n'-splits
+    - dup_line_frac       = (n_lines - n_distinct_lines) / n_lines
+    - dup_line_char_frac  = chars in repeat line instances beyond the
+                            first, over total line chars
+    - top_2gram_char_frac = occurrences x chars of the most frequent
+                            token 2-gram (ties -> lexicographically
+                            smallest, engine-wide min tie-break), over
+                            normalized text length
+    - dup_5gram_frac      = occurrences x chars summed over token 5-grams
+                            appearing more than once, over normalized text
+                            length (overlaps may push it past 1.0)
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    # per-distinct-line occurrence counts, reused by both line signals
+    lcnt = F.transform(
+        dlines, lambda d: F.size(F.filter(lines, lambda x: x == d))
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_line_chars = F.aggregate(
+        F.zip_with(
+            dlines,
+            lcnt,
+            lambda d, c: F.when(c > 1, (c - 1) * F.length(d)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+    t = tokens_col(F.col(text_col))
+    n_chars = F.length(norm_col(F.col(text_col)))
+
+    def grams(n: int) -> Column:
+        m = F.size(t) - (n - 1)
+        g = F.slice(t, 1, m)
+        for k in range(2, n + 1):
+            g = F.zip_with(g, F.slice(t, k, m), lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(g)
+
+    def counted(g: Column) -> Column:
+        dg = F.array_distinct(g)
+        return F.zip_with(
+            dg,
+            F.transform(dg, lambda d: F.size(F.filter(g, lambda x: x == d))),
+            lambda d, c: F.struct(d.alias("g"), c.alias("c")),
+        )
+
+    g2 = counted(grams(2))
+    # argmax by count, min-gram tie-break, as a single ordered struct-min
+    top2 = F.array_min(
+        F.transform(g2, lambda s: F.struct((-s["c"]).alias("nc"), s["g"].alias("g")))
+    )
+    top2_chars = F.when(F.size(g2) == 0, F.lit(0)).otherwise(
+        (-top2["nc"]) * F.length(top2["g"])
+    )
+    g5 = counted(grams(5))
+    dup5_chars = F.aggregate(
+        F.transform(
+            g5,
+            lambda s: F.when(s["c"] > 1, s["c"] * F.length(s["g"])).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(0.0)).otherwise(F.round(num / den, 6))
+
+    return docs.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        frac(n_lines - F.size(dlines), n_lines).alias("dup_line_frac"),
+        frac(dup_line_chars, line_chars).alias("dup_line_char_frac"),
+        frac(top2_chars, n_chars).alias("top_2gram_char_frac"),
+        frac(dup5_chars, n_chars).alias("dup_5gram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, fp_md5, fp64) — content fingerprint of normalized text.
 

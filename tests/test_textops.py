@@ -90,3 +90,69 @@ def test_fingerprint_invariant_under_whitespace(spark):
     )
     fps = [r["fp_md5"] for r in textops.fingerprint(df).orderBy("doc_id").collect()]
     assert fps[0] == fps[1] == fps[2]
+
+
+def _rep_oracle(text: str) -> dict:
+    """Pure-Python replica of textops.repetition for one document."""
+    lines = [x.strip() for x in text.split("\n") if x.strip()]
+    toks = norm(text).split() if norm(text) else []
+    nchars = len(norm(text))
+
+    def counts(items):
+        c: dict = {}
+        for x in items:
+            c[x] = c.get(x, 0) + 1
+        return c
+
+    lc = counts(lines)
+    line_chars = sum(len(x) for x in lines)
+    dup_line_chars = sum((c - 1) * len(d) for d, c in lc.items() if c > 1)
+    g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    g5 = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+    c2, c5 = counts(g2), counts(g5)
+    if c2:
+        maxc = max(c2.values())
+        topg = min(g for g, c in c2.items() if c == maxc)
+        top2 = maxc * len(topg)
+    else:
+        top2 = 0
+    dup5 = sum(c * len(g) for g, c in c5.items() if c > 1)
+
+    def frac(n, d):
+        return round(n / d, 6) if d else 0.0
+
+    return {
+        "n_lines": len(lines),
+        "dup_line_frac": frac(len(lines) - len(lc), len(lines)),
+        "dup_line_char_frac": frac(dup_line_chars, line_chars),
+        "top_2gram_char_frac": frac(top2, nchars),
+        "dup_5gram_frac": frac(dup5, nchars),
+    }
+
+
+def test_repetition_vs_python_oracle(spark):
+    rows = [
+        (0, "hello world\nhello world\nunique line"),
+        (1, "a b a b a b a b"),
+        (2, ""),
+        (3, "spam spam spam spam spam spam"),
+        (4, "one two three four five six seven one two three four five six"),
+        (5, "Line A\nline a\nLINE A\n\n  \nLine B"),
+        (6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textops.repetition(df).collect()}
+    for i, text in rows:
+        want = _rep_oracle(text)
+        for k, v in want.items():
+            assert got[i][k] == pytest.approx(v, abs=1e-9), (i, k)
+
+
+def test_repetition_corpus_ranges(spark, docs_df):
+    out = textops.repetition(docs_df).collect()
+    assert len(out) == docs_df.count()
+    for r in out:
+        assert 0.0 <= r["dup_line_frac"] <= 1.0
+        assert 0.0 <= r["dup_line_char_frac"] <= 1.0
+        assert r["top_2gram_char_frac"] >= 0.0
+        assert r["dup_5gram_frac"] >= 0.0
