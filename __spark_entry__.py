@@ -586,6 +586,19 @@ def q_text_repetition(spark, sf_dir):
     return textops.repetition(_docs(spark, sf_dir))
 
 
+def q_text_c4_clean(spark, sf_dir):
+    """C4-style line cleaning (map-only array lambdas)."""
+    return textops.c4_clean(_docs(spark, sf_dir))
+
+
+def q_source_report(spark, sf_dir):
+    """Per-source curation report (quality + global exact-dup attribution
+    in one projection + fp window + source aggregation)."""
+    from linkgraph.curation import source_report
+
+    return source_report(_docs(spark, sf_dir))
+
+
 def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
@@ -845,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_repetition": q_text_repetition,
+        "text_c4_clean": q_text_c4_clean,
+        "source_report": q_source_report,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -1497,6 +1512,57 @@ SELECT doc_id,
   CASE WHEN n_chars = 0 THEN 0.0
        ELSE round(dup5_chars / n_chars, 6) END AS dup_5gram_frac
 FROM ax
+""",
+        "text_c4_clean": f"""
+WITH lx AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM documents
+),
+kx AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, x ->
+      len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+      AND (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+           OR ends_with(x, '"'))
+      AND NOT contains(lower(x), 'javascript')
+      AND NOT contains(x, '{{') AND NOT contains(x, '}}')
+    ) AS kept
+  FROM lx
+)
+SELECT doc_id,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  len(kept)::BIGINT AS n_lines_kept,
+  (len(lines) - len(kept))::BIGINT AS n_lines_dropped,
+  contains(lower(text), 'lorem ipsum') AS drop_doc
+FROM kx
+""",
+        "source_report": f"""
+WITH {_TOKS},
+ratios AS (
+  SELECT t.doc_id, d.source, len(t.t)::BIGINT AS n_tokens, md5(t.nrm) AS fp,
+    CASE WHEN len(t.t) = 0 THEN 0.0
+         ELSE len(list_filter(t.t, x -> x IN {_STOP_SQL}))::DOUBLE / len(t.t) END AS sr,
+    CASE WHEN length(t.text) = 0 THEN 0.0
+         ELSE (length(t.text) - length(regexp_replace(t.text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+              / length(t.text) END AS pr
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+),
+perdoc AS (
+  SELECT doc_id, source, n_tokens,
+    round(sr, 6) AS sr6,
+    round(least(sr * 2.0, 1.0) * 0.4
+          + CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+          + greatest(0.0, 0.2 - pr), 6) AS qs6,
+    (doc_id <> min(doc_id) OVER (PARTITION BY fp)) AS is_dup
+  FROM ratios
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+  round(avg(qs6), 6) AS avg_quality,
+  round(avg(sr6), 6) AS avg_stopword_ratio,
+  round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6) AS exact_dup_frac
+FROM perdoc GROUP BY source
 """,
         "text_quality": f"""
 WITH {_TOKS},

@@ -1,0 +1,57 @@
+"""Corpus curation summaries — the reporting layer of a training-data
+pipeline (what fraction of each source survives dedup + quality gates,
+and what it contributes in tokens).
+
+≙ reference capability: per-group enrichment/aggregation over classified
+rows (/root/reference/src/ccm/complexity.py:34-55 computes per-graph
+scalar rollups; here the grouping key is the corpus ``source``).
+
+Scale shape: ONE projection computes every per-doc signal (quality
+expressions + content fingerprint, all JVM whole-stage codegen), one
+window over the fingerprint marks exact duplicates, one aggregation by
+source produces the report — two exchanges total, no self-joins, nothing
+per-row in Python. At 100 TB both exchanges are on keys with natural
+cardinality bounds (distinct fingerprints, distinct sources).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textops import norm_col, quality_cols
+
+
+def source_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """-> (source, n_docs, total_tokens, avg_quality, avg_stopword_ratio,
+    exact_dup_frac) — one row per source.
+
+    ``exact_dup_frac`` is the fraction of the source's docs an exact
+    dedup pass would drop: duplicates are corpus-GLOBAL (same normalized
+    text anywhere, keeper = min doc id, the engine-wide min tie-break),
+    then attributed to the source of each dropped doc.
+    """
+    q = quality_cols(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality_score"].alias("quality_score"),
+        F.md5(norm_col(F.col(text_col))).alias("fp_md5"),
+    )
+    flagged = per_doc.withColumn(
+        "is_dup",
+        F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("fp_md5")),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg(F.col("is_dup").cast("double")), 6).alias("exact_dup_frac"),
+    )

@@ -61,12 +61,10 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """-> (doc_id, n_tokens, stopword_ratio, punct_ratio, quality_score).
-
-    quality_score is a deterministic [0,1] heuristic: rewarded for stopword
-    presence and a sane token count, penalized for punctuation density.
-    """
+def quality_cols(text_col: str = "text") -> dict[str, Column]:
+    """The quality-signal expressions as a name->Column dict, so composed
+    operators (see linkgraph.curation) can ride them in their own single
+    projection instead of joining quality()'s output back on doc_id."""
     t = tokens_col(F.col(text_col))
     n_tok = F.size(t)
     sw = _count_in(t, STOPWORDS["en"])
@@ -81,12 +79,23 @@ def quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         + F.when((n_tok >= 10) & (n_tok <= 5000), 0.4).otherwise(0.0)
         + F.greatest(F.lit(0.0), F.lit(0.2) - punct_ratio)
     )
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, stopword_ratio, punct_ratio, quality_score).
+
+    quality_score is a deterministic [0,1] heuristic: rewarded for stopword
+    presence and a sane token count, penalized for punctuation density.
+    """
+    cols = quality_cols(text_col)
     return docs.select(
-        F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -207,6 +216,52 @@ def repetition(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         frac(dup_line_chars, line_chars).alias("dup_line_char_frac"),
         frac(top2_chars, n_chars).alias("top_2gram_char_frac"),
         frac(dup5_chars, n_chars).alias("dup_5gram_frac"),
+    )
+
+
+def c4_clean(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, clean_text, n_lines_kept, n_lines_dropped, drop_doc) —
+    C4-style line-level cleaning (Raffel et al. 2020, §2.2), the standard
+    boilerplate stripper for webtext corpora. Map-only (array lambdas in
+    one projection — zero shuffle at any corpus size).
+
+    Line KEEP rules (all must hold, evaluated on the trimmed line):
+    - at least 3 whitespace-separated words
+    - ends in terminal punctuation: . ! ? or a closing double quote
+    - does not mention 'javascript' (case-insensitive)
+    - does not contain a curly brace (code templating)
+
+    ``drop_doc`` flags documents C4 removes outright ('lorem ipsum'
+    placeholder text anywhere, case-insensitive); the text is still
+    cleaned so callers can inspect, but a curation pipeline filters on
+    the flag. clean_text joins surviving lines with newlines.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def keep(x: Column) -> Column:
+        low = F.lower(x)
+        words = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+        terminal = (
+            x.endswith(".") | x.endswith("!") | x.endswith("?") | x.endswith('"')
+        )
+        return (
+            (words >= 3)
+            & terminal
+            & ~low.contains("javascript")
+            & ~x.contains("{")
+            & ~x.contains("}")
+        )
+
+    kept = F.filter(lines, keep)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("drop_doc"),
     )
 
 

@@ -1,0 +1,54 @@
+"""Per-source curation report: aggregates match a pure-Python replica;
+global dup attribution lands on the dropped doc's source."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from linkgraph.curation import source_report
+from linkgraph import textops
+
+
+def test_source_report_handcrafted(spark):
+    rows = [
+        # s1: two docs, one the global keeper of a dup pair
+        (0, "the quick brown fox jumps over it", "s1"),
+        (1, "totally unique text in s1 and that is fine", "s1"),
+        # s2: exact dup of doc 0 (normalized) -> dropped, attributed to s2
+        (2, "The  QUICK brown fox, jumps over it!", "s2"),
+        (3, "another text that is unique to s2", "s2"),
+        # s3: internal dup pair -> one dropped
+        (4, "same same", "s3"),
+        (5, "same same", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_report(df).collect()}
+    assert set(got) == {"s1", "s2", "s3"}
+    assert got["s1"]["n_docs"] == 2 and got["s1"]["exact_dup_frac"] == 0.0
+    assert got["s2"]["n_docs"] == 2 and got["s2"]["exact_dup_frac"] == 0.5
+    assert got["s3"]["n_docs"] == 2 and got["s3"]["exact_dup_frac"] == 0.5
+
+    # totals and means agree with the per-doc quality operator
+    q = {r["doc_id"]: r for r in textops.quality(df).collect()}
+    for src in ("s1", "s2", "s3"):
+        ids = [i for i, _, s in rows if s == src]
+        assert got[src]["total_tokens"] == sum(q[i]["n_tokens"] for i in ids)
+        want_avg = round(sum(q[i]["quality_score"] for i in ids) / len(ids), 6)
+        # Spark rounds HALF_UP, python round() is banker's — 1 ulp@1e-6 slack
+        assert got[src]["avg_quality"] == pytest.approx(want_avg, abs=2e-6)
+
+
+@pytest.fixture()
+def docs_df(spark):
+    rows = [(i, f"doc number {i} with some shared words the and of value {i % 7}")
+            for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_source_report_corpus(spark, docs_df):
+    df = docs_df.withColumn(
+        "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(3)))
+    )
+    out = source_report(df).collect()
+    assert sum(r["n_docs"] for r in out) == df.count()
+    for r in out:
+        assert 0.0 <= r["exact_dup_frac"] <= 1.0

@@ -156,3 +156,39 @@ def test_repetition_corpus_ranges(spark, docs_df):
         assert 0.0 <= r["dup_line_char_frac"] <= 1.0
         assert r["top_2gram_char_frac"] >= 0.0
         assert r["dup_5gram_frac"] >= 0.0
+
+
+def test_c4_clean_rules(spark):
+    rows = [
+        (0, "This is a sentence.\nshort one.\nNo terminal punct here\n"
+            "Enable javascript to view this page.\nif (x) { return y; }\n"
+            'He said "stop there."\nAnother good long sentence!'),
+        (1, "Lorem Ipsum dolor sit amet.\nA real keeper sentence."),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.c4_clean(df).collect()}
+    # doc 0: kept = the 3-word terminal-punct lines without js/braces
+    assert got[0]["clean_text"].split("\n") == [
+        "This is a sentence.",
+        'He said "stop there."',
+        "Another good long sentence!",
+    ]
+    assert got[0]["n_lines_kept"] == 3
+    assert got[0]["n_lines_dropped"] == 4
+    assert not got[0]["drop_doc"]
+    # doc 1: lorem ipsum flags the whole doc (case-insensitive)
+    assert got[1]["drop_doc"]
+    assert got[1]["n_lines_kept"] == 2
+    # doc 2: empty text -> empty output, nothing dropped
+    assert got[2]["clean_text"] == ""
+    assert got[2]["n_lines_kept"] == 0 and got[2]["n_lines_dropped"] == 0
+
+
+def test_c4_clean_corpus(spark, docs_df):
+    out = textops.c4_clean(docs_df)
+    assert out.count() == docs_df.count()
+    r = out.agg(
+        F.sum("n_lines_kept").alias("k"), F.sum("n_lines_dropped").alias("d")
+    ).collect()[0]
+    assert r["k"] >= 0 and r["d"] >= 0
