@@ -146,6 +146,20 @@ def q_graph_pagerank2(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 9).alias("rank9"))
 
 
+def q_graph_ppr2(spark, sf_dir):
+    """Two PERSONALIZED PageRank supersteps: teleport + dangling mass go
+    to the seed set (customer ids divisible by 50), networkx
+    personalization semantics — same unrolled-SQL oracle family as
+    graph_pagerank2."""
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    seeds = verts.where(
+        (F.col("id") < 1000000) & (F.col("id") % 50 == 0)
+    ).select("id")
+    res = pagerank(spark, edges, verts, tol=0.0, max_iter=2, seeds=seeds)
+    return res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+
+
 def q_graph_pagerank2_blocked(spark, sf_dir):
     """Two supersteps through the SCALE path — blocked CSR store, packed
     edge words, native scatter-add kernel, pre-scaled rank files — against
@@ -828,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": q_graph_degrees,
         "graph_pagerank2": q_graph_pagerank2,
+        "graph_ppr2": q_graph_ppr2,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
         "graph_kcore": q_graph_kcore,
@@ -1000,6 +1015,24 @@ c_{out} AS (
 """
 
 
+def _ppr_round(prev: str, out: str) -> str:
+    """One unrolled PERSONALIZED PageRank superstep (damping .85; teleport
+    AND dangling mass land on the per-vertex tp distribution)."""
+    return f"""
+d_{out} AS (SELECT coalesce(sum(r), 0) AS dm FROM {prev} WHERE od = 0),
+c_{out} AS (
+  SELECT e.dst AS id, sum(p.r / p.od) AS contrib
+  FROM edges e JOIN {prev} p ON e.src = p.id GROUP BY 1
+),
+{out} AS (
+  SELECT p.id, p.od, p.tp,
+         0.15 * p.tp
+         + 0.85 * (coalesce(c.contrib, 0) + (SELECT dm FROM d_{out}) * p.tp) AS r
+  FROM {prev} p LEFT JOIN c_{out} c ON p.id = c.id
+)
+"""
+
+
 def _hits_half(prev: str, out: str, direction: str) -> str:
     """One unrolled HITS half-step (sum over in- or out-edges, then L1
     normalize; zero-fill vertices with no contribution — mirrors
@@ -1126,6 +1159,24 @@ outd AS (
 ),
 r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
 {',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
+SELECT id, round(r, 9) AS rank9 FROM r2
+""",
+        "graph_ppr2": f"""
+WITH {_EDGES},
+sd AS (SELECT id FROM verts WHERE id < 1000000 AND id % 50 = 0),
+ns AS (SELECT count(*)::DOUBLE AS k FROM sd),
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+outd AS (
+  SELECT v.id, coalesce(o.c, 0) AS od FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+),
+r0 AS (
+  SELECT o.id, o.od,
+         CASE WHEN s.id IS NULL THEN 0.0 ELSE 1.0 / (SELECT k FROM ns) END AS tp,
+         1.0 / (SELECT n FROM nn) AS r
+  FROM outd o LEFT JOIN sd s ON o.id = s.id
+)
+{',' + _ppr_round('r0', 'r1') + ',' + _ppr_round('r1', 'r2')}
 SELECT id, round(r, 9) AS rank9 FROM r2
 """,
         "graph_hits2": f"""

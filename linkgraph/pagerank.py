@@ -120,12 +120,22 @@ def pagerank(
     hub_threshold: int = 1024,
     num_partitions: int | None = None,
     resume: bool = False,
+    seeds: DataFrame | None = None,
 ) -> PageRankResult:
     """PageRank over edges(src,dst) / vertices(id,url,out_deg,in_deg).
 
     With ``checkpoint`` set, every ``checkpoint_every``-th superstep writes
     vertex state + manifest (resumable: pass ``resume=True`` to continue
     from the latest completed superstep of the same run_id).
+
+    ``seeds`` (a DataFrame with an ``id`` column) switches to PERSONALIZED
+    PageRank: both the teleport and the dangling-mass redistribution go to
+    the seed set (uniformly over seeds ∩ vertices) instead of all
+    vertices — networkx ``pagerank(personalization=..., dangling=None)``
+    semantics. Implementation-wise the teleport vector is just a per-vertex
+    ``tp`` column carried in the superstep state (1/|S| on seeds, else 0;
+    uniform 1/n without seeds), so the personalized path IS the plain path
+    — same joins, same salting, same checkpoint/resume machinery.
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -133,6 +143,23 @@ def pagerank(
     n = vertices.count()
     if n == 0:
         return PageRankResult(vertices.select("id", F.lit(0.0).alias("rank")), 0, True)
+
+    if seeds is not None:
+        seed_ids = seeds.select("id").distinct().join(
+            vertices.select("id"), "id"
+        )
+        n_seeds = seed_ids.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "personalized pagerank needs a non-empty seeds ∩ vertices set"
+            )
+        # the seed set is small by use-case (a user's context / a topic
+        # whitelist); broadcast the membership flag
+        tp_join = F.broadcast(
+            seed_ids.select("id", F.lit(1.0 / n_seeds).alias("tp"))
+        )
+    else:
+        tp_join = None
 
     e = _prepare_edges(edges, hub_threshold, salt_buckets, num_partitions)
     e = e.persist()
@@ -150,18 +177,24 @@ def pagerank(
         )
         .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
     )
+    if tp_join is not None:
+        deg = deg.join(tp_join, "id", "left").select(
+            "id", "out_deg", F.coalesce("tp", F.lit(0.0)).alias("tp")
+        )
+    else:
+        deg = deg.select("id", "out_deg", F.lit(1.0 / n).alias("tp"))
 
     start_step = 0
     if resume and checkpoint is not None:
         latest = checkpoint.latest_complete("pagerank")
         if latest is not None:
             state = checkpoint.read_state("pagerank", latest).select("id", "rank")
-            ranks = state.join(deg, "id").select("id", "out_deg", "rank")
+            ranks = state.join(deg, "id").select("id", "out_deg", "tp", "rank")
             start_step = latest + 1
         else:
-            ranks = deg.select("id", "out_deg", F.lit(1.0 / n).alias("rank"))
+            ranks = deg.select("id", "out_deg", "tp", F.lit(1.0 / n).alias("rank"))
     else:
-        ranks = deg.select("id", "out_deg", F.lit(1.0 / n).alias("rank"))
+        ranks = deg.select("id", "out_deg", "tp", F.lit(1.0 / n).alias("rank"))
 
     # NOTE: localCheckpoint drops partitioning metadata (the re-read plan is
     # an ExistingRDD with UnknownPartitioning), so pre-repartitioning vertex
@@ -220,11 +253,15 @@ def pagerank(
                 .select(
                     "id",
                     "out_deg",
+                    "tp",
                     F.col("rank").alias("rank_old"),
                     (
-                        F.lit((1.0 - damping) / n)
+                        F.lit(1.0 - damping) * F.col("tp")
                         + F.lit(damping)
-                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.lit(dangling) * F.col("tp")
+                        )
                     ).alias("rank"),
                 )
             )
@@ -246,14 +283,14 @@ def pagerank(
                 next_ranks = (
                     written.select("id", "rank")
                     .join(deg, "id")
-                    .select("id", "out_deg", "rank")
+                    .select("id", "out_deg", "tp", "rank")
                 )
                 next_ranks = truncate_plan(next_ranks)
             else:
                 next_ranks = truncate_plan(new_ranks)
                 row = next_ranks.agg(*_delta_aggs).collect()[0]
                 delta, next_dangling = float(row["l1"] or 0.0), float(row["dm"] or 0.0)
-                next_ranks = next_ranks.select("id", "out_deg", "rank")
+                next_ranks = next_ranks.select("id", "out_deg", "tp", "rank")
             new_ids = _persistent_rdd_ids(spark) - before - ranks_rdd_ids
             _unpersist_rdds(spark, ranks_rdd_ids)
             ranks_rdd_ids = new_ids

@@ -68,3 +68,48 @@ def test_top_k(spark, small, small_result):
     rows = top_k(small_result.ranks, small.vertices, k=5).collect()
     assert len(rows) == 5
     assert rows[0]["rank"] >= rows[-1]["rank"]
+
+
+def test_personalized_allclose_oracle(spark, small):
+    """PPR vs the pure-Python personalization replica (networkx
+    personalization=..., dangling=None semantics — nx itself needs scipy,
+    absent here): seed teleport, seed dangling redistribution, mass
+    conserved, non-seeds reachable only via links still ranked."""
+    from oracles import ppr_oracle
+
+    g = small.nx_digraph_ids()
+    seed_ids = sorted(i for i in g.nodes if i % 5 == 0)[:8]
+    assert seed_ids
+    want = ppr_oracle(g.nodes, g.edges, seed_ids, tol=1e-12)
+
+    seeds = spark.createDataFrame([(i,) for i in seed_ids], "id long")
+    res = pagerank(
+        spark, small.edges, small.vertices, tol=1e-10, max_iter=300, seeds=seeds
+    )
+    assert res.converged
+    got = collect_map(res.ranks, "id", "rank")
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-6, abs_tol=1e-6), v
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+
+
+def test_personalized_matches_python_oracle(spark, tiny):
+    from oracles import ppr_oracle
+
+    g = tiny.nx_digraph_ids()
+    seed_ids = sorted(g.nodes)[:3]
+    want = ppr_oracle(g.nodes, g.edges, seed_ids, tol=1e-13)
+    seeds = spark.createDataFrame([(i,) for i in seed_ids], "id long")
+    res = pagerank(
+        spark, tiny.edges, tiny.vertices, tol=1e-11, max_iter=300, seeds=seeds
+    )
+    got = collect_map(res.ranks, "id", "rank")
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-8, abs_tol=1e-9), v
+
+
+def test_personalized_empty_seed_intersection_raises(spark, tiny):
+    seeds = spark.createDataFrame([(999999999,)], "id long")
+    with pytest.raises(ValueError):
+        pagerank(spark, tiny.edges, tiny.vertices, max_iter=2, seeds=seeds)
