@@ -287,6 +287,14 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(spark, edges, tpcgraph.vertices_of(edges))
 
 
+def q_graph_lcc(spark, sf_dir):
+    """Local clustering coefficients on the supplier co-part graph."""
+    from linkgraph.triangles import clustering_coefficients
+
+    edges = tpcgraph.supplier_copart_edges(spark, sf_dir)
+    return clustering_coefficients(spark, edges, tpcgraph.vertices_of(edges))
+
+
 def q_graph_quotient(spark, sf_dir):
     """Nation-level quotient of the customer->supplier graph (G4: the
     reference's source-line quotient, re-expressed as two joins + distinct)."""
@@ -853,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_manifest": q_checkpoint_manifest,
         "graph_labelprop2": q_graph_labelprop2,
         "graph_triangles": q_graph_triangles,
+        "graph_lcc": q_graph_lcc,
         "graph_csr": q_graph_csr,
         "graph_quotient": q_graph_quotient,
         "graph_scc": q_graph_scc,
@@ -1302,6 +1311,34 @@ WITH {_SEDGES},
 l0 AS (SELECT id, id AS label FROM sverts)
 {',' + _lp_round('l0', 'l1') + ',' + _lp_round('l1', 'l2')}
 SELECT id, label FROM l2
+""",
+        "graph_lcc": """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pe a JOIN pe b ON a.p = b.p AND a.s < b.s
+),
+tv AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1),
+dg AS (
+  SELECT id, count(*) AS deg
+  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+)
+SELECT tv.id,
+  coalesce(dg.deg, 0)::BIGINT AS deg,
+  coalesce(cnt.triangles, 0)::BIGINT AS triangles,
+  CASE WHEN coalesce(dg.deg, 0) >= 2
+       THEN round(2.0 * coalesce(cnt.triangles, 0) / (dg.deg * (dg.deg - 1)), 6)
+       ELSE 0.0 END AS lcc
+FROM tv LEFT JOIN cnt ON tv.id = cnt.id LEFT JOIN dg ON tv.id = dg.id
 """,
         "graph_triangles": """
 WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

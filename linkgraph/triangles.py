@@ -74,6 +74,44 @@ def triangle_counts(spark, edges: DataFrame, vertices: DataFrame) -> DataFrame:
     return out
 
 
+def clustering_coefficients(
+    spark, edges: DataFrame, vertices: DataFrame
+) -> DataFrame:
+    """-> (id, deg, triangles, lcc) — local clustering coefficient
+    lcc = 2·T(v) / (deg(v)·(deg(v)−1)) over the undirected simple graph
+    (0.0 for deg < 2). The web-graph "tightly-knit neighborhood" signal:
+    spam farms and boilerplate nav clusters score near 1, organic hub
+    pages near 0.
+
+    Composition: the oriented-wedge triangle counts above + one distinct-
+    neighbor degree aggregate, joined on id — no new shuffle shapes beyond
+    what triangle_counts already does.
+    """
+    pairs = _canon_pairs(edges)
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    tri = triangle_counts(spark, edges, vertices)
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
 def triangle_total(spark, edges: DataFrame) -> int:
     """Total triangle count (each counted once)."""
     pairs = _canon_pairs(edges)

@@ -56,3 +56,24 @@ def test_tiny_known_triangles(spark, tiny):
         assert by_url[url_for(i)] >= 1, i
     assert by_url[url_for(9)] == 0
     assert by_url[url_for(0)] == 0  # self-loop island
+
+
+def test_clustering_coefficients_vs_networkx(spark, small):
+    """lcc exact vs nx.clustering on the undirected simple graph."""
+    import pytest
+
+    from linkgraph import caching
+    from linkgraph.triangles import clustering_coefficients
+
+    g = small.nx_digraph_ids().to_undirected()
+    g.remove_edges_from(nx.selfloop_edges(g))
+    want = nx.clustering(g)
+    out = {
+        r["id"]: r
+        for r in clustering_coefficients(spark, small.edges, small.vertices).collect()
+    }
+    caching.release_caches()
+    assert set(out) == set(want)
+    for v, cc in want.items():
+        assert out[v]["lcc"] == pytest.approx(round(cc, 6), abs=2e-6), v
+        assert out[v]["deg"] == g.degree(v)
