@@ -189,6 +189,30 @@ def q_graph_hits2(spark, sf_dir):
     )
 
 
+def q_graph_reciprocity(spark, sf_dir):
+    """Reciprocity over the customer->supplier edges plus a deterministic
+    reversed slice (the pure bipartite graph has none, so the fixture
+    mixes some in: reversed edges of even-id sources)."""
+    from linkgraph.graph import reciprocity
+
+    e = tpcgraph.order_edges(spark, sf_dir)
+    extra = e.where(F.col("src") % 2 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return reciprocity(e.unionByName(extra))
+
+
+def q_graph_degree_hist(spark, sf_dir):
+    from linkgraph.graph import degree_histogram
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    return degree_histogram(edges, tpcgraph.vertices_of(edges))
+
+
+def q_text_vocab(spark, sf_dir):
+    return textops.vocabulary(_docs(spark, sf_dir), min_count=5)
+
+
 def q_graph_kcore(spark, sf_dir):
     """Two bounded k-core peel rounds (k=2) on the sparse edge set —
     unrolled degree-filter CTEs replicate each round exactly in SQL."""
@@ -854,6 +878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
         "graph_kcore": q_graph_kcore,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_degree_hist": q_graph_degree_hist,
+        "text_vocab": q_text_vocab,
         "graph_components": q_graph_components,
         "graph_components_blocked": q_graph_components_blocked,
         "graph_complexity": q_graph_complexity,
@@ -1198,6 +1225,44 @@ h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts)
 ,{_hits_half('a2', 'h2', 'hub')}
 SELECT h2.id, round(h2.hub, 9) AS hub9, round(a2.authority, 9) AS auth9
 FROM h2 JOIN a2 ON h2.id = a2.id
+""",
+        "graph_reciprocity": f"""
+WITH {_EDGES},
+e2 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges WHERE src % 2 = 0
+  ) WHERE src <> dst
+),
+r AS (
+  SELECT count(*) AS n_reciprocal FROM e2 a
+  WHERE EXISTS (SELECT 1 FROM e2 b WHERE b.src = a.dst AND b.dst = a.src)
+)
+SELECT (SELECT count(*) FROM e2)::BIGINT AS n_directed,
+       (SELECT n_reciprocal FROM r)::BIGINT AS n_reciprocal,
+       CASE WHEN (SELECT count(*) FROM e2) = 0 THEN 0.0
+            ELSE round((SELECT n_reciprocal FROM r)::DOUBLE
+                       / (SELECT count(*) FROM e2), 6) END AS reciprocity
+""",
+        "graph_degree_hist": f"""
+WITH {_EDGES},
+dg AS (
+  SELECT v.id, coalesce(o.c, 0) AS out_deg FROM verts v
+  LEFT JOIN (
+    SELECT src, count(*) AS c FROM (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ) GROUP BY 1
+  ) o ON v.id = o.src
+)
+SELECT out_deg, count(*)::BIGINT AS n_vertices FROM dg GROUP BY 1
+""",
+        "text_vocab": f"""
+WITH {_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks)
+SELECT token, count(*)::BIGINT AS n_occ,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM ex GROUP BY token HAVING count(*) >= 5
 """,
         "graph_kcore": f"""
 WITH {_SEDGES},

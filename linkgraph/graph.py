@@ -75,6 +75,57 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """-> one row (n_directed, n_reciprocal, reciprocity) over the distinct
+    directed simple graph: the fraction of directed edges whose reverse
+    edge also exists — the classic link-graph "mutual linking" metric
+    (boilerplate nav/webring structures score high; organic citation
+    graphs low).
+
+    One distinct + one self-semi-join keyed on (src,dst), then a scalar
+    aggregate — two exchanges, no fan-out beyond |E|.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count("*").alias("n_directed"))
+        .crossJoin(recip.agg(F.count("*").alias("n_reciprocal")))
+        .select(
+            "n_directed",
+            "n_reciprocal",
+            F.when(F.col("n_directed") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_reciprocal") / F.col("n_directed"), 6))
+            .alias("reciprocity"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """-> (out_deg, n_vertices) — the degree-distribution summary (the
+    power-law exponent eyeball for web graphs). Zero-out-degree vertices
+    are included (coalesce against the vertex table), so the histogram
+    sums to |V|. Two aggregations on naturally-bounded keys."""
+    deg = (
+        vertices.select("id")
+        .join(
+            edges.where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("out_deg")),
+            "id",
+            "left",
+        )
+        .select(F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+    )
+    return deg.groupBy("out_deg").agg(F.count("*").cast("long").alias("n_vertices"))
+
+
 def collision_audit(vertices: DataFrame) -> tuple[int, int]:
     """(distinct ids, distinct urls) — must be equal (FIXTURES.md §3)."""
     row = vertices.agg(

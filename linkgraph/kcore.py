@@ -60,6 +60,13 @@ def kcore(
     prefix it is the degree among that prefix's survivors).
     """
     und = undirected_edges(edges).persist()
+    # census AFTER und registers but BEFORE alive's checkpoint does:
+    # persist()/localCheckpoint() enter the persistent-RDD map at call
+    # time (not at materialization), so the fixpoint loop's id-diff below
+    # must treat alive's checkpoint as round-0 state to release
+    from .pagerank import _persistent_rdd_ids, _unpersist_rdds
+
+    census0 = _persistent_rdd_ids(spark)
     alive = truncate_plan(vertices.select("id").distinct(), eager=False)
 
     def _survivors(cur: DataFrame) -> DataFrame:
@@ -80,11 +87,20 @@ def kcore(
             )
         out = cur
     else:
+        # explicit per-round unpersist of the superseded checkpoint (the
+        # same RDD-id-diff discipline as pagerank's superstep loop):
+        # working set stays at exactly (und cache + 2 vertex states),
+        # deterministically, instead of waiting on the async ContextCleaner
         cur = alive.select("id", F.lit(-1).cast("long").alias("core_deg"))
-        n_prev = cur.count()
+        n_prev = cur.count()  # materializes alive's lazy checkpoint too
+        prev_ids: set[int] = _persistent_rdd_ids(spark) - census0
         while True:
+            before = _persistent_rdd_ids(spark)
             cur = truncate_plan(_survivors(cur).select("id", "core_deg"))
             n_cur = cur.count()  # materializes the round AND tests fixpoint
+            new_ids = _persistent_rdd_ids(spark) - before
+            _unpersist_rdds(spark, prev_ids)
+            prev_ids = new_ids
             if n_cur == n_prev or n_cur == 0:
                 break
             n_prev = n_cur

@@ -219,6 +219,30 @@ def repetition(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def vocabulary(
+    docs: DataFrame,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (token, n_occ, n_docs) — the corpus-wide term table (tokenizer
+    vocab building / df-based stopword discovery). One explode + one
+    groupBy(token); n_docs is an exact distinct count (Spark plans it as
+    an expand + two-level aggregate, still one logical exchange on token).
+    ``min_count`` prunes the long singleton tail before it is ever
+    collected anywhere."""
+    t = tokens_col(F.col(text_col))
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(t).alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occ") >= min_count)
+    )
+
+
 def c4_clean(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, clean_text, n_lines_kept, n_lines_dropped, drop_doc) —
     C4-style line-level cleaning (Raffel et al. 2020, §2.2), the standard

@@ -54,3 +54,37 @@ def test_tiny_structural_cases(tiny):
     assert lb[url_for(10)] == []  # dangling-only page
     # hub page: index 17 in a 40-page corpus -> out-degree n//4 = 10
     assert len(lb[url_for(17)]) >= 8
+
+
+def test_reciprocity(spark):
+    from linkgraph.graph import reciprocity
+
+    # 0->1 (with reverse), 1->2 (one-way), 2->2 (self-loop, dropped), dup row
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 2), (0, 1)], "src long, dst long"
+    )
+    r = reciprocity(e).collect()[0]
+    assert r["n_directed"] == 3
+    assert r["n_reciprocal"] == 2
+    assert r["reciprocity"] == 0.666667
+
+
+def test_reciprocity_empty(spark):
+    from linkgraph.graph import reciprocity
+
+    e = spark.createDataFrame([(7, 7)], "src long, dst long")
+    r = reciprocity(e).collect()[0]
+    assert r["n_directed"] == 0 and r["reciprocity"] == 0.0
+
+
+def test_degree_histogram(spark):
+    from linkgraph.graph import degree_histogram
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 2), (0, 1)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    got = {r["out_deg"]: r["n_vertices"] for r in degree_histogram(e, v).collect()}
+    # 0: deg 2 (distinct dsts), 1: deg 1, 2: self-loop only -> 0, 3: isolated -> 0
+    assert got == {2: 1, 1: 1, 0: 2}
+    assert sum(got.values()) == 4

@@ -192,3 +192,19 @@ def test_c4_clean_corpus(spark, docs_df):
         F.sum("n_lines_kept").alias("k"), F.sum("n_lines_dropped").alias("d")
     ).collect()[0]
     assert r["k"] >= 0 and r["d"] >= 0
+
+
+def test_vocabulary(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "The CAT sat."), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: r for r in textops.vocabulary(df).collect()}
+    assert got["the"]["n_occ"] == 3 and got["the"]["n_docs"] == 2
+    assert got["cat"]["n_occ"] == 2 and got["cat"]["n_docs"] == 2
+    assert got["sat"]["n_occ"] == 1 and got["sat"]["n_docs"] == 1
+    assert "" not in got
+    filtered = {
+        r["token"] for r in textops.vocabulary(df, min_count=2).collect()
+    }
+    assert filtered == {"the", "cat"}
