@@ -770,6 +770,19 @@ def q_sim_topk_ivf(spark, sf_dir):
     )
 
 
+def q_emb_centroids(spark, sf_dir):
+    """Per-label embedding centroids, exploded to (label, dim, c6) scalar
+    rows for the value-hash compare (array string forms differ between
+    engines)."""
+    from linkgraph.simsearch import label_centroids
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = label_centroids(embs, dim=64)
+    return out.select(
+        "label", "n", F.posexplode("centroid").alias("dim", "c6")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -928,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_mp": q_sim_topk_mp,
         "sim_topk_ivf": q_sim_topk_ivf,
+        "emb_centroids": q_emb_centroids,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "rel_pricing": q_rel_pricing,
@@ -2026,6 +2040,17 @@ SELECT query_id, neighbor_id, cos FROM (
                                ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM s
 ) WHERE rn <= 5
+""",
+        "emb_centroids": """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS val,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+),
+nn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+SELECT e.label, nn.n::BIGINT AS n, e.dim::INT AS dim, round(avg(e.val), 6) AS c6
+FROM ex e JOIN nn ON e.label = nn.label
+GROUP BY e.label, nn.n, e.dim
 """,
         "events_hourly": """
 SELECT event_type,

@@ -198,6 +198,36 @@ def centroids_from(
     )
 
 
+def label_centroids(
+    embs: DataFrame,
+    dim: int = 64,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (label, n, centroid array<double>) — per-class mean vector.
+
+    The class-prototype operator (k-means M-step / prototype classifier /
+    per-cluster summary for embedding dedup). Deliberately NOT an
+    explode: ``dim`` per-component ``avg(embedding[d])`` aggregates run
+    inside ONE whole-stage-codegen exchange on label — shuffle volume is
+    labels x dim partial rows per task, never rows x dim exploded rows.
+    Components rounded to 6 decimals (engine-wide float determinism
+    discipline).
+    """
+    aggs = [
+        F.round(F.avg(F.col(vec_col).getItem(d)), 6).alias(f"c{d}")
+        for d in range(dim)
+    ]
+    agg = embs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n"), *aggs
+    )
+    return agg.select(
+        "label",
+        "n",
+        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("centroid"),
+    )
+
+
 def ivf_cells(
     embs: DataFrame,
     centroids: DataFrame,

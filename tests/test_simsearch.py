@@ -93,3 +93,17 @@ def test_ivf_subset_of_bruteforce_and_recall(spark, embs_df):
     assert full == bf  # probing every cell == exact
     few = simsearch.topk_ivf(embs_df, qs, k=3, centroid_modulus=5, nprobe=1)
     assert 0 < few.count() <= len(bf)
+
+
+def test_label_centroids(spark):
+    from linkgraph.simsearch import label_centroids
+
+    rows = [
+        (0, [1.0, 0.0, 3.0], 1),
+        (1, [3.0, 2.0, 1.0], 1),
+        (2, [-1.0, -1.0, -1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in label_centroids(df, dim=3).collect()}
+    assert got[1]["n"] == 2 and got[1]["centroid"] == [2.0, 1.0, 2.0]
+    assert got[2]["n"] == 1 and got[2]["centroid"] == [-1.0, -1.0, -1.0]
