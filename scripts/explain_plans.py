@@ -103,8 +103,11 @@ def main() -> None:
         "ngram shingles (zip_with, no per-element slice)": dedup.shingle_table(
             docs
         ),
-        "ngram jaccard w/ df-cap (window guard rides the shingle exchange)":
+        "ngram jaccard w/ df-cap (posting lists: one shingle exchange, "
+        "length-filter guard, ordered-pair double explode)":
             dedup.ngram_jaccard_pairs(docs, threshold=0.5, log_drops=False),
+        "minhash verify (array_intersect per candidate pair)":
+            dedup.minhash_dedup_pairs(docs, verify_threshold=0.5),
         "ANN top-k (multi-table sign-LSH, Hamming-1 probes, broadcast queries)":
             simsearch.topk_lsh(
                 embs, simsearch.queries_from(embs, 50), k=5,
@@ -118,6 +121,17 @@ def main() -> None:
                 )
             )
         ),
+        "repetition signals (map-only array lambdas, zero shuffle)":
+            textops.repetition(docs),
+        "C4 line cleaning (map-only array lambdas, zero shuffle)":
+            textops.c4_clean(docs),
+        "source curation report (one projection + fp window + source agg)":
+            __import__("linkgraph.curation", fromlist=["source_report"])
+            .source_report(docs),
+        "label centroids (64 codegen aggregates, one exchange, no explode)":
+            simsearch.label_centroids(embs, dim=64),
+        "vocabulary (one explode + one token groupBy)":
+            textops.vocabulary(docs, min_count=5),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
