@@ -213,6 +213,24 @@ def q_text_vocab(spark, sf_dir):
     return textops.vocabulary(_docs(spark, sf_dir), min_count=5)
 
 
+def q_graph_bfs3(spark, sf_dir):
+    """3-hop BFS distances from seed customers (id % 100 == 0) — the
+    unrolled frontier relaxation, replicated round for round in SQL."""
+    from linkgraph.graph import bfs_distances
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    seeds = verts.where(
+        (F.col("id") < 1000000) & (F.col("id") % 100 == 0)
+    ).select("id")
+    return bfs_distances(spark, edges, seeds, max_hops=3)
+
+
+def q_text_tfidf(spark, sf_dir):
+    """tf·idf term weights, df >= 20 (keeps the oracle row compact)."""
+    return textops.tfidf(_docs(spark, sf_dir), min_df=20)
+
+
 def q_graph_kcore(spark, sf_dir):
     """Two bounded k-core peel rounds (k=2) on the sparse edge set —
     unrolled degree-filter CTEs replicate each round exactly in SQL."""
@@ -891,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
         "graph_kcore": q_graph_kcore,
+        "graph_bfs3": q_graph_bfs3,
+        "text_tfidf": q_text_tfidf,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_degree_hist": q_graph_degree_hist,
         "text_vocab": q_text_vocab,
@@ -1239,6 +1259,47 @@ h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts)
 ,{_hits_half('a2', 'h2', 'hub')}
 SELECT h2.id, round(h2.hub, 9) AS hub9, round(a2.authority, 9) AS auth9
 FROM h2 JOIN a2 ON h2.id = a2.id
+""",
+        "graph_bfs3": f"""
+WITH {_EDGES},
+e2 AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+d0 AS (
+  SELECT DISTINCT id, 0 AS dist FROM verts
+  WHERE id < 1000000 AND id % 100 = 0
+),
+d1 AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d0
+    UNION ALL
+    SELECT e2.dst AS id, d0.dist + 1 FROM e2 JOIN d0 ON e2.src = d0.id
+  ) GROUP BY id
+),
+d2 AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d1
+    UNION ALL
+    SELECT e2.dst AS id, d1.dist + 1 FROM e2 JOIN d1 ON e2.src = d1.id
+  ) GROUP BY id
+),
+d3 AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d2
+    UNION ALL
+    SELECT e2.dst AS id, d2.dist + 1 FROM e2 JOIN d2 ON e2.src = d2.id
+  ) GROUP BY id
+)
+SELECT id, dist::INT AS dist FROM d3
+""",
+        "text_tfidf": f"""
+WITH {_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+dftab AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n_total FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf::BIGINT AS tf, dftab.df::BIGINT AS df,
+       round(tf.tf * ln((SELECT n_total FROM nn)::DOUBLE / dftab.df), 6) AS tfidf6
+FROM tf JOIN dftab ON tf.token = dftab.token
+WHERE dftab.df >= 20
 """,
         "graph_reciprocity": f"""
 WITH {_EDGES},

@@ -126,6 +126,38 @@ def degree_histogram(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     return deg.groupBy("out_deg").agg(F.count("*").cast("long").alias("n_vertices"))
 
 
+def bfs_distances(
+    spark, edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """-> (id, dist) — minimal directed hop distance from the seed set,
+    bounded at ``max_hops`` (unreached vertices are absent). The
+    neighborhood-expansion primitive (crawl frontier depth, link-spam
+    blast radius, seed-set influence).
+
+    BSP frontier relaxation: each round extends every settled distance by
+    one directed hop and re-takes the per-vertex min — join + union +
+    groupBy(min), all keyed on vertex id. Rounds are a FIXED unrolled
+    prefix (bounded-radius queries are the scalable form; an unbounded
+    variant is connected_components' fixpoint pattern), so the whole
+    expansion is one lazy plan with zero per-round driver actions, and
+    SQL-replicable round for round.
+    """
+    from .lineage import truncate_plan
+
+    dist = seeds.select("id", F.lit(0).cast("int").alias("dist")).distinct()
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    for _ in range(max_hops):
+        hop = (
+            e.join(dist.select(F.col("id").alias("src"), "dist"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = truncate_plan(
+            dist.unionByName(hop).groupBy("id").agg(F.min("dist").alias("dist")),
+            eager=False,
+        )
+    return dist.select("id", F.col("dist").cast("int").alias("dist"))
+
+
 def collision_audit(vertices: DataFrame) -> tuple[int, int]:
     """(distinct ids, distinct urls) — must be equal (FIXTURES.md §3)."""
     row = vertices.agg(

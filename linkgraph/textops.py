@@ -243,6 +243,41 @@ def vocabulary(
     )
 
 
+def tfidf(
+    docs: DataFrame,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, token, tf, df, tfidf6) — classic tf·idf term weights,
+    idf = ln(N/df) (natural log, no smoothing: df >= 1 by construction).
+
+    Plan shape: one explode + groupBy(doc,token) builds tf; df FALLS OUT
+    of tf (group again by token, count rows — tf rows are already unique
+    per (doc, token), no second distinct pass over the corpus); N rides a
+    broadcast single-row cross join. Three exchanges on naturally-bounded
+    keys, everything codegen.
+    """
+    t = tokens_col(F.col(text_col))
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(t).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dftab = tf.groupBy("token").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_total"))
+    return (
+        tf.join(dftab.where(F.col("df") >= min_df), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_total") / F.col("df")), 6
+            ).alias("tfidf6"),
+        )
+    )
+
+
 def c4_clean(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, clean_text, n_lines_kept, n_lines_dropped, drop_doc) —
     C4-style line-level cleaning (Raffel et al. 2020, §2.2), the standard

@@ -88,3 +88,42 @@ def test_degree_histogram(spark):
     # 0: deg 2 (distinct dsts), 1: deg 1, 2: self-loop only -> 0, 3: isolated -> 0
     assert got == {2: 1, 1: 1, 0: 2}
     assert sum(got.values()) == 4
+
+
+def test_bfs_distances(spark):
+    from linkgraph.graph import bfs_distances
+
+    # 0 -> 1 -> 2 -> 3 -> 4 chain, plus 9 isolated, plus shortcut 0 -> 3
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(spark, e, seeds, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    # bounded radius: max_hops=1 only reaches direct successors
+    got1 = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(spark, e, seeds, max_hops=1).collect()
+    }
+    assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_bfs_vs_networkx(spark, tiny):
+    import networkx as nx
+    from linkgraph.graph import bfs_distances
+
+    g = tiny.nx_digraph_ids()
+    seed_ids = sorted(g.nodes)[:2]
+    want = {}
+    for s in seed_ids:
+        for v, d in nx.single_source_shortest_path_length(g, s, cutoff=3).items():
+            want[v] = min(want.get(v, 99), d)
+    seeds = spark.createDataFrame([(i,) for i in seed_ids], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(spark, tiny.edges, seeds, max_hops=3).collect()
+    }
+    assert got == want

@@ -208,3 +208,25 @@ def test_vocabulary(spark):
         r["token"] for r in textops.vocabulary(df, min_count=2).collect()
     }
     assert filtered == {"the", "cat"}
+
+
+def test_tfidf(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "b b b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["token"]): r for r in textops.tfidf(df).collect()}
+    n = 4
+    assert got[(0, "a")]["tf"] == 2 and got[(0, "a")]["df"] == 2
+    assert got[(0, "a")]["tfidf6"] == pytest.approx(
+        round(2 * math.log(n / 2), 6), abs=2e-6
+    )
+    assert got[(2, "b")]["tf"] == 3 and got[(2, "b")]["df"] == 2
+    assert (1, "c") in got and got[(1, "c")]["df"] == 1
+    # min_df prunes rare terms
+    pruned = {
+        r["token"] for r in textops.tfidf(df, min_df=2).collect()
+    }
+    assert pruned == {"a", "b"}
