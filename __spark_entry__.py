@@ -213,6 +213,15 @@ def q_text_vocab(spark, sf_dir):
     return textops.vocabulary(_docs(spark, sf_dir), min_count=5)
 
 
+def q_graph_cocitation(spark, sf_dir):
+    """Bibliographic coupling on the sparse edge set (df_cap=None: the
+    exact path; the scale default caps super-cited targets)."""
+    from linkgraph.graph import cocitation
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    return cocitation(edges, min_shared=2, df_cap=None)
+
+
 def q_graph_bfs3(spark, sf_dir):
     """3-hop BFS distances from seed customers (id % 100 == 0) — the
     unrolled frontier relaxation, replicated round for round in SQL."""
@@ -910,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits2": q_graph_hits2,
         "graph_kcore": q_graph_kcore,
         "graph_bfs3": q_graph_bfs3,
+        "graph_cocitation": q_graph_cocitation,
         "text_tfidf": q_text_tfidf,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_degree_hist": q_graph_degree_hist,
@@ -1259,6 +1269,13 @@ h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts)
 ,{_hits_half('a2', 'h2', 'hub')}
 SELECT h2.id, round(h2.hub, 9) AS hub9, round(a2.authority, 9) AS auth9
 FROM h2 JOIN a2 ON h2.id = a2.id
+""",
+        "graph_cocitation": f"""
+WITH {_SEDGES},
+e2 AS (SELECT DISTINCT src, dst FROM sedges WHERE src <> dst)
+SELECT x.src AS a, y.src AS b, count(*)::BIGINT AS shared
+FROM e2 x JOIN e2 y ON x.dst = y.dst AND x.src < y.src
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "graph_bfs3": f"""
 WITH {_EDGES},

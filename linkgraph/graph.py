@@ -126,6 +126,42 @@ def degree_histogram(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     return deg.groupBy("out_deg").agg(F.count("*").cast("long").alias("n_vertices"))
 
 
+def cocitation(
+    edges: DataFrame, min_shared: int = 2, df_cap: int | None = 10_000
+) -> DataFrame:
+    """-> (a, b, shared) — source pairs citing >= min_shared common
+    targets (bibliographic coupling; swap the edge direction for
+    co-citation proper). The classic "related pages" signal.
+
+    Same posting-list shape as n-gram dedup: ONE exchange keyed on the
+    shared target builds the per-target citer list, pairs explode from
+    each list, one (a,b) aggregate counts them. ``df_cap`` drops
+    super-cited targets (every page links the homepage — its citer pair
+    set is quadratic noise), the direct analogue of dedup's stop-shingle
+    guard; None keeps it exact for oracle runs.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    lists = e.groupBy("dst").agg(F.sort_array(F.collect_list("src")).alias("cs"))
+    if df_cap is not None:
+        lists = lists.where(F.size("cs") <= df_cap)
+    return (
+        lists.select(F.posexplode("cs").alias("i", "a"), "cs")
+        .select(
+            "a",
+            F.explode(
+                F.slice("cs", F.col("i") + F.lit(2), F.size("cs") - F.col("i") - 1)
+            ).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def bfs_distances(
     spark, edges: DataFrame, seeds: DataFrame, max_hops: int = 3
 ) -> DataFrame:

@@ -127,3 +127,26 @@ def test_bfs_vs_networkx(spark, tiny):
         for r in bfs_distances(spark, tiny.edges, seeds, max_hops=3).collect()
     }
     assert got == want
+
+
+def test_cocitation(spark):
+    from linkgraph.graph import cocitation
+
+    # 0 and 1 share targets {10, 11}; 2 shares only {10} with them
+    e = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (0, 10)],
+        "src long, dst long",
+    )
+    got = {(r["a"], r["b"]): r["shared"] for r in cocitation(e).collect()}
+    assert got == {(0, 1): 2}
+    got1 = {
+        (r["a"], r["b"]): r["shared"]
+        for r in cocitation(e, min_shared=1).collect()
+    }
+    assert got1 == {(0, 1): 2, (0, 2): 1, (1, 2): 1}
+    # df_cap drops the super-cited target 10
+    capped = {
+        (r["a"], r["b"]): r["shared"]
+        for r in cocitation(e, min_shared=1, df_cap=2).collect()
+    }
+    assert capped == {(0, 1): 1}
