@@ -28,9 +28,12 @@ def _canon_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(spark, edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """-> (id, triangles) over the undirected simple graph."""
-    pairs = _canon_pairs(edges)
+def _triangles_of(pairs: DataFrame, persist: bool = True) -> DataFrame:
+    """Canonical pair set -> (a, b, c) triangles, each exactly once, via
+    the degree-ordered oriented wedge join. ``persist=True`` registers the
+    oriented edge cache with linkgraph.caching (callers release);
+    persist=False keeps the plan fully lazy (k-truss rounds, where the
+    round's materializing action computes it once anyway)."""
     sym = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -45,12 +48,12 @@ def triangle_counts(spark, edges: DataFrame, vertices: DataFrame) -> DataFrame:
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v", "dv")
-        .persist()
     )
-    # registered, not leaked: callers release via linkgraph.caching after
-    # materializing (round-2 judge finding #1 — one cached frame per call
-    # accumulated in a long-lived session)
-    _register_cache(oriented)
+    if persist:
+        # registered, not leaked: callers release via linkgraph.caching
+        # after materializing (round-2 judge finding #1 — one cached frame
+        # per call accumulated in a long-lived session)
+        oriented = _register_cache(oriented.persist())
 
     o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
     o2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("dv").alias("dc"))
@@ -59,7 +62,12 @@ def triangle_counts(spark, edges: DataFrame, vertices: DataFrame) -> DataFrame:
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    tris = wedges.join(closing, ["b", "c"], "inner").select("a", "b", "c")
+    return wedges.join(closing, ["b", "c"], "inner").select("a", "b", "c")
+
+
+def triangle_counts(spark, edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """-> (id, triangles) over the undirected simple graph."""
+    tris = _triangles_of(_canon_pairs(edges))
 
     per_vertex = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
@@ -110,6 +118,72 @@ def clustering_coefficients(
             .alias("lcc"),
         )
     )
+
+
+def ktruss(
+    spark,
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int | None = None,
+) -> DataFrame:
+    """-> (u, v, support) — edges of the k-truss (every surviving edge
+    participates in >= k-2 triangles among surviving edges). The
+    EDGE-level cohesion peel, one level denser than k-core; web-graph use:
+    link-farm cores survive high trusses, organic cross-links do not.
+
+    One round = triangle enumeration over surviving edges (degree-ordered
+    wedge join) + an edge-support aggregate + the >= k-2 filter — the same
+    shuffle signature as triangle_counts, repeated O(peel depth) times.
+    ``rounds=None`` peels to the fixpoint (one count action per round,
+    the engine-wide BSP budget); an explicit ``rounds`` runs a bounded
+    lazy prefix for SQL-oracle replication (support in the output is the
+    edge's triangle count within the PREVIOUS round's survivor set —
+    kcore's round parity).
+    """
+    from .lineage import truncate_plan
+
+    def _supported(cur: DataFrame) -> DataFrame:
+        cur = cur.select("u", "v")  # drop the prior round's support column
+        tris = _triangles_of(cur, persist=False)
+        tedges = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                    ),
+                    F.struct(
+                        F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        supp = tedges.groupBy("u", "v").agg(F.count("*").alias("support"))
+        # inner join: edges in no triangle have support 0 < k-2 for k >= 3
+        return (
+            cur.join(supp, ["u", "v"], "left")
+            .select("u", "v", F.coalesce("support", F.lit(0)).alias("support"))
+            .where(F.col("support") >= k - 2)
+        )
+
+    cur = _canon_pairs(edges)
+    if rounds is not None:
+        for _ in range(rounds):
+            cur = truncate_plan(_supported(cur), eager=False)
+        out = cur
+    else:
+        cur = truncate_plan(cur, eager=False)
+        n_prev = cur.count()
+        while True:
+            cur = truncate_plan(_supported(cur), eager=False)
+            n_cur = cur.count()
+            if n_cur == n_prev or n_cur == 0:
+                break
+            n_prev = n_cur
+        out = cur
+    return out.select("u", "v", F.col("support").cast("long").alias("support"))
 
 
 def triangle_total(spark, edges: DataFrame) -> int:

@@ -77,3 +77,34 @@ def test_clustering_coefficients_vs_networkx(spark, small):
     for v, cc in want.items():
         assert out[v]["lcc"] == pytest.approx(round(cc, 6), abs=2e-6), v
         assert out[v]["deg"] == g.degree(v)
+
+
+def test_ktruss_vs_networkx(spark, small):
+    """Surviving edge set exactly matches nx.k_truss for k=3,4; every
+    survivor's support >= k-2 within the truss."""
+    from linkgraph.triangles import ktruss
+
+    g = small.nx_digraph_ids().to_undirected()
+    g.remove_edges_from(nx.selfloop_edges(g))
+    for k in (3, 4):
+        want = {
+            (min(u, v), max(u, v)) for u, v in nx.k_truss(g, k).edges
+        }
+        rows = ktruss(spark, small.edges, k=k).collect()
+        got = {(r["u"], r["v"]) for r in rows}
+        assert got == want, k
+        assert all(r["support"] >= k - 2 for r in rows), k
+
+
+def test_ktruss_handcrafted(spark):
+    from linkgraph.triangles import ktruss
+
+    # two triangles sharing edge (0,1) + a tail: 3-truss keeps both
+    # triangles, drops the tail; 4-truss collapses entirely (the shared
+    # edge alone has support 2, the others 1 — peel cascades)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {(r["u"], r["v"]): r["support"] for r in ktruss(spark, e, k=3).collect()}
+    assert got == {(0, 1): 2, (0, 2): 1, (1, 2): 1, (0, 3): 1, (1, 3): 1}
+    assert ktruss(spark, e, k=4).count() == 0
