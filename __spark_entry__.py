@@ -732,6 +732,45 @@ def q_sample_cap_source(spark, sf_dir):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic Bernoulli sampling (training-mixture
+    reweighting): en 0.5 / de 0.2 / fr 0.1, other langs dropped."""
+    from linkgraph import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.2, "fr": 0.1}, key_col="lang"
+    ).select("doc_id", "lang")
+
+
+def q_text_decontam(spark, sf_dir):
+    """Test-set decontamination: corpus docs sharing any word 8-gram with
+    a held-out benchmark slice (doc_id % 37 == 0), benchmark broadcast."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return dedup.decontaminate(docs, bench, n=8)
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """Global exact line-level dedup (C4's corpus-wide boilerplate pass):
+    first occurrence in (doc_id, pos) order survives corpus-wide."""
+    return textops.line_dedup(_docs(spark, sf_dir))
+
+
+def q_graph_health(spark, sf_dir):
+    """Link-graph health summary: entry / dangling / internal vertex
+    classes and the dangling fraction PageRank will redistribute."""
+    from linkgraph.graph import health_report
+
+    return health_report(tpcgraph.order_edges(spark, sf_dir))
+
+
+def q_graph_assort(spark, sf_dir):
+    """Directed degree assortativity (Newman 2002) over the order graph."""
+    from linkgraph.graph import assortativity
+
+    return assortativity(tpcgraph.order_edges(spark, sf_dir))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dup clusters: verified MinHash pairs -> connected
     components -> canonical representative per cluster. The end-of-
@@ -974,6 +1013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_hash": q_sample_hash,
         "sample_cap_source": q_sample_cap_source,
+        "sample_stratified": q_sample_stratified,
+        "text_decontam": q_text_decontam,
+        "text_line_dedup": q_text_line_dedup,
+        "graph_health": q_graph_health,
+        "graph_assort": q_graph_assort,
         "dedup_embcos": q_dedup_embcos,
         "dedup_embcos_lsh": q_dedup_embcos_lsh,
         "sim_topk": q_sim_topk,
@@ -1327,6 +1371,42 @@ SELECT tf.doc_id, tf.token, tf.tf::BIGINT AS tf, dftab.df::BIGINT AS df,
        round(tf.tf * ln((SELECT n_total FROM nn)::DOUBLE / dftab.df), 6) AS tfidf6
 FROM tf JOIN dftab ON tf.token = dftab.token
 WHERE dftab.df >= 20
+""",
+        "graph_health": f"""
+WITH {_EDGES},
+s AS (SELECT DISTINCT src AS id FROM edges),
+d AS (SELECT DISTINCT dst AS id FROM edges),
+cls AS (
+  SELECT (s.id IS NOT NULL) AS has_out, (d.id IS NOT NULL) AS has_in
+  FROM s FULL OUTER JOIN d ON s.id = d.id
+)
+SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+  count(*)::BIGINT AS n_vertices,
+  sum(CASE WHEN has_out AND NOT has_in THEN 1 ELSE 0 END)::BIGINT AS n_entry,
+  sum(CASE WHEN has_in AND NOT has_out THEN 1 ELSE 0 END)::BIGINT AS n_dangling,
+  sum(CASE WHEN has_in AND has_out THEN 1 ELSE 0 END)::BIGINT AS n_internal,
+  round(sum(CASE WHEN has_in AND NOT has_out THEN 1 ELSE 0 END)::DOUBLE
+        / count(*), 6) AS frac_dangling
+FROM cls
+""",
+        "graph_assort": f"""
+WITH {_EDGES},
+outd AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+ind AS (SELECT dst, count(*) AS idg FROM edges GROUP BY 1),
+j AS (
+  SELECT od::DOUBLE AS x, idg::DOUBLE AS y
+  FROM edges JOIN outd USING (src) JOIN ind USING (dst)
+),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j
+)
+SELECT n::BIGINT AS n_edges,
+  round((n * sxy - sx * sy)
+        / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+        6) AS assortativity6
+FROM m
 """,
         "graph_reciprocity": f"""
 WITH {_EDGES},
@@ -1965,6 +2045,60 @@ SELECT doc_id, source, source_rank::INT AS source_rank FROM (
          ) AS source_rank
   FROM documents
 ) WHERE source_rank <= 15
+""",
+        # per-stratum md5 coin: en 0.5 / de 0.2 / fr 0.1, others dropped
+        "sample_stratified": f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id || ':s1'), 1, 6) <
+  CASE lang WHEN 'en' THEN '{hash_threshold(0.5)}'
+            WHEN 'de' THEN '{hash_threshold(0.2)}'
+            WHEN 'fr' THEN '{hash_threshold(0.1)}' END
+""",
+        # corpus docs sharing any word 8-gram with the benchmark slice
+        "text_decontam": f"""
+WITH {_TOKS},
+sh8 AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS shingle
+  FROM toks WHERE len(t) >= 8
+),
+bsh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 37 = 0)
+SELECT s.doc_id, count(*)::BIGINT AS n_contaminated_ngrams
+FROM sh8 s JOIN bsh USING (shingle)
+GROUP BY 1
+""",
+        # global first-occurrence line dedup, rebuilt in original order
+        "text_line_dedup": """
+WITH lx AS (
+  SELECT doc_id,
+    unnest(list_filter(
+      list_transform(string_split(text, chr(10)),
+                     (x, i) -> struct_pack(pos := i, line := trim(x))),
+      s -> s.line <> '')) AS s
+  FROM documents
+),
+lines AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM lx),
+r AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS dedup_text,
+         count(*) AS n_kept
+  FROM r WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(rb.dedup_text, '') AS dedup_text,
+  coalesce(rb.n_kept, 0)::BIGINT AS n_lines_kept,
+  (coalesce(tt.n_lines, 0) - coalesce(rb.n_kept, 0))::BIGINT AS n_lines_dropped
+FROM documents d
+LEFT JOIN totals tt ON d.doc_id = tt.doc_id
+LEFT JOIN rebuilt rb ON d.doc_id = rb.doc_id
 """,
         # transitive closure of the verified-pair graph -> clusters
         "dedup_clusters": f"""

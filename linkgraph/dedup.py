@@ -479,3 +479,38 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, n_contaminated_ngrams) — corpus docs sharing any word
+    n-gram with a held-out benchmark/eval set (test-set decontamination,
+    the GPT-3 recipe: drop training docs that overlap eval data on long
+    n-grams; Brown et al. 2020, appendix C uses 13-grams, n is a knob).
+
+    The benchmark side is tiny relative to a 100 TB corpus (eval sets
+    are thousands of docs), so its distinct shingle set is broadcast and
+    the corpus side is a map-side semi-join + one groupBy on doc_id:
+    exactly one corpus-wide shuffle, keyed on doc_id, carrying only the
+    matched rows. Counts are DISTINCT overlapping n-grams per doc
+    (shingle_table dedups per doc), so the score is set overlap, not
+    occurrence count.
+    """
+    corp = shingle_table(docs, n, id_col, text_col)
+    bench = (
+        shingle_table(benchmark, n, bench_id_col, bench_text_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated_ngrams"))
+    )

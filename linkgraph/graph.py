@@ -105,6 +105,85 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     )
 
 
+def health_report(edges: DataFrame) -> DataFrame:
+    """-> one row (n_edges, n_vertices, n_entry, n_dangling, n_internal,
+    frac_dangling) — the link-graph health summary a crawl pipeline
+    checks before running PageRank. ``n_entry`` = vertices with outgoing
+    links only (crawl frontier roots), ``n_dangling`` = link targets
+    with no outgoing edge (PageRank's dangling-mass set — uncrawled or
+    leaf pages), ``n_internal`` = both sides.
+
+    Plan: one distinct on (src,dst), two key-bounded aggregations to the
+    distinct src / dst sets, one full-outer join of those sets, then a
+    scalar rollup — every exchange is bounded by |V|, nothing fans out.
+    """
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    srcs = e.select(F.col("src").alias("id")).distinct().withColumn("has_out", F.lit(1))
+    dsts = e.select(F.col("dst").alias("id")).distinct().withColumn("has_in", F.lit(1))
+    cls = srcs.join(dsts, "id", "full_outer").select(
+        F.coalesce("has_out", F.lit(0)).alias("has_out"),
+        F.coalesce("has_in", F.lit(0)).alias("has_in"),
+    )
+    return (
+        cls.agg(
+            F.count("*").alias("n_vertices"),
+            F.sum(F.when((F.col("has_out") == 1) & (F.col("has_in") == 0), 1).otherwise(0)).alias("n_entry"),
+            F.sum(F.when((F.col("has_out") == 0) & (F.col("has_in") == 1), 1).otherwise(0)).alias("n_dangling"),
+            F.sum(F.when((F.col("has_out") == 1) & (F.col("has_in") == 1), 1).otherwise(0)).alias("n_internal"),
+        )
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.col("n_entry").cast("long").alias("n_entry"),
+            F.col("n_dangling").cast("long").alias("n_dangling"),
+            F.col("n_internal").cast("long").alias("n_internal"),
+            F.round(F.col("n_dangling") / F.col("n_vertices"), 6).alias("frac_dangling"),
+        )
+    )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """-> one row (n_edges, assortativity6) — directed degree
+    assortativity (Newman 2002): the Pearson correlation, over directed
+    edges, of the source's out-degree with the target's in-degree.
+    Negative on organic web graphs (hubs point at leaves); near +1 on
+    mirrored/boilerplate link farms — a one-number topology fingerprint.
+
+    Degree tables are |V|-bounded aggregations; the edge-to-degree joins
+    shuffle on src then dst (both already the edge table's natural
+    keys); the correlation is assembled from six single-pass scalar sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) with ``try_divide`` so a degenerate input
+    (constant degree on either side) yields NULL — the same answer
+    DuckDB's ``corr`` gives — instead of an ANSI divide-by-zero. The
+    moment form is invariant to the sample-vs-population variance
+    convention, so the oracle matches at 6 decimals.
+    """
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    outd = e.groupBy("src").agg(F.count("*").alias("src_out_deg"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("dst_in_deg"))
+    j = e.join(outd, "src").join(ind, "dst")
+    x = F.col("src_out_deg").cast("double")
+    y = F.col("dst_in_deg").cast("double")
+    m = j.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 6).alias("assortativity6"),
+    )
+
+
 def degree_histogram(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """-> (out_deg, n_vertices) — the degree-distribution summary (the
     power-law exponent eyeball for web graphs). Zero-out-degree vertices

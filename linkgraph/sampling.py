@@ -56,3 +56,33 @@ def cap_per_source(
         docs.withColumn("source_rank", F.row_number().over(w))
         .where(F.col("source_rank") <= cap)
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "lang",
+    seed: str = "s1",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling — ``sampleBy`` with a
+    reproducible coin. Training mixtures are never uniform over a crawl:
+    each language / source stratum gets its own rate (e.g. upsample
+    low-resource languages, downsample English boilerplate). Keys absent
+    from ``fractions`` are dropped (rate 0), matching ``sampleBy``.
+
+    The coin is the same md5-prefix uniform as ``hash_sample`` keyed on
+    (id, seed) only — NOT the stratum — so re-weighting a stratum later
+    keeps every previously-kept doc whose rate did not fall (nested
+    samples: rate' >= rate keeps a superset). Pure projection + filter
+    with a broadcast-free literal map lookup: zero shuffle at any scale.
+    """
+    pairs: list = []
+    for key in sorted(fractions):
+        pairs += [F.lit(key), F.lit(hash_threshold(fractions[key], k))]
+    thr = F.create_map(*pairs)
+    coin = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, k
+    )
+    return docs.where(coin < thr[F.col(key_col)])

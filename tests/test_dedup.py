@@ -215,3 +215,36 @@ def test_dup_clusters_transitive(spark):
     assert got[1]["cluster_size"] == 3 and got[5]["is_dup"] and not got[1]["is_dup"]
     assert got[2]["cluster_rep"] == 2 and got[4]["is_dup"]
     assert got[0]["cluster_size"] == 1 and not got[0]["is_dup"]
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated text about spark partitions and shuffles"),
+            (2, "quick brown fox jumps over the lazy dog again and again"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in dedup.decontaminate(corpus, bench, n=8).collect()
+    }
+    # doc 0 shares 'quick brown fox jumps over the lazy dog' (two 8-grams
+    # of bench overlap its text: positions differ), doc 2 shares one
+    assert 0 in out and 2 in out
+    assert 1 not in out and 3 not in out
+    # verify counts against a python set oracle
+    def grams(t, n=8):
+        ws = t.split()
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    bset = grams("a quick brown fox jumps over the lazy dog")
+    for i, txt in [(0, "the quick brown fox jumps over the lazy dog today"),
+                   (2, "quick brown fox jumps over the lazy dog again and again")]:
+        assert out[i] == len(grams(txt) & bset)

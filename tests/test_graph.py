@@ -150,3 +150,50 @@ def test_cocitation(spark):
         for r in cocitation(e, min_shared=1, df_cap=2).collect()
     }
     assert capped == {(0, 1): 1}
+
+
+def test_health_report(spark):
+    # 0->1->2, 3->1, 4 isolated-as-source-only (4->5), self-loop 6->6 dropped
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 1), (4, 5), (4, 5), (6, 6)], "src long, dst long"
+    )
+    from linkgraph.graph import health_report
+
+    r = health_report(edges).collect()[0]
+    assert r["n_edges"] == 4          # distinct, self-loop dropped
+    assert r["n_vertices"] == 6       # 0,1,2,3,4,5
+    assert r["n_entry"] == 3          # 0,3,4 (out only)
+    assert r["n_dangling"] == 2       # 2,5 (in only)
+    assert r["n_internal"] == 1       # 1
+    assert abs(r["frac_dangling"] - 2 / 6) < 1e-6
+
+
+def test_assortativity_vs_numpy(spark):
+    import numpy as np
+
+    # varying out-degrees: src i%9 fans out, dst (i*7+3)%23 fans in
+    rng = [(i % 9, (i * 7 + 3) % 23) for i in range(60)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rng if a != b], "src long, dst long"
+    )
+    from linkgraph.graph import assortativity
+
+    r = assortativity(edges).collect()[0]
+    e = sorted({(a, b) for a, b in rng if a != b})
+    outd = {}
+    ind = {}
+    for a, b in e:
+        outd[a] = outd.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    x = np.array([outd[a] for a, b in e], dtype=float)
+    y = np.array([ind[b] for a, b in e], dtype=float)
+    want = float(np.corrcoef(x, y)[0, 1])
+    assert r["n_edges"] == len(e)
+    assert abs(r["assortativity6"] - want) < 1e-6
+
+    # degenerate: every src out-degree 1 -> zero variance -> NULL, no error
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
+    )
+    d = assortativity(ring).collect()[0]
+    assert d["n_edges"] == 10 and d["assortativity6"] is None

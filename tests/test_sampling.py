@@ -37,3 +37,31 @@ def test_cap_per_source_priority(spark):
     assert got == {("s0", 0), ("s0", 1), ("s1", 6), ("s1", 7)}
     ranks = {r["doc_id"]: r["source_rank"] for r in out.collect()}
     assert ranks[0] == 1 and ranks[1] == 2
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.5, "de": 0.1}  # fr absent -> dropped
+    out = sampling.stratified_sample(docs, fr, key_col="lang")
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    assert all(lang != "fr" for _, lang in got)
+    import hashlib
+
+    for i, lang in rows:
+        if lang == "fr":
+            continue
+        coin = hashlib.md5(f"{i}:s1".encode()).hexdigest()[:6]
+        want = coin < sampling.hash_threshold(fr[lang])
+        assert ((i, lang) in got) == want
+
+
+def test_stratified_sample_nested_on_rate_increase(spark):
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(500)], "doc_id long, lang string"
+    )
+    lo = {r["doc_id"] for r in
+          sampling.stratified_sample(docs, {"en": 0.2}).collect()}
+    hi = {r["doc_id"] for r in
+          sampling.stratified_sample(docs, {"en": 0.6}).collect()}
+    assert lo <= hi  # same coin: raising a stratum rate keeps prior docs

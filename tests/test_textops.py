@@ -230,3 +230,49 @@ def test_tfidf(spark):
         r["token"] for r in textops.tfidf(df, min_df=2).collect()
     }
     assert pruned == {"a", "b"}
+
+
+def test_line_dedup_global_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha line\nshared banner\nbeta line"),
+            (1, "shared banner\ngamma line\n\n  shared banner  "),
+            (2, "shared banner"),
+            (3, ""),
+            (4, "delta\ndelta\nunique tail"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.line_dedup(docs).collect()}
+    # doc 0 saw 'shared banner' first (doc_id order) and keeps everything
+    assert got[0]["dedup_text"] == "alpha line\nshared banner\nbeta line"
+    assert got[0]["n_lines_kept"] == 3 and got[0]["n_lines_dropped"] == 0
+    # doc 1 loses both banner copies (trimmed match), keeps gamma
+    assert got[1]["dedup_text"] == "gamma line"
+    assert got[1]["n_lines_kept"] == 1 and got[1]["n_lines_dropped"] == 2
+    # doc 2 is all boilerplate -> empty
+    assert got[2]["dedup_text"] == "" and got[2]["n_lines_kept"] == 0
+    # empty doc still present
+    assert got[3]["dedup_text"] == "" and got[3]["n_lines_dropped"] == 0
+    # within-doc repeat: first copy survives, second drops; order preserved
+    assert got[4]["dedup_text"] == "delta\nunique tail"
+    assert got[4]["n_lines_dropped"] == 1
+    assert len(got) == 5
+
+
+def test_line_dedup_total_lines_conserved(spark):
+    import itertools
+
+    texts = ["\n".join(f"l{(i * j) % 7}" for j in range(5)) for i in range(20)]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = textops.line_dedup(docs).collect()
+    kept = sum(r["n_lines_kept"] for r in rows)
+    dropped = sum(r["n_lines_dropped"] for r in rows)
+    all_lines = list(
+        itertools.chain.from_iterable(t.split("\n") for t in texts)
+    )
+    assert kept + dropped == len([x for x in all_lines if x.strip()])
+    # each distinct line survives exactly once corpus-wide
+    assert kept == len({x.strip() for x in all_lines if x.strip()})
