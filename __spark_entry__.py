@@ -756,6 +756,61 @@ def q_text_line_dedup(spark, sf_dir):
     return textops.line_dedup(_docs(spark, sf_dir))
 
 
+def q_text_pii_redact(spark, sf_dir):
+    """Staged PII redaction (emails -> phones -> IPv4, typed placeholders
+    + per-category counts). Docs are salted with deterministic synthetic
+    PII so every category fires; the oracle replays the same salt and the
+    same staged regexes, so clean_text must match byte-for-byte."""
+    docs = _docs(spark, sf_dir)
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"), F.col("doc_id").cast("string"), F.lit("@ex.org"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +41 79"),
+                    (F.col("doc_id") % 9000000 + 1000000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return textops.pii_redact(salted)
+
+
+def q_sample_pack_chunks(spark, sf_dir):
+    """Sequence packing: per-source concat-and-chunk at a 2048-token
+    budget — (chunk_id, chunk_offset) placement of every doc in its
+    stream's packed token sequence."""
+    from linkgraph import sampling
+
+    return sampling.pack_chunks(_docs(spark, sf_dir), budget=2048)
+
+
+def q_extract_source_lines(spark, sf_dir):
+    """Raw source-line link map (A7 provenance shape: every physical page
+    line that carries links, hrefs exactly as written, document order).
+    hrefs joined to one string for the hash compare."""
+    from linkgraph.extract import source_line_links
+
+    pages = _synth_pages(_docs(spark, sf_dir))
+    return source_line_links(pages).select(
+        "doc_id",
+        "line_no",
+        "n_links",
+        F.array_join("hrefs", "|").alias("hrefs"),
+    )
+
+
 def q_graph_health(spark, sf_dir):
     """Link-graph health summary: entry / dangling / internal vertex
     classes and the dangling fraction PageRank will redistribute."""
@@ -1016,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "text_decontam": q_text_decontam,
         "text_line_dedup": q_text_line_dedup,
+        "text_pii_redact": q_text_pii_redact,
+        "sample_pack_chunks": q_sample_pack_chunks,
+        "extract_source_lines": q_extract_source_lines,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
         "dedup_embcos": q_dedup_embcos,
@@ -1103,6 +1161,12 @@ sh AS (
 """
 
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in STOP_EN) + ")"
+
+# PII patterns shared verbatim with the engine (ASCII-explicit subset that
+# Java regex and DuckDB's RE2 interpret identically; no quotes to escape)
+PII_EMAIL_SQL = textops.PII_EMAIL
+PII_PHONE_SQL = textops.PII_PHONE
+PII_IPV4_SQL = textops.PII_IPV4
 
 _COS64 = (
     "round(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
@@ -2099,6 +2163,67 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN totals tt ON d.doc_id = tt.doc_id
 LEFT JOIN rebuilt rb ON d.doc_id = rb.doc_id
+""",
+        # staged PII scrub: same deterministic salt, same regex order —
+        # counts taken on the text each stage actually sees
+        "text_pii_redact": f"""
+WITH salted AS (
+  SELECT doc_id,
+    text || ' mail u' || doc_id || '@ex.org'
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call +41 79' || (doc_id % 9000000 + 1000000) ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, t0,
+         len(regexp_extract_all(t0, '{PII_EMAIL_SQL}')) AS n_emails,
+         regexp_replace(t0, '{PII_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+  FROM salted
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_PHONE_SQL}')) AS n_phones,
+         regexp_replace(t1, '{PII_PHONE_SQL}', '<PHONE>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  n_emails::BIGINT AS n_emails,
+  n_phones::BIGINT AS n_phones,
+  len(regexp_extract_all(t2, '{PII_IPV4_SQL}'))::BIGINT AS n_ipv4,
+  regexp_replace(t2, '{PII_IPV4_SQL}', '<IP>', 'g') AS clean_text
+FROM s2
+""",
+        # per-source running token sum -> (chunk_id, chunk_offset) at a
+        # 2048-token budget; token normalization shared with text_stats
+        "sample_pack_chunks": f"""
+WITH {_TOKS}
+SELECT doc_id, source, n_tokens,
+       (before // 2048)::BIGINT AS chunk_id,
+       (before % 2048)::BIGINT AS chunk_offset
+FROM (
+  SELECT t.doc_id, d.source, len(t.t)::BIGINT AS n_tokens,
+         (sum(len(t.t)) OVER (PARTITION BY d.source ORDER BY t.doc_id)
+          - len(t.t))::BIGINT AS before
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+)
+""",
+        # raw source-line link map over the synthetic pages: anchors all
+        # land on the page's last physical line; hrefs exactly as written
+        "extract_source_lines": """
+WITH nn AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id,
+  len(string_split(text, chr(10)))::BIGINT AS line_no,
+  (doc_id % 3 + 1)::BIGINT AS n_links,
+  array_to_string(list_transform(range(0, doc_id % 3 + 1), j ->
+    CASE WHEN j % 2 = 1
+         THEN 'HTTPS://DOCS.EXAMPLE/d' || ((doc_id * 7 + j * 13) % n)
+         WHEN j % 3 = 2
+         THEN 'https://docs.example/d' || ((doc_id * 7 + j * 13) % n) || '#frag'
+         ELSE 'https://docs.example/d' || ((doc_id * 7 + j * 13) % n) END
+  ), '|') AS hrefs
+FROM documents, nn
 """,
         # transitive closure of the verified-pair graph -> clusters
         "dedup_clusters": f"""

@@ -270,3 +270,40 @@ def extracted_text(pages_df):
     return pages_df.select(
         "url", extract_text_udf(F.col("html")).alias("text_extracted")
     )
+
+def source_line_links(pages_df, id_col: str = "doc_id"):
+    """pages(doc_id, html, ...) -> (doc_id, line_no, n_links, hrefs) —
+    the raw-source line map: every physical line of the page that
+    contains links, with the hrefs exactly as written (no
+    normalization), in document order. This is the full shape of the
+    reference's A7 source-line enrichment (nested SourceLine rows per
+    code object, /root/reference/src/ccm/source.py:48-63 — whose own
+    implementation crashes; the capability is reproduced here): a
+    provenance table that maps each extracted edge back to the line of
+    raw bytes it came from, for auditing extractors and diffing crawls.
+
+    Pure JVM path — decode, split, posexplode, regexp_extract_all — one
+    whole-stage-codegen stage, no Python, no shuffle; output is
+    per-(page, line), so it partitions exactly like the page scan at any
+    scale.
+    """
+    doc = F.decode(F.col("html"), "UTF-8")
+    lines = pages_df.select(
+        F.col(id_col),
+        F.posexplode(F.split(doc, "\n")).alias("pos", "line"),
+    )
+    hrefs = F.regexp_extract_all(F.col("line"), F.lit('<a href="([^"]*)"'), 1)
+    return (
+        lines.select(
+            id_col,
+            (F.col("pos") + 1).cast("long").alias("line_no"),
+            hrefs.alias("hrefs"),
+        )
+        .where(F.size("hrefs") > 0)
+        .select(
+            id_col,
+            "line_no",
+            F.size("hrefs").cast("long").alias("n_links"),
+            "hrefs",
+        )
+    )

@@ -86,3 +86,39 @@ def stratified_sample(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, k
     )
     return docs.where(coin < thr[F.col(key_col)])
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int = 2048,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, <key_col>, n_tokens, chunk_id, chunk_offset) — the
+    concat-and-chunk sequence-packing map of LLM training: within each
+    stream (``key_col``), documents are concatenated in ``id_col`` order
+    and cut every ``budget`` tokens; each doc lands at ``chunk_offset``
+    inside ``chunk_id`` (docs may straddle chunk boundaries, exactly like
+    the standard packing loader). Deterministic, so shards can be packed
+    independently and re-derived.
+
+    One window per stream key — the shuffle is keyed on ``key_col``, and
+    the running sum is a streaming frame (no buffering). At 100 TB you
+    pack per shard/source, never globally: a global order would serialize
+    into one partition, which is why ``key_col`` is required rather than
+    optional. Token counts reuse the corpus-wide normalization
+    (``textops.tokens_col``) so they agree with ``token_stats``.
+    """
+    from linkgraph.textops import tokens_col
+
+    n = F.size(tokens_col(F.col(text_col))).cast("long")
+    w = Window.partitionBy(key_col).orderBy(F.asc(id_col))
+    d = docs.select(F.col(id_col), F.col(key_col), n.alias("n_tokens"))
+    before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("before")
+    return d.select(id_col, key_col, "n_tokens", before).select(
+        id_col,
+        key_col,
+        "n_tokens",
+        F.floor(F.col("before") / budget).cast("long").alias("chunk_id"),
+        (F.col("before") % budget).cast("long").alias("chunk_offset"),
+    )

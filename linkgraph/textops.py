@@ -378,6 +378,40 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+[0-9]{2}[0-9 ]{6,12}[0-9]"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_emails, n_phones, n_ipv4, clean_text) — the standard
+    pre-training PII scrub: emails, international-format phone numbers,
+    and IPv4 addresses replaced by typed placeholder tokens.
+
+    Redaction is staged (emails first, then phones, then IPv4) and each
+    count is taken on the text the stage actually sees, so counts equal
+    redactions exactly even when categories could overlap (digits inside
+    an email never double-count as a phone). Patterns stick to the
+    ASCII-explicit subset ([0-9], \\b) that Java regex and RE2 interpret
+    identically, so the DuckDB oracle matches byte-for-byte. Map-only:
+    one whole-stage-codegen projection, zero shuffle at any scale.
+    """
+    t0 = F.col(text_col)
+    n_em = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ph = F.regexp_count(t1, F.lit(PII_PHONE))
+    t2 = F.regexp_replace(t1, PII_PHONE, "<PHONE>")
+    n_ip = F.regexp_count(t2, F.lit(PII_IPV4))
+    t3 = F.regexp_replace(t2, PII_IPV4, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        n_em.cast("long").alias("n_emails"),
+        n_ph.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ipv4"),
+        t3.alias("clean_text"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, fp_md5, fp64) — content fingerprint of normalized text.
 

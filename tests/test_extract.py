@@ -123,3 +123,29 @@ def test_entity_unescape_matches():
     ref = extract_text(html)
     assert ref == "a &lt; b <x> & c"
     assert text_series(pd.Series([html])).iloc[0] == ref
+
+
+def test_source_line_links_line_map(spark):
+    from linkgraph.extract import source_line_links
+
+    html0 = (
+        'no links here\n'
+        'two: <a href="https://a.example/x">A</a> <a href="HTTP://B.EX/y#f">B</a>\n'
+        'none\n'
+        'one: <a href="/rel/path">rel</a>'
+    )
+    html1 = '<a href="https://only.example/">o</a>'
+    pages = spark.createDataFrame(
+        [(0, html0.encode()), (1, html1.encode())], "doc_id long, html binary"
+    )
+    got = sorted(
+        source_line_links(pages).collect(),
+        key=lambda r: (r["doc_id"], r["line_no"]),
+    )
+    assert [(r["doc_id"], r["line_no"], r["n_links"]) for r in got] == [
+        (0, 2, 2), (0, 4, 1), (1, 1, 1),
+    ]
+    # hrefs exactly as written: no normalization, case and fragments kept
+    assert got[0]["hrefs"] == ["https://a.example/x", "HTTP://B.EX/y#f"]
+    assert got[1]["hrefs"] == ["/rel/path"]
+    assert got[2]["hrefs"] == ["https://only.example/"]

@@ -65,3 +65,32 @@ def test_stratified_sample_nested_on_rate_increase(spark):
     hi = {r["doc_id"] for r in
           sampling.stratified_sample(docs, {"en": 0.6}).collect()}
     assert lo <= hi  # same coin: raising a stratum rate keeps prior docs
+
+
+def test_pack_chunks_running_layout(spark):
+    # 3 docs per source; token counts 4, 3, 5 with budget 6
+    texts = {0: "a b c d", 1: "e f g", 2: "h i j k l"}
+    rows = [(s * 10 + i, f"s{s}", texts[i]) for s in range(2) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source"], r["doc_id"]): r
+        for r in sampling.pack_chunks(docs, budget=6).collect()
+    }
+    for s in ("s0", "s1"):
+        base = 0 if s == "s0" else 10
+        d0, d1, d2 = (got[(s, base + i)] for i in range(3))
+        assert (d0["chunk_id"], d0["chunk_offset"]) == (0, 0)
+        assert (d1["chunk_id"], d1["chunk_offset"]) == (0, 4)
+        # doc 2 starts at global offset 7 -> chunk 1, offset 1
+        assert (d2["chunk_id"], d2["chunk_offset"]) == (1, 1)
+        assert [d["n_tokens"] for d in (d0, d1, d2)] == [4, 3, 5]
+
+
+def test_pack_chunks_streams_are_independent(spark):
+    # a huge doc in one stream must not shift chunk ids in another
+    rows = [(0, "big", "x " * 10_000), (1, "small", "a b"), (2, "small", "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in sampling.pack_chunks(docs, budget=4).collect()}
+    assert (got[1]["chunk_id"], got[1]["chunk_offset"]) == (0, 0)
+    assert (got[2]["chunk_id"], got[2]["chunk_offset"]) == (0, 2)
+    assert got[0]["chunk_id"] == 0 and got[0]["n_tokens"] == 10_000

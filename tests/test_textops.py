@@ -276,3 +276,43 @@ def test_line_dedup_total_lines_conserved(spark):
     assert kept + dropped == len([x for x in all_lines if x.strip()])
     # each distinct line survives exactly once corpus-wide
     assert kept == len({x.strip() for x in all_lines if x.strip()})
+
+
+def test_pii_redact_all_categories(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "write to bob.smith+x@mail.example.org today"),
+            (1, "dial +41 791234567 or +12 3456789 now"),
+            (2, "server 192.168.0.1 and 10.0.3.7 up"),
+            (3, "mixed a@b.co then +33 1234567 then 8.8.8.8"),
+            (4, "nothing to scrub here"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.pii_redact(docs).collect()}
+    assert got[0]["n_emails"] == 1 and got[0]["clean_text"] == "write to <EMAIL> today"
+    assert got[1]["n_phones"] == 2
+    assert got[1]["clean_text"] == "dial <PHONE> or <PHONE> now"
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["clean_text"] == "server <IP> and <IP> up"
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ipv4"]) == (1, 1, 1)
+    assert got[3]["clean_text"] == "mixed <EMAIL> then <PHONE> then <IP>"
+    assert got[4]["clean_text"] == "nothing to scrub here"
+    assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ipv4"]) == (0, 0, 0)
+    assert got[5]["clean_text"] == ""
+
+
+def test_pii_redact_no_double_count_across_stages(spark):
+    # digits inside an email are consumed by the email stage and must not
+    # resurface as a phone; an IP inside a redacted phone span is gone too
+    docs = spark.createDataFrame(
+        [(0, "u+41 791234567x@ex.org"), (1, "+41 10 0 3 77 more")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.pii_redact(docs).collect()}
+    # email regex grabs the local part up to the space? no: local part has
+    # no spaces, so "791234567x@ex.org" is the email; "+41 " survives but
+    # is too short to be a phone afterwards
+    assert got[0]["n_emails"] == 1 and got[0]["n_phones"] == 0
+    assert got[1]["n_phones"] == 1 and got[1]["n_ipv4"] == 0
