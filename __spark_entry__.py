@@ -811,6 +811,50 @@ def q_extract_source_lines(spark, sf_dir):
     )
 
 
+def q_graph_walks(spark, sf_dir):
+    """Deterministic hash-argmin random walks (DeepWalk corpus
+    generation) over the closed-form doc-link graph: walks start at every
+    17th doc, 4 steps, successor = md5-argmin over out-neighbors. Every
+    doc has j=0 out-links, so walks never die on this fixture."""
+    from linkgraph.walks import random_walks
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    j = F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j")
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), j)
+        .select("src", ((F.col("src") * 7 + F.col("j") * 13) % n).alias("dst"))
+        .distinct()
+    )
+    starts = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return random_walks(edges, starts, steps=4)
+
+
+def q_text_lm_score(spark, sf_dir):
+    """Unigram-LM quality proxy: per-doc mean -ln p(token) under the
+    corpus's own unigram distribution (KenLM-filter stand-in)."""
+    return textops.lm_score(_docs(spark, sf_dir))
+
+
+def q_extract_anchor_corpus(spark, sf_dir):
+    """Per-target inlink anchor-text aggregate, driven through the real
+    anchor extractor over the synthetic pages."""
+    from linkgraph.extract import anchor_corpus
+
+    pages = _synth_pages(_docs(spark, sf_dir))
+    anchors = pages.select(
+        F.col("doc_id").alias("src_doc"),
+        F.explode(extract_anchors_udf(F.col("html"), F.col("url"))).alias("a"),
+    ).select(
+        "src_doc",
+        F.col("a.dst_url").alias("dst_url"),
+        F.col("a.anchor").alias("anchor"),
+    )
+    return anchor_corpus(anchors)
+
+
 def q_graph_health(spark, sf_dir):
     """Link-graph health summary: entry / dangling / internal vertex
     classes and the dangling fraction PageRank will redistribute."""
@@ -1074,6 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "sample_pack_chunks": q_sample_pack_chunks,
         "extract_source_lines": q_extract_source_lines,
+        "graph_walks": q_graph_walks,
+        "text_lm_score": q_text_lm_score,
+        "extract_anchor_corpus": q_extract_anchor_corpus,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
         "dedup_embcos": q_dedup_embcos,
@@ -1173,6 +1220,26 @@ _COS64 = (
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
     " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i])))), 6)"
 )
+
+
+def _walk_steps_sql(steps: int) -> str:
+    """Unrolled hash-argmin walk steps (mirrors linkgraph.walks: successor
+    of v on walk w at step s = argmin_d md5('w:{w}:{s}:{d}') over
+    out-neighbors d)."""
+    parts = []
+    for s in range(1, steps + 1):
+        parts.append(f"""
+s{s} AS (
+  SELECT walk_id, dst AS v FROM (
+    SELECT w.walk_id, e.dst,
+           row_number() OVER (
+             PARTITION BY w.walk_id
+             ORDER BY md5('w:' || w.walk_id || ':{s}:' || e.dst)) AS rn
+    FROM s{s - 1} w JOIN dedges e ON w.v = e.src
+  ) WHERE rn = 1
+)""")
+        # noqa: E501
+    return ",".join(parts)
 
 
 def _lp_round(prev: str, out: str) -> str:
@@ -2224,6 +2291,46 @@ SELECT doc_id,
          ELSE 'https://docs.example/d' || ((doc_id * 7 + j * 13) % n) END
   ), '|') AS hrefs
 FROM documents, nn
+""",
+        # unrolled 4-step hash-argmin walks over the closed-form doc graph
+        "graph_walks": f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+dedges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents), nn
+),
+s0 AS (SELECT doc_id AS walk_id, doc_id AS v FROM documents WHERE doc_id % 17 = 0),
+{_walk_steps_sql(4)}
+SELECT walk_id, 0::INT AS step, v::BIGINT AS vertex FROM s0
+UNION ALL SELECT walk_id, 1::INT, v::BIGINT FROM s1
+UNION ALL SELECT walk_id, 2::INT, v::BIGINT FROM s2
+UNION ALL SELECT walk_id, 3::INT, v::BIGINT FROM s3
+UNION ALL SELECT walk_id, 4::INT, v::BIGINT FROM s4
+""",
+        # per-doc mean -ln p(token) under the corpus unigram distribution
+        "text_lm_score": f"""
+WITH {_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+fr AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tt AS (SELECT count(*) AS total FROM ex)
+SELECT e.doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(-ln(fr.c::DOUBLE / (SELECT total FROM tt))), 6) AS avg_neg_logp
+FROM ex e JOIN fr USING (tok) GROUP BY e.doc_id
+""",
+        # per-target inlink anchor aggregate (normalized dst, unescaped
+        # anchors — the extractor's output, closed-form per target k)
+        "extract_anchor_corpus": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT doc_id, (doc_id * 7 + j * 13) % n AS k
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents), nn
+)
+SELECT 'https://docs.example/d' || k AS dst_url,
+  count(*)::BIGINT AS n_anchors,
+  count(DISTINCT doc_id)::BIGINT AS n_src_docs,
+  count(DISTINCT 't' || k || '&s')::BIGINT AS n_unique_anchors,
+  min('t' || k || '&s') AS anchor_sample
+FROM l GROUP BY k
 """,
         # transitive closure of the verified-pair graph -> clusters
         "dedup_clusters": f"""

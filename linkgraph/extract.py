@@ -271,6 +271,26 @@ def extracted_text(pages_df):
         "url", extract_text_udf(F.col("html")).alias("text_extracted")
     )
 
+def anchor_corpus(anchors_df, dst_col: str = "dst_url"):
+    """anchors(src_doc, dst_url, anchor) -> per-target anchor aggregate
+    (dst_url, n_anchors, n_src_docs, n_unique_anchors, anchor_sample) —
+    the inlink-text corpus of web search / LLM data pipelines: what the
+    web calls each page, aggregated over every page linking to it.
+
+    One groupBy on the target url (count-distincts expand to one extra
+    exchange under Spark's expand-operator rewrite, still a single
+    logical aggregation keyed on dst); anchor_sample = lexicographic min
+    keeps the output deterministic without collecting lists, so
+    super-cited hub targets cost O(1) state per group at any scale.
+    """
+    return anchors_df.groupBy(dst_col).agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.countDistinct("src_doc").cast("long").alias("n_src_docs"),
+        F.countDistinct("anchor").cast("long").alias("n_unique_anchors"),
+        F.min("anchor").alias("anchor_sample"),
+    )
+
+
 def source_line_links(pages_df, id_col: str = "doc_id"):
     """pages(doc_id, html, ...) -> (doc_id, line_no, n_links, hrefs) —
     the raw-source line map: every physical line of the page that

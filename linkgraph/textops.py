@@ -412,6 +412,35 @@ def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def lm_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, avg_neg_logp) for docs with >=1 token — the
+    unigram-LM quality proxy (corpus-statistics perplexity surrogate):
+    per-doc mean of -ln p(token) under the corpus's own unigram
+    distribution. Low = boilerplate/common-word text, high = rare-token
+    soup; the standard cheap stand-in for a KenLM filter stage.
+
+    Two aggregations + one shuffle join keyed on token: the frequency
+    table is an agg over the exploded tokens, the corpus total rides a
+    broadcast crossJoin of a 1-row aggregate (no driver action), and the
+    rejoin partitions by token — hot stopword keys are bounded because the
+    join's build side is one row per distinct token, not per occurrence.
+    Score rounded to 6 decimals (float-sum order tolerance, same
+    convention as avg_token_len).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total_toks"))
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.avg(-F.log(F.col("c") / F.col("total_toks"))), 6
+        ).alias("avg_neg_logp"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, fp_md5, fp64) — content fingerprint of normalized text.
 

@@ -149,3 +149,22 @@ def test_source_line_links_line_map(spark):
     assert got[0]["hrefs"] == ["https://a.example/x", "HTTP://B.EX/y#f"]
     assert got[1]["hrefs"] == ["/rel/path"]
     assert got[2]["hrefs"] == ["https://only.example/"]
+
+
+def test_anchor_corpus_aggregates_per_target(spark):
+    from linkgraph.extract import anchor_corpus
+
+    anchors = spark.createDataFrame(
+        [
+            (0, "u1", "click"),
+            (1, "u1", "click"),
+            (1, "u1", "here"),
+            (2, "u2", "only"),
+        ],
+        "src_doc long, dst_url string, anchor string",
+    )
+    got = {r["dst_url"]: r for r in anchor_corpus(anchors).collect()}
+    u1 = got["u1"]
+    assert (u1["n_anchors"], u1["n_src_docs"], u1["n_unique_anchors"]) == (3, 2, 2)
+    assert u1["anchor_sample"] == "click"
+    assert got["u2"]["n_anchors"] == 1

@@ -316,3 +316,25 @@ def test_pii_redact_no_double_count_across_stages(spark):
     # is too short to be a phone afterwards
     assert got[0]["n_emails"] == 1 and got[0]["n_phones"] == 0
     assert got[1]["n_phones"] == 1 and got[1]["n_ipv4"] == 0
+
+
+def test_lm_score_exact_unigram(spark):
+    import math
+
+    # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, "b"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in textops.lm_score(docs).collect()}
+    assert got[0]["n_tokens"] == 3
+    assert got[0]["avg_neg_logp"] == round(-math.log(0.75), 6)
+    assert got[1]["avg_neg_logp"] == round(-math.log(0.25), 6)
+    assert 2 not in got  # empty docs emit no row
+
+
+def test_lm_score_orders_common_below_rare(spark):
+    rows = [(i, "the common text " + ("rare%d" % i if i == 0 else "the"))
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_neg_logp"] for r in textops.lm_score(docs).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0)

@@ -1,0 +1,38 @@
+"""Deterministic hash-argmin random walks vs a pure-Python replay."""
+
+import hashlib
+
+from linkgraph.walks import random_walks
+
+
+def _argmin_md5(walk_id, step, dsts, seed="w"):
+    return min(
+        dsts,
+        key=lambda d: hashlib.md5(f"{seed}:{walk_id}:{step}:{d}".encode()).hexdigest(),
+    )
+
+
+def test_walks_match_python_replay(spark):
+    out = {0: [1, 2], 1: [2, 3], 2: [0, 3], 3: [1]}
+    edges = spark.createDataFrame(
+        [(u, v) for u, vs in out.items() for v in vs], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(0,), (2,)], "id long")
+    got = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in random_walks(edges, starts, steps=3).collect()
+    }
+    for w in (0, 2):
+        v = w
+        assert got[(w, 0)] == v
+        for s in (1, 2, 3):
+            v = _argmin_md5(w, s, out[v])
+            assert got[(w, s)] == v
+
+
+def test_walks_truncate_at_dangling(spark):
+    # 0 -> 1, 1 has no out-edges: steps 2+ emit nothing
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    starts = spark.createDataFrame([(0,)], "id long")
+    rows = random_walks(edges, starts, steps=4).collect()
+    assert {(r["step"], r["vertex"]) for r in rows} == {(0, 0), (1, 1)}
