@@ -811,6 +811,20 @@ def q_extract_source_lines(spark, sf_dir):
     )
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Temperature-based source mixture weights (count^0.7 normalized)."""
+    from linkgraph import sampling
+
+    return sampling.mixture_weights(_docs(spark, sf_dir), alpha=0.7)
+
+
+def q_source_length_stats(spark, sf_dir):
+    """Per-source doc-length percentiles (p50/p90 continuous, max)."""
+    from linkgraph import sampling
+
+    return sampling.source_length_stats(_docs(spark, sf_dir))
+
+
 def q_graph_walks(spark, sf_dir):
     """Deterministic hash-argmin random walks (DeepWalk corpus
     generation) over the closed-form doc-link graph: walks start at every
@@ -1121,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "text_lm_score": q_text_lm_score,
         "extract_anchor_corpus": q_extract_anchor_corpus,
+        "sample_mixture": q_sample_mixture,
+        "source_length_stats": q_source_length_stats,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
         "dedup_embcos": q_dedup_embcos,
@@ -2331,6 +2347,22 @@ SELECT 'https://docs.example/d' || k AS dst_url,
   count(DISTINCT 't' || k || '&s')::BIGINT AS n_unique_anchors,
   min('t' || k || '&s') AS anchor_sample
 FROM l GROUP BY k
+""",
+        # count^alpha temperature weights, normalized over sources
+        "sample_mixture": """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT source, n_docs::BIGINT AS n_docs,
+       round(pow(n_docs, 0.7) / (SELECT sum(pow(n_docs, 0.7)) FROM c), 6) AS weight
+FROM c
+""",
+        # continuous-interpolation percentiles (Spark percentile ==
+        # DuckDB quantile_cont), rounded
+        "source_length_stats": """
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS len_p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS len_p90,
+       max(n_chars)::BIGINT AS len_max
+FROM documents GROUP BY source
 """,
         # transitive closure of the verified-pair graph -> clusters
         "dedup_clusters": f"""

@@ -87,6 +87,49 @@ def stratified_sample(
     )
     return docs.where(coin < thr[F.col(key_col)])
 
+def mixture_weights(
+    docs: DataFrame, alpha: float = 0.7, key_col: str = "source"
+) -> DataFrame:
+    """-> (source, n_docs, weight) — temperature-based mixture reweighting
+    (multilingual-LM style: sampling weight proportional to count^alpha,
+    alpha<1 upweights low-resource sources). The weights table is the
+    input to a downstream stratified_sample at rate weight*budget/n_docs.
+
+    One count aggregation over the corpus; the normalizer rides a
+    broadcast crossJoin of the 1-row sum (no driver action). Output is
+    one row per source — trivially broadcastable at any corpus size.
+    """
+    counts = docs.groupBy(key_col).agg(F.count("*").alias("n_docs"))
+    pw = counts.withColumn(
+        "w", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    tot = pw.agg(F.sum("w").alias("tw"))
+    return pw.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("w") / F.col("tw"), 6).alias("weight"),
+    )
+
+
+def source_length_stats(
+    docs: DataFrame, key_col: str = "source", len_col: str = "n_chars"
+) -> DataFrame:
+    """-> (source, n_docs, len_p50, len_p90, len_max) — per-source length
+    percentiles (continuous interpolation), the curation dashboard row
+    that catches truncated or boilerplate-heavy sources at a glance.
+
+    One aggregation keyed on source. Exact percentiles buffer the group's
+    values; at 100 TB swap F.percentile for percentile_approx (t-digest,
+    bounded state) — same call shape, documented seam.
+    """
+    return docs.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.percentile(len_col, F.lit(0.5)), 6).alias("len_p50"),
+        F.round(F.percentile(len_col, F.lit(0.9)), 6).alias("len_p90"),
+        F.max(len_col).cast("long").alias("len_max"),
+    )
+
+
 def pack_chunks(
     docs: DataFrame,
     budget: int = 2048,

@@ -94,3 +94,23 @@ def test_pack_chunks_streams_are_independent(spark):
     assert (got[1]["chunk_id"], got[1]["chunk_offset"]) == (0, 0)
     assert (got[2]["chunk_id"], got[2]["chunk_offset"]) == (0, 2)
     assert got[0]["chunk_id"] == 0 and got[0]["n_tokens"] == 10_000
+
+
+def test_mixture_weights_temperature(spark):
+    rows = [(i, "big") for i in range(80)] + [(100 + i, "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in sampling.mixture_weights(docs, alpha=0.5).collect()}
+    tw = 80**0.5 + 10**0.5
+    assert got["big"]["n_docs"] == 80
+    assert abs(got["big"]["weight"] - 80**0.5 / tw) < 1e-6
+    assert abs(got["small"]["weight"] - 10**0.5 / tw) < 1e-6
+    # alpha<1 upweights the small source vs its raw share
+    assert got["small"]["weight"] > 10 / 90
+
+
+def test_source_length_stats_percentiles(spark):
+    rows = [(i, "s", n) for i, n in enumerate([10, 20, 30, 40])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    r = sampling.source_length_stats(docs).collect()[0]
+    # continuous interpolation: p50 of [10,20,30,40] = 25, p90 = 37
+    assert (r["n_docs"], r["len_p50"], r["len_p90"], r["len_max"]) == (4, 25.0, 37.0, 40)
