@@ -24,6 +24,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
+from linkgraph.lineage import truncate_plan
+
 
 def random_walks(
     edges: DataFrame,
@@ -56,6 +58,10 @@ def random_walks(
             .groupBy("walk_id")
             .agg(F.min_by("dst", "h").alias("vertex"))
         )
+        # truncate per level: the final union has one branch per step, and
+        # without this each branch would recompute the whole join chain
+        # from step 0 (O(steps^2) joins); lazy checkpoint keeps it one job
+        cur = truncate_plan(cur, eager=False)
         levels.append(cur.withColumn("step", F.lit(s).cast("int")))
     out = reduce(DataFrame.unionByName, levels)
     return out.select(

@@ -132,6 +132,23 @@ def main() -> None:
             simsearch.label_centroids(embs, dim=64),
         "vocabulary (one explode + one token groupBy)":
             textops.vocabulary(docs, min_count=5),
+        "PII redaction (staged regex, map-only, zero shuffle)":
+            textops.pii_redact(docs),
+        "unigram LM score (token-keyed rejoin + broadcast normalizer)":
+            textops.lm_score(docs),
+        "sequence packing (one window per stream key, streaming frame)":
+            __import__("linkgraph.sampling", fromlist=["pack_chunks"])
+            .pack_chunks(docs),
+        "random walks (per-step frontier join + min_by, no driver loop)":
+            __import__("linkgraph.walks", fromlist=["random_walks"])
+            .random_walks(
+                edges, verts.select("id").limit(64), steps=3
+            ),
+        "source-line link map (decode/posexplode/regexp, one codegen stage)":
+            __import__("linkgraph.extract", fromlist=["source_line_links"])
+            .source_line_links(
+                docs.select("doc_id", F.encode("text", "UTF-8").alias("html"))
+            ),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
