@@ -811,6 +811,30 @@ def q_extract_source_lines(spark, sf_dir):
     )
 
 
+def q_events_attrib(spark, sf_dir):
+    """As-of join event attribution: each purchase joined to the latest
+    signup at or before it for the same user (merge shape: one shuffle +
+    running window, no range explosion). Oracle = DuckDB's native
+    ASOF LEFT JOIN."""
+    from linkgraph.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    sig = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sig_id"), "user_id", "ts"
+    )
+    j = asof_join(pur, sig, on="user_id", ts_col="ts", right_cols=["sig_id"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("sig_id_r").alias("signup_event"),
+        (us("ts") - us("ts_r")).cast("long").alias("lag_us"),
+    )
+
+
 def q_sample_mixture(spark, sf_dir):
     """Temperature-based source mixture weights (count^0.7 normalized)."""
     from linkgraph import sampling
@@ -1137,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_anchor_corpus": q_extract_anchor_corpus,
         "sample_mixture": q_sample_mixture,
         "source_length_stats": q_source_length_stats,
+        "events_attrib": q_events_attrib,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
         "dedup_embcos": q_dedup_embcos,
@@ -2347,6 +2372,15 @@ SELECT 'https://docs.example/d' || k AS dst_url,
   count(DISTINCT 't' || k || '&s')::BIGINT AS n_unique_anchors,
   min('t' || k || '&s') AS anchor_sample
 FROM l GROUP BY k
+""",
+        # native ASOF LEFT JOIN replicates the merge-shape window join
+        "events_attrib": """
+SELECT l.event_id, l.user_id, r.event_id AS signup_event,
+       (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT AS lag_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         # count^alpha temperature weights, normalized over sources
         "sample_mixture": """
