@@ -811,6 +811,30 @@ def q_extract_source_lines(spark, sf_dir):
     )
 
 
+def q_graph_crawl_diff(spark, sf_dir):
+    """Edge churn between two crawl snapshots: crawl B loses every 10th
+    doc's outlinks and discovers one extra link on surviving docs
+    divisible by 4. Output is removed/added edges only (proportional to
+    churn, not graph size)."""
+    from linkgraph.graph import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    j = F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j")
+    ea = docs.select(F.col("doc_id").alias("src"), j).select(
+        "src", ((F.col("src") * 7 + F.col("j") * 13) % n).alias("dst")
+    )
+    surv = docs.where(F.col("doc_id") % 10 != 0)
+    eb1 = surv.select(F.col("doc_id").alias("src"), j).select(
+        "src", ((F.col("src") * 7 + F.col("j") * 13) % n).alias("dst")
+    )
+    eb2 = surv.where(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 39) % n).alias("dst"),
+    )
+    return snapshot_diff(ea, eb1.unionByName(eb2))
+
+
 def q_events_attrib(spark, sf_dir):
     """As-of join event attribution: each purchase joined to the latest
     signup at or before it for the same user (merge shape: one shuffle +
@@ -1162,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "source_length_stats": q_source_length_stats,
         "events_attrib": q_events_attrib,
+        "graph_crawl_diff": q_graph_crawl_diff,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
         "dedup_embcos": q_dedup_embcos,
@@ -2372,6 +2397,29 @@ SELECT 'https://docs.example/d' || k AS dst_url,
   count(DISTINCT 't' || k || '&s')::BIGINT AS n_unique_anchors,
   min('t' || k || '&s') AS anchor_sample
 FROM l GROUP BY k
+""",
+        # closed-form crawls A/B; EXCEPT both ways == the full-outer diff
+        "graph_crawl_diff": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+la AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents), nn
+),
+lb AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+    FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
+          FROM documents WHERE doc_id % 10 <> 0), nn
+    UNION ALL
+    SELECT doc_id, (doc_id * 7 + 39) % n
+    FROM documents, nn WHERE doc_id % 10 <> 0 AND doc_id % 4 = 0
+  )
+)
+SELECT src, dst, 'removed' AS status
+FROM (SELECT src, dst FROM la EXCEPT SELECT src, dst FROM lb)
+UNION ALL
+SELECT src, dst, 'added' AS status
+FROM (SELECT src, dst FROM lb EXCEPT SELECT src, dst FROM la)
 """,
         # native ASOF LEFT JOIN replicates the merge-shape window join
         "events_attrib": """

@@ -279,3 +279,26 @@ def collision_audit(vertices: DataFrame) -> tuple[int, int]:
         F.countDistinct("id").alias("ids"), F.countDistinct("url").alias("urls")
     ).collect()[0]
     return row["ids"], row["urls"]
+
+
+def snapshot_diff(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
+    """-> (src, dst, status in {'removed','added'}) — edge churn between
+    two crawl snapshots (A = earlier, B = later): the crawl-diff table
+    behind freshness metrics and incremental re-extraction (only re-parse
+    pages whose outlink set changed).
+
+    One full-outer shuffle join keyed on (src, dst) after per-side
+    distinct — unchanged edges (the overwhelming majority crawl-to-crawl)
+    are dropped in the same stage, so output is proportional to churn,
+    not graph size. No driver-side set logic.
+    """
+    a = edges_a.select("src", "dst").distinct().withColumn("_a", F.lit(1))
+    b = edges_b.select("src", "dst").distinct().withColumn("_b", F.lit(1))
+    j = a.join(b, ["src", "dst"], "full_outer")
+    return j.where(F.col("_a").isNull() | F.col("_b").isNull()).select(
+        "src",
+        "dst",
+        F.when(F.col("_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("added"))
+        .alias("status"),
+    )

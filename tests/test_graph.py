@@ -197,3 +197,15 @@ def test_assortativity_vs_numpy(spark):
     )
     d = assortativity(ring).collect()[0]
     assert d["n_edges"] == 10 and d["assortativity6"] is None
+
+
+def test_snapshot_diff_churn_only(spark):
+    from linkgraph.graph import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 3)], "src long, dst long"
+    )
+    b = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "src long, dst long")
+    got = {(r["src"], r["dst"]): r["status"] for r in snapshot_diff(a, b).collect()}
+    # unchanged edges (1,2),(2,3) are absent; dup (2,3) in A collapses
+    assert got == {(1, 3): "removed", (4, 5): "added"}
