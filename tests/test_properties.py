@@ -1,0 +1,124 @@
+"""Property-based checks (hypothesis) for the newest operators — each
+example builds a whole random dataframe and compares against a
+pure-Python replay, so one example amortizes a full Spark round-trip.
+Example counts are kept small: Spark actions dominate runtime.
+"""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+
+_keys = st.integers(min_value=0, max_value=3)
+_ts = st.integers(min_value=0, max_value=50)
+
+
+@given(
+    left=st.lists(st.tuples(_keys, _ts), min_size=1, max_size=20),
+    right=st.lists(st.tuples(_keys, _ts), min_size=0, max_size=20, unique=True),
+)
+@SET
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from datetime import datetime, timedelta
+
+    from linkgraph.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    t = lambda s: base + timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s) in enumerate(left)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, k, t(s)) for i, (k, s) in enumerate(right)],
+        "sig_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["sig_id_r"]
+        for r in asof_join(ldf, rdf, on="user_id", right_cols=["sig_id"]).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        # unique (key, ts) right rows -> at most one best match
+        cand = [
+            (s2, 100 + j)
+            for j, (k2, s2) in enumerate(right)
+            if k2 == k and s2 <= s
+        ]
+        want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, k, s, cand)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_keys, st.integers(min_value=0, max_value=12)),
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(min_value=1, max_value=7),
+)
+@SET
+def test_pack_chunks_replays_running_sum(spark, docs, budget):
+    from linkgraph.sampling import pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, f"s{k}", "x " * n) for i, (k, n) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in pack_chunks(df, budget=budget).collect()}
+    running: dict = {}
+    for i, (k, n) in enumerate(docs):  # doc_id order == list order
+        before = running.get(k, 0)
+        running[k] = before + n
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert 0 <= r["chunk_offset"] < budget
+        assert r["chunk_id"] * budget + r["chunk_offset"] == before
+
+
+_safe_text = st.text(
+    alphabet=st.sampled_from("ab @.+-019\n"), min_size=0, max_size=40
+)
+
+
+@given(texts=st.lists(_safe_text, min_size=1, max_size=15))
+@SET
+def test_pii_redact_counts_equal_placeholders(spark, texts):
+    from linkgraph.textops import pii_redact
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for r in pii_redact(df).collect():
+        c = r["clean_text"]
+        assert r["n_emails"] == c.count("<EMAIL>")
+        assert r["n_phones"] == c.count("<PHONE>")
+        assert r["n_ipv4"] == c.count("<IP>")
+
+
+@given(
+    edges=st.lists(st.tuples(_keys, _keys), min_size=1, max_size=16),
+    steps=st.integers(min_value=1, max_value=3),
+)
+@SET
+def test_walks_follow_edges(spark, edges, steps):
+    from linkgraph.walks import random_walks
+
+    edges = sorted(set(edges))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    starts = spark.createDataFrame(
+        [(k,) for k in sorted({s for s, _ in edges})], "id long"
+    )
+    rows = random_walks(edf, starts, steps=steps).collect()
+    byw: dict = {}
+    for r in rows:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    eset = set(edges)
+    for w, path in byw.items():
+        assert path[0] == w
+        # contiguous steps, each hop a real edge
+        for s in range(1, max(path) + 1):
+            assert s in path
+            assert (path[s - 1], path[s]) in eset
