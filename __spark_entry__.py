@@ -146,6 +146,28 @@ def q_graph_pagerank2(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 9).alias("rank9"))
 
 
+def q_graph_hostrank2(spark, sf_dir):
+    """Host authority: PageRank over the quotient (host/nation-level)
+    graph — the composition a web pipeline runs to rank domains rather
+    than pages (quotient_edges feeds the same pagerank operator, two
+    supersteps for the unrolled-SQL oracle)."""
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    cust = tpcgraph.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("key"),
+    )
+    supp = tpcgraph.load(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + tpcgraph.SUPP_OFFSET).alias("id"),
+        F.col("s_nationkey").cast("long").alias("key"),
+    )
+    q = quotient_edges(edges, cust.unionByName(supp)).select(
+        F.col("q_src").cast("long").alias("src"),
+        F.col("q_dst").cast("long").alias("dst"),
+    )
+    res = pagerank(spark, q, tpcgraph.vertices_of(q), tol=0.0, max_iter=2)
+    return res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+
+
 def q_graph_ppr2(spark, sf_dir):
     """Two PERSONALIZED PageRank supersteps: teleport + dangling mass go
     to the seed set (customer ids divisible by 50), networkx
@@ -1187,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_stats": q_source_length_stats,
         "events_attrib": q_events_attrib,
         "graph_crawl_diff": q_graph_crawl_diff,
+        "graph_hostrank2": q_graph_hostrank2,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
         "dedup_embcos": q_dedup_embcos,
@@ -1856,6 +1879,32 @@ m AS (
 SELECT DISTINCT ms.key AS q_src, md.key AS q_dst
 FROM edges e JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id
 WHERE ms.key <> md.key
+""",
+        # quotient graph as the edge set, then the same unrolled PR rounds
+        "graph_hostrank2": f"""
+WITH rawe AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+m AS (
+  SELECT c_custkey AS id, c_nationkey::BIGINT AS key FROM customer
+  UNION ALL
+  SELECT s_suppkey + 1000000, s_nationkey::BIGINT FROM supplier
+),
+edges AS (
+  SELECT DISTINCT ms.key AS src, md.key AS dst
+  FROM rawe e JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id
+  WHERE ms.key <> md.key
+),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+outd AS (
+  SELECT v.id, coalesce(o.c, 0) AS od FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+),
+r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
+{',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
+SELECT id, round(r, 9) AS rank9 FROM r2
 """,
         "graph_scc": """
 WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
