@@ -916,6 +916,11 @@ def q_graph_walks(spark, sf_dir):
     return random_walks(edges, starts, steps=4)
 
 
+def q_text_collocations(spark, sf_dir):
+    """PMI bigram collocations (min_count=5) over the corpus."""
+    return textops.collocations(_docs(spark, sf_dir), min_count=5)
+
+
 def q_text_lm_score(spark, sf_dir):
     """Unigram-LM quality proxy: per-doc mean -ln p(token) under the
     corpus's own unigram distribution (KenLM-filter stand-in)."""
@@ -1204,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_source_lines": q_extract_source_lines,
         "graph_walks": q_graph_walks,
         "text_lm_score": q_text_lm_score,
+        "text_collocations": q_text_collocations,
         "extract_anchor_corpus": q_extract_anchor_corpus,
         "sample_mixture": q_sample_mixture,
         "source_length_stats": q_source_length_stats,
@@ -2421,6 +2427,26 @@ UNION ALL SELECT walk_id, 1::INT, v::BIGINT FROM s1
 UNION ALL SELECT walk_id, 2::INT, v::BIGINT FROM s2
 UNION ALL SELECT walk_id, 3::INT, v::BIGINT FROM s3
 UNION ALL SELECT walk_id, 4::INT, v::BIGINT FROM s4
+""",
+        # corpus bigram PMI, hapax tail cut before the unigram joins
+        "text_collocations": f"""
+WITH {_TOKS},
+bgf AS (
+  SELECT s.w1 AS w1, s.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+    FROM toks WHERE len(t) >= 2
+  )
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2 HAVING count(*) >= 5),
+ex AS (SELECT unnest(t) AS tok FROM toks),
+uc AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+tt AS (SELECT count(*)::DOUBLE AS T FROM ex),
+bt AS (SELECT count(*)::DOUBLE AS B FROM bgf)
+SELECT bc.w1, bc.w2, c12::BIGINT AS c12,
+  round(ln((c12 / (SELECT B FROM bt))
+        / ((u1.c / (SELECT T FROM tt)) * (u2.c / (SELECT T FROM tt)))), 6) AS pmi
+FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok
 """,
         # per-doc mean -ln p(token) under the corpus unigram distribution
         "text_lm_score": f"""

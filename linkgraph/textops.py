@@ -412,6 +412,68 @@ def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (w1, w2, c12, pmi) — corpus-wide bigram collocations with
+    pointwise mutual information: pmi = ln((c12/B) / ((c1/T)(c2/T))),
+    B = total bigrams, T = total tokens. The collocation miner behind
+    phrase vocabularies ("new york"-style merges) and corpus drift
+    monitoring; ``min_count`` cuts the hapax tail BEFORE the unigram
+    joins, so the pair table the joins touch is small at any corpus size.
+
+    Shape: one bigram aggregation (zip_with over the token array, no
+    per-element slice), one unigram aggregation, two token-keyed joins
+    onto the already-thresholded pair table, scalar totals via broadcast
+    crossJoin. No driver actions.
+    """
+    t = tokens_col(F.col(text_col))
+    m = F.size(t) - 1
+    bi = F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(t, 1, m), F.slice(t, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    bigrams = docs.select(F.explode(bi).alias("bg")).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    toks = docs.select(F.explode(t).alias("tok"))
+    uc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = (
+        toks.agg(F.count("*").cast("double").alias("T"))
+        .crossJoin(bigrams.agg(F.count("*").cast("double").alias("B")))
+    )
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("B"))
+                    / ((F.col("c1") / F.col("T")) * (F.col("c2") / F.col("T")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def lm_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, n_tokens, avg_neg_logp) for docs with >=1 token — the
     unigram-LM quality proxy (corpus-statistics perplexity surrogate):

@@ -338,3 +338,28 @@ def test_lm_score_orders_common_below_rare(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["avg_neg_logp"] for r in textops.lm_score(docs).collect()}
     assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+def test_collocations_exact_pmi(spark):
+    import math
+
+    # "a b" x3 (two docs), "c d" x1; unigrams: a3 b3 c1 d1 -> T=8, B=6
+    docs = spark.createDataFrame(
+        [(0, "a b a b c d"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in textops.collocations(docs, min_count=2).collect()
+    }
+    bigrams = ["a b", "b a", "a b", "b c", "c d", "a b"]
+    from collections import Counter
+
+    bcnt, ucnt = Counter(bigrams), Counter("a b a b c d a b".split())
+    B, T = len(bigrams), sum(ucnt.values())
+    keep = {k: v for k, v in bcnt.items() if v >= 2}
+    assert {(k.split()[0], k.split()[1]) for k in keep} == set(got)
+    for k, c12 in keep.items():
+        w1, w2 = k.split()
+        pmi = math.log((c12 / B) / ((ucnt[w1] / T) * (ucnt[w2] / T)))
+        assert got[(w1, w2)]["c12"] == c12
+        assert abs(got[(w1, w2)]["pmi"] - round(pmi, 6)) < 1e-9
