@@ -959,6 +959,13 @@ def q_graph_assort(spark, sf_dir):
     return assortativity(tpcgraph.order_edges(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Banded SimHash Hamming pairs — lossless bucketed scale path
+    (pigeonhole: bands > max_hamming), so the bucket-join must equal the
+    oracle's brute-force all-pairs scan exactly."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=1)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dup clusters: verified MinHash pairs -> connected
     components -> canonical representative per cluster. The end-of-
@@ -1198,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_cand": q_dedup_lsh_cand,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sample_hash": q_sample_hash,
         "sample_cap_source": q_sample_cap_source,
@@ -2572,6 +2580,32 @@ sig AS (
 )
 SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN sig USING (doc_id)
+""",
+        # brute-force all-pairs Hamming scan — the banded engine path is
+        # lossless (pigeonhole), so results must match exactly
+        "dedup_simhash_pairs": f"""
+WITH {_TOKS},
+words AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN substr(md5(w), b + 1, 1) IN
+                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+  FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+),
+s AS (
+  SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN sig USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """,
         "dedup_embcos": f"""
 WITH e AS (

@@ -397,6 +397,65 @@ def simhash(
     return base.join(sig, "doc_id", "left").na.fill({"simhash": 0})
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_a, doc_b, hamming) for all pairs with Hamming(simhash) <=
+    ``max_hamming`` — the SimHash near-dup SCALE path, banded like
+    Manku et al.'s web-dedup: split the fingerprint into ``bands``
+    blocks and bucket-join per block.
+
+    The bucketing is LOSSLESS, not approximate: with bands > max_hamming,
+    any pair within the Hamming radius agrees exactly on at least one
+    whole block (pigeonhole), so the bucketed plan returns byte-for-byte
+    the brute-force all-pairs answer — which is exactly what the oracle
+    computes. Per-band buckets bound the self-join (never |D|^2); at
+    larger corpora raise ``bits``/block width so buckets stay small
+    (64-bit fingerprints, 4x16-bit blocks, is the standard operating
+    point).
+    """
+    assert bits % bands == 0 and bands > max_hamming
+    width = bits // bands
+    sig = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    band_arr = F.array(*[
+        F.shiftright(F.col("simhash"), width * k).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        for k in range(bands)
+    ])
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(band_arr).alias("band", "val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select(
+            "doc_a", "doc_b", ham.cast("long").alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -248,3 +248,32 @@ def test_decontaminate_flags_overlapping_docs(spark):
     for i, txt in [(0, "the quick brown fox jumps over the lazy dog today"),
                    (2, "quick brown fox jumps over the lazy dog again and again")]:
         assert out[i] == len(grams(txt) & bset)
+
+
+def test_simhash_pairs_equal_bruteforce(spark):
+    """Banded bucketing is lossless at bands > max_hamming (pigeonhole):
+    the pair set must equal a brute-force Hamming scan of the sketches."""
+    from itertools import combinations
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different content about spark engines",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want
+    assert (0, 3, 0) in got  # exact dups at hamming 0
