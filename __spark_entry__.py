@@ -881,6 +881,54 @@ def q_events_attrib(spark, sf_dir):
     )
 
 
+def q_events_conversion(spark, sf_dir):
+    """Conversion analytics composed on the as-of join: per user, how
+    many purchases and how many attributed to a signup within 24h."""
+    from linkgraph.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    sig = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sig_id"), "user_id", "ts"
+    )
+    j = asof_join(pur, sig, on="user_id", ts_col="ts", right_cols=["sig_id"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    day_us = 24 * 3600 * 1_000_000
+    return j.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(
+            F.when(
+                F.col("ts_r").isNotNull() & ((us("ts") - us("ts_r")) <= day_us),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_converted_24h"),
+    )
+
+
+def q_text_top_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per source (window row_number over the joined
+    doc->source map) — the per-source topic fingerprint."""
+    tf = textops.tfidf(_docs(spark, sf_dir), min_df=20)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    agg = (
+        tf.join(src, "doc_id")
+        .groupBy("source", "token")
+        .agg(F.round(F.sum("tfidf6"), 6).alias("weight"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("weight"), F.asc("token")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("source", F.col("rnk").cast("int").alias("rnk"), "token", "weight")
+    )
+
+
 def q_sample_mixture(spark, sf_dir):
     """Temperature-based source mixture weights (count^0.7 normalized)."""
     from linkgraph import sampling
@@ -1222,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "source_length_stats": q_source_length_stats,
         "events_attrib": q_events_attrib,
+        "events_conversion": q_events_conversion,
+        "text_top_terms": q_text_top_terms,
         "graph_crawl_diff": q_graph_crawl_diff,
         "graph_hostrank2": q_graph_hostrank2,
         "graph_health": q_graph_health,
@@ -2503,6 +2553,43 @@ FROM (SELECT src, dst FROM la EXCEPT SELECT src, dst FROM lb)
 UNION ALL
 SELECT src, dst, 'added' AS status
 FROM (SELECT src, dst FROM lb EXCEPT SELECT src, dst FROM la)
+""",
+        # asof-attributed purchases, 24h conversion window, per user
+        "events_conversion": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+j AS (
+  SELECT l.user_id, l.ts AS pts, r.ts AS sts
+  FROM p l ASOF LEFT JOIN s r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT user_id, count(*)::BIGINT AS n_purchases,
+  sum(CASE WHEN sts IS NOT NULL
+            AND epoch_us(pts) - epoch_us(sts) <= 86400000000
+           THEN 1 ELSE 0 END)::BIGINT AS n_converted_24h
+FROM j GROUP BY user_id
+""",
+        # per-source tf-idf rollup, top-3 by weight with token tiebreak
+        "text_top_terms": f"""
+WITH {_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+dftab AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n_total FROM documents),
+tw AS (
+  SELECT d.source, tf.token,
+         round(sum(round(tf.tf * ln((SELECT n_total FROM nn)::DOUBLE / dftab.df), 6)), 6) AS weight
+  FROM tf JOIN dftab ON tf.token = dftab.token
+  JOIN documents d ON tf.doc_id = d.doc_id
+  WHERE dftab.df >= 20
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT source, token, weight,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY weight DESC, token ASC) AS rnk
+  FROM tw
+)
+SELECT source, rnk::INT AS rnk, token, weight FROM r WHERE rnk <= 3
 """,
         # native ASOF LEFT JOIN replicates the merge-shape window join
         "events_attrib": """
