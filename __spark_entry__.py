@@ -881,6 +881,21 @@ def q_events_attrib(spark, sf_dir):
     )
 
 
+def q_text_adaptive_filter(spark, sf_dir):
+    """Per-language adaptive quality cutoff: keep docs at or above their
+    own lang's median quality score."""
+    from linkgraph.curation import adaptive_quality_filter
+
+    return adaptive_quality_filter(_docs(spark, sf_dir), key_col="lang")
+
+
+def q_sample_fill_report(spark, sf_dir):
+    """Packing-efficiency dashboard per source stream (budget 2048)."""
+    from linkgraph import sampling
+
+    return sampling.chunk_fill_report(_docs(spark, sf_dir), budget=2048)
+
+
 def q_events_conversion(spark, sf_dir):
     """Conversion analytics composed on the as-of join: per user, how
     many purchases and how many attributed to a signup within 24h."""
@@ -1272,6 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attrib": q_events_attrib,
         "events_conversion": q_events_conversion,
         "text_top_terms": q_text_top_terms,
+        "text_adaptive_filter": q_text_adaptive_filter,
+        "sample_fill_report": q_sample_fill_report,
         "graph_crawl_diff": q_graph_crawl_diff,
         "graph_hostrank2": q_graph_hostrank2,
         "graph_health": q_graph_health,
@@ -2553,6 +2570,50 @@ FROM (SELECT src, dst FROM la EXCEPT SELECT src, dst FROM lb)
 UNION ALL
 SELECT src, dst, 'added' AS status
 FROM (SELECT src, dst FROM lb EXCEPT SELECT src, dst FROM la)
+""",
+        # per-lang median cutoff over the same quality formula
+        "text_adaptive_filter": f"""
+WITH {_TOKS},
+ratios AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE / len(t) END AS sr,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+              / length(text) END AS pr
+  FROM toks
+),
+scored AS (
+  -- round BEFORE thresholding: the engine filters on quality()'s
+  -- 6-rounded score, so the quantile must be over the same values
+  SELECT r.doc_id, d.lang,
+         round(least(r.sr * 2.0, 1.0) * 0.4
+               + CASE WHEN r.n_tokens BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+               + greatest(0.0, 0.2 - r.pr), 6) AS q
+  FROM ratios r JOIN documents d ON r.doc_id = d.doc_id
+),
+thr AS (SELECT lang, quantile_cont(q, 0.5) AS thr FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, s.q AS quality_score, round(t.thr, 6) AS thr
+FROM scored s JOIN thr t ON s.lang = t.lang
+WHERE s.q >= t.thr
+""",
+        # per-stream packing efficiency: all chunks full except the tail
+        "sample_fill_report": f"""
+WITH {_TOKS},
+agg AS (
+  SELECT d.source, count(*) AS n_docs, sum(len(t.t)) AS total_tokens
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs::BIGINT AS n_docs, total_tokens::BIGINT AS total_tokens,
+  ceil(total_tokens / 2048.0)::BIGINT AS n_chunks,
+  (CASE WHEN total_tokens = 0 THEN 0
+        WHEN total_tokens % 2048 = 0 THEN 2048
+        ELSE total_tokens % 2048 END)::BIGINT AS tail_fill,
+  CASE WHEN total_tokens = 0 THEN 0.0
+       ELSE round(1.0 - total_tokens / (ceil(total_tokens / 2048.0) * 2048.0), 6)
+  END AS waste_frac
+FROM agg
 """,
         # asof-attributed purchases, 24h conversion window, per user
         "events_conversion": """

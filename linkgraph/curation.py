@@ -55,3 +55,41 @@ def source_report(
         F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
         F.round(F.avg(F.col("is_dup").cast("double")), 6).alias("exact_dup_frac"),
     )
+
+
+def adaptive_quality_filter(
+    docs: DataFrame,
+    key_col: str = "lang",
+    frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> surviving (doc_id, <key_col>, quality_score, thr) — keep docs at
+    or above their OWN stratum's quality quantile. Fixed global cutoffs
+    over-filter strata whose score distribution sits low (different
+    languages punctuate and stopword differently); a per-stratum quantile
+    is the standard adaptive fix.
+
+    One projection computes the scores, one |keys|-row aggregation the
+    thresholds, and the threshold table broadcasts back — no second scan
+    of the corpus, no driver action. Exact percentile locally; swap in
+    percentile_approx at cluster scale (same call shape).
+    """
+    from .textops import quality
+
+    q = quality(docs, id_col=id_col, text_col=text_col).join(
+        docs.select(F.col(id_col), F.col(key_col)), id_col
+    )
+    thr = q.groupBy(key_col).agg(
+        F.percentile("quality_score", F.lit(float(frac))).alias("thr")
+    )
+    return (
+        q.join(F.broadcast(thr), key_col)
+        .where(F.col("quality_score") >= F.col("thr"))
+        .select(
+            id_col,
+            key_col,
+            F.round("quality_score", 6).alias("quality_score"),
+            F.round("thr", 6).alias("thr"),
+        )
+    )

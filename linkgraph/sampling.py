@@ -165,3 +165,45 @@ def pack_chunks(
         F.floor(F.col("before") / budget).cast("long").alias("chunk_id"),
         (F.col("before") % budget).cast("long").alias("chunk_offset"),
     )
+
+def chunk_fill_report(
+    docs: DataFrame,
+    budget: int = 2048,
+    key_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (source, n_docs, total_tokens, n_chunks, tail_fill, waste_frac)
+    — packing efficiency per stream under ``pack_chunks`` semantics:
+    every chunk is full except the tail, so waste = unused tail capacity.
+    The dashboard row that tells you whether streams are too small for
+    the budget (tiny sources -> mostly-empty tail chunks).
+
+    One aggregation keyed on the stream; token counts reuse the corpus
+    tokenizer so the report agrees with the pack map exactly.
+    """
+    from linkgraph.textops import tokens_col
+
+    n = F.size(tokens_col(F.col(text_col))).cast("long")
+    agg = docs.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n).cast("long").alias("total_tokens"),
+    )
+    n_chunks = F.ceil(F.col("total_tokens") / budget).cast("long")
+    tail = F.col("total_tokens") % budget
+    tail_fill = F.when(F.col("total_tokens") == 0, F.lit(0)).otherwise(
+        F.when(tail == 0, F.lit(budget)).otherwise(tail)
+    )
+    return agg.select(
+        key_col,
+        "n_docs",
+        "total_tokens",
+        n_chunks.alias("n_chunks"),
+        tail_fill.cast("long").alias("tail_fill"),
+        F.when(F.col("total_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1.0 - F.col("total_tokens") / (n_chunks * F.lit(budget)), 6
+            )
+        )
+        .alias("waste_frac"),
+    )

@@ -52,3 +52,28 @@ def test_source_report_corpus(spark, docs_df):
     assert sum(r["n_docs"] for r in out) == df.count()
     for r in out:
         assert 0.0 <= r["exact_dup_frac"] <= 1.0
+
+
+def test_adaptive_quality_filter_per_stratum_median(spark):
+    from linkgraph.curation import adaptive_quality_filter
+    from linkgraph.textops import quality
+
+    # two langs with deliberately different score distributions
+    good = "this is a perfectly normal sentence with the usual words and it flows on"
+    bad = "$$$ ### @@@ %%%"
+    rows = (
+        [(i, "en", good if i < 3 else bad) for i in range(5)]
+        + [(10 + i, "de", good if i < 4 else bad) for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = {r["doc_id"] for r in adaptive_quality_filter(docs, key_col="lang").collect()}
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality(docs).collect()
+    }
+    import statistics
+
+    for lang, ids in (("en", range(5)), ("de", range(10, 15))):
+        med = statistics.median([scores[i] for i in ids])
+        want = {i for i in ids if scores[i] >= med}
+        assert want == (kept & set(ids)), lang

@@ -114,3 +114,31 @@ def test_source_length_stats_percentiles(spark):
     r = sampling.source_length_stats(docs).collect()[0]
     # continuous interpolation: p50 of [10,20,30,40] = 25, p90 = 37
     assert (r["n_docs"], r["len_p50"], r["len_p90"], r["len_max"]) == (4, 25.0, 37.0, 40)
+
+
+def test_chunk_fill_report_agrees_with_pack(spark):
+    rows = [
+        (0, "a", "x " * 5),   # 5 tokens
+        (1, "a", "x " * 4),   # total a: 9 -> 3 chunks of 4, tail 1
+        (2, "b", "x " * 8),   # total b: 8 -> 2 full chunks, tail 4
+        (3, "c", ""),         # empty stream
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in sampling.chunk_fill_report(docs, budget=4).collect()}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["total_tokens"], a["n_chunks"], a["tail_fill"]) == (9, 3, 1)
+    assert abs(a["waste_frac"] - (1 - 9 / 12)) < 1e-9
+    assert (b["n_chunks"], b["tail_fill"], b["waste_frac"]) == (2, 4, 0.0)
+    assert (c["total_tokens"], c["n_chunks"], c["waste_frac"]) == (0, 0, 0.0)
+    # n_chunks agrees with the pack map's max chunk_id + 1 per stream
+    pk = sampling.pack_chunks(docs, budget=4)
+    import pyspark.sql.functions as F
+    mx = {
+        r["source"]: r["mx"]
+        for r in pk.groupBy("source").agg(
+            F.max(F.col("chunk_id") * 4 + F.col("chunk_offset") + F.col("n_tokens")).alias("mx")
+        ).collect()
+    }
+    for s in ("a", "b"):
+        import math
+        assert got[s]["n_chunks"] == math.ceil(mx[s] / 4)
