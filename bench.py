@@ -154,6 +154,37 @@ def main() -> None:
     timed("text_quality", lambda: textops.quality(docs).count())
     timed("text_langid", lambda: textops.langid(docs).count())
     timed("text_fingerprint", lambda: textops.fingerprint(docs).count())
+    timed("text_pii", lambda: textops.pii_redact(docs).count())
+
+    # -- as-of attribution over the events stream --------------------------
+    from linkgraph.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    sig = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sig_id"), "user_id", "ts"
+    )
+    timed(
+        "events_asof",
+        lambda: asof_join(
+            pur, sig, on="user_id", ts_col="ts", right_cols=["sig_id"]
+        ).count(),
+    )
+
+    # -- deterministic random walks over the doc link graph ----------------
+    from linkgraph.walks import random_walks
+
+    n_docs = docs.count()
+    wj = F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j")
+    wedges = docs.select(F.col("doc_id").alias("src"), wj).select(
+        "src", ((F.col("src") * 7 + F.col("j") * 13) % n_docs).alias("dst")
+    ).distinct()
+    wstarts = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    timed("walks4", lambda: random_walks(wedges, wstarts, steps=4).count())
     # headline the SCALE ANN path (bucketed LSH + Hamming-1 multi-probe) —
     # the bruteforce cross product stays an oracle row (sim_topk in
     # __spark_entry__) and is run here unmetered only to report recall@5
