@@ -979,6 +979,12 @@ def q_graph_walks(spark, sf_dir):
     return random_walks(edges, starts, steps=4)
 
 
+def q_text_repeated_spans(spark, sf_dir):
+    """Cross-doc repeated 12-token spans (stride-1 shingles: catches
+    shared runs at any offset — exact-substring boilerplate report)."""
+    return dedup.repeated_spans(_docs(spark, sf_dir), width=12)
+
+
 def q_text_collocations(spark, sf_dir):
     """PMI bigram collocations (min_count=5) over the corpus."""
     return textops.collocations(_docs(spark, sf_dir), min_count=5)
@@ -1281,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "text_lm_score": q_text_lm_score,
         "text_collocations": q_text_collocations,
+        "text_repeated_spans": q_text_repeated_spans,
         "extract_anchor_corpus": q_extract_anchor_corpus,
         "sample_mixture": q_sample_mixture,
         "source_length_stats": q_source_length_stats,
@@ -2502,6 +2509,18 @@ UNION ALL SELECT walk_id, 1::INT, v::BIGINT FROM s1
 UNION ALL SELECT walk_id, 2::INT, v::BIGINT FROM s2
 UNION ALL SELECT walk_id, 3::INT, v::BIGINT FROM s3
 UNION ALL SELECT walk_id, 4::INT, v::BIGINT FROM s4
+""",
+        # stride-1 12-token shingles of normalized text, df >= 2
+        "text_repeated_spans": f"""
+WITH {_TOKS},
+w AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(t) - 10),
+                          i -> array_to_string(t[i:i + 11], ' '))) AS span
+  FROM toks WHERE len(t) >= 12
+)
+SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
 """,
         # corpus bigram PMI, hapax tail cut before the unigram joins
         "text_collocations": f"""

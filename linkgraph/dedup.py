@@ -397,6 +397,37 @@ def simhash(
     return base.join(sig, "doc_id", "left").na.fill({"simhash": 0})
 
 
+def repeated_spans(
+    docs: DataFrame,
+    width: int = 12,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (span, n_docs) — cross-document repeated token spans: every
+    ``width``-token shingle (stride 1) of the normalized text that occurs
+    in >= ``min_docs`` distinct docs. The distributed formulation of
+    exact-substring boilerplate/contamination detection: stride-1
+    token shingles guarantee any shared run of >= ``width`` tokens is
+    caught at ANY offset (position-anchored character windows miss
+    shifted repeats — that is why this is token-shingle based), the same
+    mechanism ``decontaminate`` uses against a benchmark, here turned on
+    the corpus itself.
+
+    One shingle scan (|tokens| rows per doc, same exchange profile as the
+    MinHash path — share the scan via ``shingle_table`` when running
+    both), one count aggregation. At 100 TB apply the df_cap hot-key
+    pattern if a boilerplate span dominates a shard.
+    """
+    sh = shingle_table(docs, n=width, id_col=id_col, text_col=text_col)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select(F.col("shingle").alias("span"), "n_docs")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

@@ -363,3 +363,28 @@ def test_collocations_exact_pmi(spark):
         pmi = math.log((c12 / B) / ((ucnt[w1] / T) * (ucnt[w2] / T)))
         assert got[(w1, w2)]["c12"] == c12
         assert abs(got[(w1, w2)]["pmi"] - round(pmi, 6)) < 1e-9
+
+
+def test_repeated_spans_caught_at_any_offset(spark):
+    from linkgraph.dedup import repeated_spans
+
+    shared = "the exact same boilerplate sentence repeated across documents verbatim today"
+    docs = spark.createDataFrame(
+        [
+            (0, "unique preamble alpha beta " + shared),  # shifted offset
+            (1, shared + " unique tail omega"),
+            (2, "totally unrelated text that is long enough to shingle but never shared with anything at all here"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["span"]: r["n_docs"] for r in
+           repeated_spans(docs, width=10).collect()}
+    # every 10-token run of the shared sentence is caught despite the
+    # differing offsets (the positional-window failure mode)
+    toks = shared.split()
+    for i in range(len(toks) - 9):
+        span = " ".join(toks[i : i + 10])
+        assert got.get(span) == 2, span
+    # spans from the unrelated doc never appear (df 1 filtered)
+    assert not any("unrelated" in s for s in got)
