@@ -833,6 +833,27 @@ def q_extract_source_lines(spark, sf_dir):
     )
 
 
+def q_graph_harmonic3(spark, sf_dir):
+    """Bounded harmonic centrality per seed (sum 1/dist, radius 3) over
+    the labeled multi-source BFS — per-seed influence. Runs on the
+    doc-link graph (every doc has out-links, so hops 2 and 3 are real;
+    the order graph is bipartite and would degenerate to dist-1)."""
+    from linkgraph.graph import harmonic_centrality
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    j = F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j")
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), j)
+        .select("src", ((F.col("src") * 7 + F.col("j") * 13) % n).alias("dst"))
+        .distinct()
+    )
+    seeds = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return harmonic_centrality(spark, edges, seeds, max_hops=3)
+
+
 def q_graph_crawl_diff(spark, sf_dir):
     """Edge churn between two crawl snapshots: crawl B loses every 10th
     doc's outlinks and discovers one extra link on surviving docs
@@ -1297,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_adaptive_filter": q_text_adaptive_filter,
         "sample_fill_report": q_sample_fill_report,
         "graph_crawl_diff": q_graph_crawl_diff,
+        "graph_harmonic3": q_graph_harmonic3,
         "graph_hostrank2": q_graph_hostrank2,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
@@ -2566,6 +2588,41 @@ SELECT 'https://docs.example/d' || k AS dst_url,
   count(DISTINCT 't' || k || '&s')::BIGINT AS n_unique_anchors,
   min('t' || k || '&s') AS anchor_sample
 FROM l GROUP BY k
+""",
+        # labeled multi-source BFS unrolled 3 rounds, then sum(1/dist)
+        "graph_harmonic3": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+dedges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents), nn
+),
+e2 AS (SELECT src, dst FROM dedges WHERE src <> dst),
+d0 AS (SELECT doc_id AS seed, doc_id AS id, 0 AS dist
+       FROM documents WHERE doc_id % 17 = 0),
+d1 AS (
+  SELECT seed, id, min(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d0
+    UNION ALL
+    SELECT d0.seed, e2.dst, d0.dist + 1 FROM e2 JOIN d0 ON e2.src = d0.id
+  ) GROUP BY seed, id
+),
+d2 AS (
+  SELECT seed, id, min(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d1
+    UNION ALL
+    SELECT d1.seed, e2.dst, d1.dist + 1 FROM e2 JOIN d1 ON e2.src = d1.id
+  ) GROUP BY seed, id
+),
+d3 AS (
+  SELECT seed, id, min(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d2
+    UNION ALL
+    SELECT d2.seed, e2.dst, d2.dist + 1 FROM e2 JOIN d2 ON e2.src = d2.id
+  ) GROUP BY seed, id
+)
+SELECT seed, count(*)::BIGINT AS n_reached,
+       round(sum(1.0 / dist), 6) AS harmonic
+FROM d3 WHERE dist > 0 GROUP BY seed
 """,
         # closed-form crawls A/B; EXCEPT both ways == the full-outer diff
         "graph_crawl_diff": """

@@ -273,6 +273,55 @@ def bfs_distances(
     return dist.select("id", F.col("dist").cast("int").alias("dist"))
 
 
+def bfs_labeled(
+    spark, edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """-> (seed, id, dist) — minimal directed hop distance from EACH seed
+    separately (the per-seed variant of ``bfs_distances``: that one
+    relaxes from the seed set as a whole). Feeds per-seed influence
+    metrics — reach counts, bounded harmonic centrality — for moderate
+    seed sets; state is one row per (seed, reached vertex), so size the
+    seed set to the radius (|seeds| x bounded neighborhood, never |V|^2).
+
+    Same unrolled BSP shape as bfs_distances, keyed on (seed, id): one
+    lazy plan, zero per-round driver actions, SQL-replicable round for
+    round.
+    """
+    from .lineage import truncate_plan
+
+    dist = seeds.select(
+        F.col("id").alias("seed"), F.col("id"), F.lit(0).cast("int").alias("dist")
+    ).distinct()
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    for _ in range(max_hops):
+        hop = (
+            e.join(dist.select("seed", F.col("id").alias("src"), "dist"), "src")
+            .select("seed", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = truncate_plan(
+            dist.unionByName(hop)
+            .groupBy("seed", "id")
+            .agg(F.min("dist").alias("dist")),
+            eager=False,
+        )
+    return dist.select("seed", "id", F.col("dist").cast("int").alias("dist"))
+
+
+def harmonic_centrality(
+    spark, edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """-> (seed, n_reached, harmonic) — bounded harmonic centrality per
+    seed: sum of 1/dist over vertices reached within ``max_hops`` (the
+    standard finite, disconnected-safe centrality). One aggregation over
+    the labeled BFS state."""
+    d = bfs_labeled(spark, edges, seeds, max_hops=max_hops)
+    reached = d.where(F.col("dist") > 0)
+    return reached.groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"),
+    )
+
+
 def collision_audit(vertices: DataFrame) -> tuple[int, int]:
     """(distinct ids, distinct urls) — must be equal (FIXTURES.md §3)."""
     row = vertices.agg(

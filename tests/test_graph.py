@@ -209,3 +209,21 @@ def test_snapshot_diff_churn_only(spark):
     got = {(r["src"], r["dst"]): r["status"] for r in snapshot_diff(a, b).collect()}
     # unchanged edges (1,2),(2,3) are absent; dup (2,3) in A collapses
     assert got == {(1, 3): "removed", (4, 5): "added"}
+
+
+def test_harmonic_centrality_vs_networkx(spark):
+    import networkx as nx
+
+    from linkgraph.graph import harmonic_centrality
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (9, 0)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (9,), (4,)], "id long")
+    got = {r["seed"]: r for r in harmonic_centrality(spark, edf, seeds, max_hops=3).collect()}
+    g = nx.DiGraph(edges)
+    for s in (0, 9):
+        lengths = nx.single_source_shortest_path_length(g, s, cutoff=3)
+        want_h = round(sum(1 / d for d in lengths.values() if d > 0), 6)
+        want_n = sum(1 for d in lengths.values() if d > 0)
+        assert (got[s]["n_reached"], got[s]["harmonic"]) == (want_n, want_h)
+    assert 4 not in got  # seed with no out-edges reaches nothing
