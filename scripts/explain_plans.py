@@ -63,6 +63,21 @@ def audit(plan: str) -> list[str]:
     return notes
 
 
+def _asof_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from linkgraph.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    sig = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sig_id"), "user_id", "ts"
+    )
+    return asof_join(pur, sig, on="user_id", ts_col="ts", right_cols=["sig_id"])
+
+
 def main() -> None:
     spark = get_spark("plan-audit", cores=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
@@ -149,6 +164,15 @@ def main() -> None:
             .source_line_links(
                 docs.select("doc_id", F.encode("text", "UTF-8").alias("html"))
             ),
+        "as-of join (merge shape: one union + one window, no range blowup)":
+            _asof_plan(spark, SF_DIR),
+        "repeated spans (one shingle scan + one count agg)":
+            dedup.repeated_spans(docs, width=12),
+        "collocations (pair agg thresholded before unigram joins)":
+            textops.collocations(docs, min_count=5),
+        "adaptive quality filter (score projection + broadcast thresholds)":
+            __import__("linkgraph.curation", fromlist=["adaptive_quality_filter"])
+            .adaptive_quality_filter(docs, key_col="lang"),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
