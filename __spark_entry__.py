@@ -965,6 +965,25 @@ def q_text_top_terms(spark, sf_dir):
     )
 
 
+def q_graph_negsample(spark, sf_dir):
+    """word2vec negative-sampling weights: out-degree^0.75 normalized
+    over the order graph's source vertices."""
+    from linkgraph.sampling import negative_sampling_weights
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("id"), "deg"
+    )
+    return negative_sampling_weights(deg, alpha=0.75)
+
+
+def q_sample_shards(spark, sf_dir):
+    """Deterministic md5 shard assignment occupancy (16 shards)."""
+    from linkgraph.sampling import shard_balance_report
+
+    return shard_balance_report(_docs(spark, sf_dir), n_shards=16)
+
+
 def q_sample_mixture(spark, sf_dir):
     """Temperature-based source mixture weights (count^0.7 normalized)."""
     from linkgraph import sampling
@@ -1312,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_anchor_corpus": q_extract_anchor_corpus,
         "sample_mixture": q_sample_mixture,
         "source_length_stats": q_source_length_stats,
+        "graph_negsample": q_graph_negsample,
+        "sample_shards": q_sample_shards,
         "events_attrib": q_events_attrib,
         "events_conversion": q_events_conversion,
         "text_top_terms": q_text_top_terms,
@@ -2736,6 +2757,25 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN
      (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        # out-degree^0.75 normalized — the word2vec negative table
+        "graph_negsample": f"""
+WITH {_EDGES},
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)
+SELECT id, deg::BIGINT AS deg,
+       round(pow(deg, 0.75) / (SELECT sum(pow(deg, 0.75)) FROM deg), 9) AS weight
+FROM deg
+""",
+        # md5-prefix mod-16 shard occupancy
+        "sample_shards": """
+WITH sh AS (
+  SELECT (('0x' || substr(md5(doc_id || ':s1'), 1, 6))::UBIGINT % 16)::INT AS shard
+  FROM documents
+),
+c AS (SELECT shard, count(*) AS n_docs FROM sh GROUP BY shard)
+SELECT shard, n_docs::BIGINT AS n_docs,
+       round(n_docs / (SELECT sum(n_docs) FROM c), 6) AS frac
+FROM c
 """,
         # count^alpha temperature weights, normalized over sources
         "sample_mixture": """

@@ -111,6 +111,63 @@ def mixture_weights(
     )
 
 
+def negative_sampling_weights(
+    vertices_deg: DataFrame, alpha: float = 0.75, deg_col: str = "deg"
+) -> DataFrame:
+    """-> (id, deg, weight) — the word2vec/DeepWalk negative-sampling
+    table: draw probability proportional to degree^alpha (0.75 flattens
+    the hub head so rare vertices still appear as negatives). Pairs with
+    ``random_walks`` output to train graph embeddings.
+
+    One projection + a broadcast 1-row normalizer — the weights column
+    rides the existing degree table, no extra aggregation over edges.
+    """
+    pw = vertices_deg.withColumn(
+        "w", F.pow(F.col(deg_col).cast("double"), F.lit(float(alpha)))
+    )
+    tot = pw.agg(F.sum("w").alias("tw"))
+    return pw.crossJoin(F.broadcast(tot)).select(
+        "id",
+        F.col(deg_col).cast("long").alias("deg"),
+        F.round(F.col("w") / F.col("tw"), 9).alias("weight"),
+    )
+
+
+def assign_shards(
+    docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id",
+    seed: str = "s1",
+) -> DataFrame:
+    """-> docs + ``shard`` — deterministic output bucketing: shard =
+    md5-prefix(id, seed) mod n_shards, the reproducible writer-side
+    partitioner (same doc always lands in the same shard across runs, so
+    shards can be regenerated independently). Pure projection, zero
+    shuffle; the write itself repartitions by ``shard``."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+            1, 6,
+        ),
+        16, 10,
+    ).cast("long")
+    return docs.withColumn("shard", (h % n_shards).cast("int"))
+
+
+def shard_balance_report(
+    docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id",
+    seed: str = "s1",
+) -> DataFrame:
+    """-> (shard, n_docs, frac) — occupancy per shard under
+    ``assign_shards`` (the writer-skew dashboard row)."""
+    sharded = assign_shards(docs, n_shards, id_col=id_col, seed=seed)
+    counts = sharded.groupBy("shard").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("n_docs") / F.col("t"), 6).alias("frac"),
+    )
+
+
 def source_length_stats(
     docs: DataFrame, key_col: str = "source", len_col: str = "n_chars"
 ) -> DataFrame:

@@ -122,3 +122,36 @@ def test_walks_follow_edges(spark, edges, steps):
         for s in range(1, max(path) + 1):
             assert s in path
             assert (path[s - 1], path[s]) in eset
+
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(docs=st.lists(_words, min_size=2, max_size=10))
+@SET
+def test_simhash_banded_pairs_are_lossless(spark, docs):
+    """bands > max_hamming -> the bucketed join equals brute force
+    (pigeonhole), on arbitrary random corpora."""
+    from itertools import combinations
+
+    from linkgraph import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got == want

@@ -142,3 +142,16 @@ def test_chunk_fill_report_agrees_with_pack(spark):
     for s in ("a", "b"):
         import math
         assert got[s]["n_chunks"] == math.ceil(mx[s] / 4)
+
+
+def test_assign_shards_deterministic_and_balanced(spark):
+    import hashlib
+
+    docs = spark.createDataFrame([(i,) for i in range(800)], "doc_id long")
+    got = {r["doc_id"]: r["shard"] for r in sampling.assign_shards(docs, 16).collect()}
+    for i in (0, 17, 555):
+        want = int(hashlib.md5(f"{i}:s1".encode()).hexdigest()[:6], 16) % 16
+        assert got[i] == want
+    rep = {r["shard"]: r for r in sampling.shard_balance_report(docs, 16).collect()}
+    assert sum(r["n_docs"] for r in rep.values()) == 800
+    assert all(20 <= r["n_docs"] <= 90 for r in rep.values())  # roughly uniform
