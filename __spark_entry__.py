@@ -1030,6 +1030,14 @@ def q_text_collocations(spark, sf_dir):
     return textops.collocations(_docs(spark, sf_dir), min_count=5)
 
 
+def q_graph_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence pairs (window 2) from the deterministic
+    walks — the DeepWalk training table."""
+    from linkgraph.walks import skipgram_pairs
+
+    return skipgram_pairs(q_graph_walks(spark, sf_dir), window=2)
+
+
 def q_text_lm_score(spark, sf_dir):
     """Unigram-LM quality proxy: per-doc mean -ln p(token) under the
     corpus's own unigram distribution (KenLM-filter stand-in)."""
@@ -1325,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pack_chunks": q_sample_pack_chunks,
         "extract_source_lines": q_extract_source_lines,
         "graph_walks": q_graph_walks,
+        "graph_skipgrams": q_graph_skipgrams,
         "text_lm_score": q_text_lm_score,
         "text_collocations": q_text_collocations,
         "text_repeated_spans": q_text_repeated_spans,
@@ -2584,6 +2593,28 @@ SELECT bc.w1, bc.w2, c12::BIGINT AS c12,
   round(ln((c12 / (SELECT B FROM bt))
         / ((u1.c / (SELECT T FROM tt)) * (u2.c / (SELECT T FROM tt)))), 6) AS pmi
 FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok
+""",
+        # self-join of the unrolled walk table within the window
+        "graph_skipgrams": f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+dedges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents), nn
+),
+s0 AS (SELECT doc_id AS walk_id, doc_id AS v FROM documents WHERE doc_id % 17 = 0),
+{_walk_steps_sql(4)},
+wk AS (
+  SELECT walk_id, 0 AS step, v FROM s0
+  UNION ALL SELECT walk_id, 1, v FROM s1
+  UNION ALL SELECT walk_id, 2, v FROM s2
+  UNION ALL SELECT walk_id, 3, v FROM s3
+  UNION ALL SELECT walk_id, 4, v FROM s4
+)
+SELECT a.v::BIGINT AS center, b.v::BIGINT AS context, count(*)::BIGINT AS n
+FROM wk a JOIN wk b
+  ON a.walk_id = b.walk_id
+ AND abs(a.step - b.step) <= 2 AND a.step <> b.step
+GROUP BY a.v, b.v
 """,
         # per-doc mean -ln p(token) under the corpus unigram distribution
         "text_lm_score": f"""

@@ -67,3 +67,28 @@ def random_walks(
     return out.select(
         "walk_id", "step", F.col("vertex").cast("long").alias("vertex")
     )
+
+
+def skipgram_pairs(walks_df: DataFrame, window: int = 2) -> DataFrame:
+    """walks(walk_id, step, vertex) -> (center, context, n) — the
+    skip-gram co-occurrence table DeepWalk/node2vec train on (and GloVe's
+    count matrix): every ordered pair of vertices within ``window`` steps
+    on the same walk, aggregated corpus-wide.
+
+    One self-join keyed on walk_id (walks are short — the per-key fanout
+    is steps^2, a constant) followed by one count aggregation keyed on
+    the pair; both shuffles are bounded by |walks|·window, never |V|^2.
+    """
+    a = walks_df.select(
+        "walk_id", F.col("step").alias("sa"), F.col("vertex").alias("center")
+    )
+    b = walks_df.select(
+        "walk_id", F.col("step").alias("sb"), F.col("vertex").alias("context")
+    )
+    j = a.join(b, "walk_id").where(
+        (F.abs(F.col("sa") - F.col("sb")) <= window)
+        & (F.col("sa") != F.col("sb"))
+    )
+    return j.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("n")
+    )

@@ -36,3 +36,18 @@ def test_walks_truncate_at_dangling(spark):
     starts = spark.createDataFrame([(0,)], "id long")
     rows = random_walks(edges, starts, steps=4).collect()
     assert {(r["step"], r["vertex"]) for r in rows} == {(0, 0), (1, 1)}
+
+
+def test_skipgram_pairs_window(spark):
+    from linkgraph.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 13), (1, 0, 10), (1, 1, 12)],
+        "walk_id long, step int, vertex long",
+    )
+    got = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(walks, 2).collect()}
+    # walk 0: 10-11 (d1), 10-12 (d2), 11-12, 11-13, 12-13; walk 1: 10-12 (d1)
+    assert got[(10, 11)] == 1 and got[(11, 10)] == 1
+    assert got[(10, 12)] == 2  # once per walk
+    assert (10, 13) not in got  # distance 3 > window
+    assert sum(got.values()) == 2 * (5 + 1)  # symmetric pairs
