@@ -43,3 +43,67 @@ def test_unknown_magic_raises(spark):
 def test_decode_one_stub_direct():
     with pytest.raises(NotImplementedError):
         mm._decode_one("video", b"REALMP4\x00data")
+
+
+def test_bmp_decode_matches_handcrafted_spec_bytes():
+    """Parser verified against hand-laid-out spec bytes, not our writer:
+    2x2 24-bpp BMP, rows padded 6->8 bytes, bottom-up."""
+    import struct
+
+    from linkgraph.multimodal import _decode_bmp
+
+    px_rows = [
+        bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00",   # bottom row + pad
+        bytes([70, 80, 90, 100, 110, 120]) + b"\x00\x00",
+    ]
+    pix = b"".join(px_rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    w, h, mean = _decode_bmp(header + dib + pix)
+    assert (w, h) == (2, 2)
+    assert mean == sum(range(10, 130, 10)) / 12  # padding excluded
+
+
+def test_wav_decode_matches_handcrafted_spec_bytes():
+    import struct
+
+    from linkgraph.multimodal import _decode_wav
+
+    samples = struct.pack("<4h", -100, 100, 300, -300)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+    n, mean = _decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (n, mean) == (4, 0.0)
+
+
+def test_real_codecs_through_spark_batch_path(spark):
+    """Real BMP/WAV payloads decode through the same mapInPandas stage as
+    the fake formats, mixed in one batch."""
+    import numpy as np
+
+    from linkgraph.multimodal import (
+        extract_features,
+        fake_image,
+        make_bmp,
+        make_wav,
+    )
+
+    rows = [
+        (0, "image", bytearray(make_bmp(1, w=5, h=3))),
+        (1, "audio", bytearray(make_wav(2, n=16))),
+        (2, "image", bytearray(fake_image(3))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (5, 3)
+    # independent mean: reuse the generator's rng stream
+    rng = np.random.default_rng(1)
+    stride = (5 * 3 + 3) & ~3
+    px = rng.integers(0, 256, size=(3, 5 * 3), dtype=np.uint16).astype(np.uint8)
+    assert abs(got[0]["mean_value"] - px.mean()) < 1e-9
+    assert got[1]["n_samples"] == 16
+    rng = np.random.default_rng(2)
+    s = rng.integers(-32768, 32768, size=16, dtype=np.int64).astype("<i2")
+    assert abs(got[1]["mean_value"] - s.mean()) < 1e-9
+    assert got[2]["width"] == 8  # fake path still vectorized alongside
