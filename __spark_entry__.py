@@ -984,6 +984,63 @@ def q_sample_shards(spark, sf_dir):
     return shard_balance_report(_docs(spark, sf_dir), n_shards=16)
 
 
+def q_mm_real_codecs(spark, sf_dir):
+    """REAL BMP/WAV payloads (formula pixels/samples, so DuckDB can
+    recompute the exact means) decoded through the mapInPandas codec
+    stage. Even ids: 6x4 24-bpp BMP with pixel byte j = (id*31+j*7)%256;
+    odd ids: 24-sample PCM WAV with sample j = (id*13+j*5)%65536-32768.
+    Payloads are a driver-built fixture (bounded, 500 rows) — the
+    operator under test is the distributed decode, not the generator."""
+    import struct
+
+    import numpy as np
+
+    from linkgraph.multimodal import extract_features
+
+    n_docs = _docs(spark, sf_dir).count()
+    rows = []
+    for mid in range(n_docs):
+        if mid % 2 == 0:
+            w, h = 6, 4
+            px = np.array(
+                [(mid * 31 + j * 7) % 256 for j in range(w * 3 * h)],
+                dtype=np.uint8,
+            ).reshape(h, w * 3)
+            stride = (w * 3 + 3) & ~3
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, : w * 3] = px
+            pix = padded.tobytes()
+            header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0
+            )
+            rows.append((mid, "image", bytearray(header + dib + pix)))
+        else:
+            s = np.array(
+                [(mid * 13 + j * 5) % 65536 - 32768 for j in range(24)],
+                dtype=np.int64,
+            ).astype("<i2")
+            data = s.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            rows.append(
+                (mid, "audio", bytearray(b"RIFF" + struct.pack("<I", len(body)) + body))
+            )
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    return extract_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "n_samples",
+        F.round("mean_value", 6).alias("mean6"),
+    )
+
+
 def q_sample_mixture(spark, sf_dir):
     """Temperature-based source mixture weights (count^0.7 normalized)."""
     from linkgraph import sampling
@@ -1341,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "source_length_stats": q_source_length_stats,
         "graph_negsample": q_graph_negsample,
+        "mm_real_codecs": q_mm_real_codecs,
         "sample_shards": q_sample_shards,
         "events_attrib": q_events_attrib,
         "events_conversion": q_events_conversion,
@@ -2788,6 +2846,22 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN
      (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        # formula pixels/samples -> exact means the real codecs must hit
+        "mm_real_codecs": """
+WITH ids AS (SELECT doc_id AS media_id FROM documents)
+SELECT media_id,
+  CASE WHEN media_id % 2 = 0 THEN 6 ELSE 0 END::INT AS width,
+  CASE WHEN media_id % 2 = 0 THEN 4 ELSE 0 END::INT AS height,
+  CASE WHEN media_id % 2 = 0 THEN 0 ELSE 24 END::INT AS n_samples,
+  CASE WHEN media_id % 2 = 0 THEN
+    round(list_sum(list_transform(range(0, 72),
+          j -> (media_id * 31 + j * 7) % 256)) / 72.0, 6)
+  ELSE
+    round(list_sum(list_transform(range(0, 24),
+          j -> (media_id * 13 + j * 5) % 65536 - 32768)) / 24.0, 6)
+  END AS mean6
+FROM ids
 """,
         # out-degree^0.75 normalized — the word2vec negative table
         "graph_negsample": f"""
