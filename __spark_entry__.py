@@ -1095,6 +1095,11 @@ def q_graph_skipgrams(spark, sf_dir):
     return skipgram_pairs(q_graph_walks(spark, sf_dir), window=2)
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher-rules composite filter with per-doc first-violation audit."""
+    return textops.gopher_filter(_docs(spark, sf_dir))
+
+
 def q_text_lm_score(spark, sf_dir):
     """Unigram-LM quality proxy: per-doc mean -ln p(token) under the
     corpus's own unigram distribution (KenLM-filter stand-in)."""
@@ -1392,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_skipgrams": q_graph_skipgrams,
         "text_lm_score": q_text_lm_score,
+        "text_gopher": q_text_gopher,
         "text_collocations": q_text_collocations,
         "text_repeated_spans": q_text_repeated_spans,
         "extract_anchor_corpus": q_extract_anchor_corpus,
@@ -2651,6 +2657,41 @@ SELECT bc.w1, bc.w2, c12::BIGINT AS c12,
   round(ln((c12 / (SELECT B FROM bt))
         / ((u1.c / (SELECT T FROM tt)) * (u2.c / (SELECT T FROM tt)))), 6) AS pmi
 FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok
+""",
+        # same rule chain, first violation wins
+        "text_gopher": f"""
+WITH {_TOKS},
+lx AS (
+  SELECT t.doc_id, t.t, d.text,
+    list_filter(list_transform(string_split(d.text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+),
+m AS (
+  SELECT doc_id, len(t) AS n,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) END AS mean_len,
+    len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with'))) AS stop_hits,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ')))::DOUBLE / len(lines) END AS bullet_frac,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE len(list_filter(lines, x -> ends_with(x, '...')))::DOUBLE / len(lines) END AS ellipsis_frac,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(text, '[#%]'))::DOUBLE / len(t) END AS sym_ratio
+  FROM lx
+),
+r AS (
+  SELECT doc_id, n,
+    CASE WHEN n < 50 OR n > 100000 THEN 'n_tokens'
+         WHEN mean_len < 3 OR mean_len > 10 THEN 'mean_tok_len'
+         WHEN stop_hits < 2 THEN 'stopwords'
+         WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+         WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+         WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+         ELSE NULL END AS reason
+  FROM m
+)
+SELECT doc_id, n::BIGINT AS n_tokens, reason IS NULL AS keep, reason FROM r
 """,
         # self-join of the unrolled walk table within the window
         "graph_skipgrams": f"""

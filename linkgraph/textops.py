@@ -412,6 +412,58 @@ def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, keep, reason) — the Gopher rules composite
+    pre-training filter (Rae et al. 2021, Appendix A): token-count range,
+    mean token length, minimum stopword hits, symbol ratio, bullet-line
+    and ellipsis-line fractions. ``reason`` names the FIRST violated rule
+    (audit trail for what each rule costs), NULL when kept.
+
+    One whole-stage-codegen projection — every rule is an array/regex
+    expression over the row, zero shuffle at any corpus size; the rules
+    compose the same normalized-token base as token_stats so thresholds
+    mean the same thing across operators.
+    """
+    t = tokens_col(F.col(text_col))
+    n = F.size(t)
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)) / n
+    )
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*GOPHER_STOP)))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    nl = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))
+    )
+    ellipsis = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    bullet_frac = F.when(nl == 0, F.lit(0.0)).otherwise(bullet / nl)
+    ellipsis_frac = F.when(nl == 0, F.lit(0.0)).otherwise(ellipsis / nl)
+    sym_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(F.col(text_col), F.lit("[#%]")) / n
+    )
+    reason = (
+        F.when((n < 50) | (n > 100000), F.lit("n_tokens"))
+        .when((mean_len < 3) | (mean_len > 10), F.lit("mean_tok_len"))
+        .when(stop_hits < 2, F.lit("stopwords"))
+        .when(sym_ratio > 0.1, F.lit("symbol_ratio"))
+        .when(bullet_frac > 0.9, F.lit("bullet_lines"))
+        .when(ellipsis_frac > 0.3, F.lit("ellipsis_lines"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def collocations(
     docs: DataFrame,
     min_count: int = 5,

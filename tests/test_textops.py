@@ -388,3 +388,25 @@ def test_repeated_spans_caught_at_any_offset(spark):
         assert got.get(span) == 2, span
     # spans from the unrelated doc never appear (df 1 filtered)
     assert not any("unrelated" in s for s in got)
+
+
+def test_gopher_filter_first_violation(spark):
+    ok = ("the data and the model be of that have with it " * 8).strip()  # 96 toks
+    docs = spark.createDataFrame(
+        [
+            (0, ok),
+            (1, "too short to pass"),
+            (2, ("a " * 60).strip()),  # 60 tokens of len 1 -> mean_tok_len
+            (3, ("quartz " * 60).strip()),  # stopword-free, len 6 -> stopwords
+            (4, ok + " " + "#% " * 30),  # symbol ratio blown
+            (5, "\n".join(["- bullet %d the be to of and that have with item" % i for i in range(12)])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.gopher_filter(docs).collect()}
+    assert got[0]["keep"] and got[0]["reason"] is None
+    assert got[1]["reason"] == "n_tokens"
+    assert got[2]["reason"] == "mean_tok_len"
+    assert got[3]["reason"] == "stopwords"
+    assert got[4]["reason"] == "symbol_ratio"
+    assert got[5]["reason"] == "bullet_lines"
