@@ -1095,6 +1095,28 @@ def q_graph_skipgrams(spark, sf_dir):
     return skipgram_pairs(q_graph_walks(spark, sf_dir), window=2)
 
 
+def q_pipeline_curate(spark, sf_dir):
+    """End-to-end curation pipeline composed from tested stages:
+    Gopher-rules filter -> first-doc-per-fingerprint exact dedup ->
+    deterministic Bernoulli(0.6) sample. The flagship shape of a
+    pre-training data job; every stage's SQL is reused from its own
+    oracle row, chained."""
+    from linkgraph import sampling
+
+    docs = _docs(spark, sf_dir)
+    kept = textops.gopher_filter(docs).where("keep").select("doc_id")
+    base = docs.join(kept, "doc_id")
+    fp = textops.fingerprint(base).select("doc_id", "fp_md5")
+    w = Window.partitionBy("fp_md5").orderBy("doc_id")
+    first = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id")
+    )
+    dd = base.join(first, "doc_id")
+    return sampling.hash_sample(dd, 0.6).select("doc_id", "lang")
+
+
 def q_text_gopher(spark, sf_dir):
     """Gopher-rules composite filter with per-doc first-violation audit."""
     return textops.gopher_filter(_docs(spark, sf_dir))
@@ -1398,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_skipgrams": q_graph_skipgrams,
         "text_lm_score": q_text_lm_score,
         "text_gopher": q_text_gopher,
+        "pipeline_curate": q_pipeline_curate,
         "text_collocations": q_text_collocations,
         "text_repeated_spans": q_text_repeated_spans,
         "extract_anchor_corpus": q_extract_anchor_corpus,
@@ -2657,6 +2680,46 @@ SELECT bc.w1, bc.w2, c12::BIGINT AS c12,
   round(ln((c12 / (SELECT B FROM bt))
         / ((u1.c / (SELECT T FROM tt)) * (u2.c / (SELECT T FROM tt)))), 6) AS pmi
 FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok
+""",
+        # gopher keep -> first doc per md5(nrm) -> md5-coin sample(0.6)
+        "pipeline_curate": f"""
+WITH {_TOKS},
+lx AS (
+  SELECT t.doc_id, t.t, d.text,
+    list_filter(list_transform(string_split(d.text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+),
+m AS (
+  SELECT doc_id, len(t) AS n,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) END AS mean_len,
+    len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with'))) AS stop_hits,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ')))::DOUBLE / len(lines) END AS bullet_frac,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE len(list_filter(lines, x -> ends_with(x, '...')))::DOUBLE / len(lines) END AS ellipsis_frac,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(text, '[#%]'))::DOUBLE / len(t) END AS sym_ratio
+  FROM lx
+),
+k1 AS (
+  SELECT doc_id FROM m
+  WHERE NOT (n < 50 OR n > 100000) AND NOT (mean_len < 3 OR mean_len > 10)
+    AND stop_hits >= 2 AND sym_ratio <= 0.1
+    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+),
+f AS (
+  SELECT n2.doc_id, md5(n2.nrm) AS fp FROM nrm n2 JOIN k1 USING (doc_id)
+),
+first AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM f
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang FROM documents d JOIN first USING (doc_id)
+WHERE substr(md5(d.doc_id || ':s1'), 1, 6) < '999999'
 """,
         # same rule chain, first violation wins
         "text_gopher": f"""
