@@ -917,6 +917,36 @@ def q_sample_fill_report(spark, sf_dir):
     return sampling.chunk_fill_report(_docs(spark, sf_dir), budget=2048)
 
 
+def q_events_retention(spark, sf_dir):
+    """Week-over-week retention cohorts: of users active in week w, the
+    fraction also active in w+1 (distinct (user, week) self-join shifted
+    by 7 days — the standard cohort table)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    act = d.groupBy("wk").agg(F.count("*").alias("n_active"))
+    nxt = d.select(
+        "user_id", (F.col("wk") - F.expr("INTERVAL 7 DAYS")).alias("wk")
+    )
+    ret = (
+        d.join(nxt, ["user_id", "wk"])
+        .groupBy("wk")
+        .agg(F.count("*").alias("n_retained"))
+    )
+    return (
+        act.join(ret, "wk", "left")
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)) / F.col("n_active"), 6
+            ).alias("retention"),
+        )
+    )
+
+
 def q_events_conversion(spark, sf_dir):
     """Conversion analytics composed on the as-of join: per user, how
     many purchases and how many attributed to a signup within 24h."""
@@ -1430,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_real_codecs": q_mm_real_codecs,
         "sample_shards": q_sample_shards,
         "events_attrib": q_events_attrib,
+        "events_retention": q_events_retention,
         "events_conversion": q_events_conversion,
         "text_top_terms": q_text_top_terms,
         "text_adaptive_filter": q_text_adaptive_filter,
@@ -2904,6 +2935,21 @@ SELECT source, n_docs::BIGINT AS n_docs, total_tokens::BIGINT AS total_tokens,
        ELSE round(1.0 - total_tokens / (ceil(total_tokens / 2048.0) * 2048.0), 6)
   END AS waste_frac
 FROM agg
+""",
+        # distinct (user, week) self-join shifted one week
+        "events_retention": """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+act AS (SELECT wk, count(*) AS n_active FROM d GROUP BY wk),
+ret AS (
+  SELECT a.wk, count(*) AS n_retained
+  FROM d a JOIN d b ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+  GROUP BY a.wk
+)
+SELECT strftime(act.wk, '%Y-%m-%d') AS week_start,
+       n_active::BIGINT AS n_active,
+       coalesce(n_retained, 0)::BIGINT AS n_retained,
+       round(coalesce(n_retained, 0) / n_active::DOUBLE, 6) AS retention
+FROM act LEFT JOIN ret USING (wk)
 """,
         # asof-attributed purchases, 24h conversion window, per user
         "events_conversion": """
