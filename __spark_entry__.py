@@ -854,6 +854,23 @@ def q_graph_harmonic3(spark, sf_dir):
     return harmonic_centrality(spark, edges, seeds, max_hops=3)
 
 
+def q_graph_conductance(spark, sf_dir):
+    """Per-nation conductance of the order graph under the nation
+    grouping — is the host-level rollup cutting real link structure?"""
+    from linkgraph.graph import conductance
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    cust = tpcgraph.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("key"),
+    )
+    supp = tpcgraph.load(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + tpcgraph.SUPP_OFFSET).alias("id"),
+        F.col("s_nationkey").cast("long").alias("key"),
+    )
+    return conductance(edges, cust.unionByName(supp))
+
+
 def q_graph_crawl_diff(spark, sf_dir):
     """Edge churn between two crawl snapshots: crawl B loses every 10th
     doc's outlinks and discovers one extra link on surviving docs
@@ -1467,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fill_report": q_sample_fill_report,
         "graph_crawl_diff": q_graph_crawl_diff,
         "graph_harmonic3": q_graph_harmonic3,
+        "graph_conductance": q_graph_conductance,
         "graph_hostrank2": q_graph_hostrank2,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
@@ -2833,6 +2851,34 @@ SELECT 'https://docs.example/d' || k AS dst_url,
   count(DISTINCT 't' || k || '&s')::BIGINT AS n_unique_anchors,
   min('t' || k || '&s') AS anchor_sample
 FROM l GROUP BY k
+""",
+        # two endpoint stubs per edge, group agg, phi = cut/min(vol, tv-vol)
+        "graph_conductance": f"""
+WITH {_EDGES},
+m AS (
+  SELECT c_custkey AS id, c_nationkey::BIGINT AS key FROM customer
+  UNION ALL
+  SELECT s_suppkey + 1000000, s_nationkey::BIGINT FROM supplier
+),
+tagged AS (
+  SELECT ms.key AS ks, md.key AS kd
+  FROM (SELECT src, dst FROM edges WHERE src <> dst) e
+  JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id
+),
+stubs AS (
+  SELECT ks AS key, ks <> kd AS is_cut FROM tagged
+  UNION ALL
+  SELECT kd, ks <> kd FROM tagged
+),
+per AS (
+  SELECT key, count(*) AS vol,
+         sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS cut
+  FROM stubs GROUP BY key
+)
+SELECT key, vol::BIGINT AS vol, cut::BIGINT AS cut,
+       round(cut / least(vol, (SELECT sum(vol) FROM per) - vol)::DOUBLE, 6)
+         AS conductance
+FROM per
 """,
         # labeled multi-source BFS unrolled 3 rounds, then sum(1/dist)
         "graph_harmonic3": """

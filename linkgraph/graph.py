@@ -322,6 +322,54 @@ def harmonic_centrality(
     )
 
 
+def conductance(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """edges(src, dst) + mapping(id, key) -> (key, vol, cut, conductance)
+    — per-group conductance phi(S) = cut(S) / min(vol(S), vol(V)-vol(S)):
+    the partition-quality metric for a host/domain grouping (low = hosts
+    are link-cohesive communities; high = the grouping cuts through real
+    link structure — tells you whether host-level quotients/rollups are
+    faithful summaries).
+
+    Two dictionary joins map endpoints to groups, each edge emits its two
+    endpoint stubs (internal edges count twice into vol, the standard
+    volume), one aggregation keyed on group. Broadcast the mapping when
+    it is host-sized.
+    """
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    ms = mapping.select(F.col("id").alias("src"), F.col("key").alias("ks"))
+    md = mapping.select(F.col("id").alias("dst"), F.col("key").alias("kd"))
+    tagged = e.join(ms, "src").join(md, "dst")
+    stubs = tagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ks").alias("key"),
+                    (F.col("ks") != F.col("kd")).alias("is_cut"),
+                ),
+                F.struct(
+                    F.col("kd").alias("key"),
+                    (F.col("ks") != F.col("kd")).alias("is_cut"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.key", "s.is_cut")
+    per = stubs.groupBy("key").agg(
+        F.count("*").cast("long").alias("vol"),
+        F.sum(F.col("is_cut").cast("long")).cast("long").alias("cut"),
+    )
+    tot = per.agg(F.sum("vol").alias("tv"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "vol",
+        "cut",
+        F.round(
+            F.col("cut")
+            / F.least(F.col("vol"), F.col("tv") - F.col("vol")),
+            6,
+        ).alias("conductance"),
+    )
+
+
 def collision_audit(vertices: DataFrame) -> tuple[int, int]:
     """(distinct ids, distinct urls) — must be equal (FIXTURES.md §3)."""
     row = vertices.agg(

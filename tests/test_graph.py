@@ -227,3 +227,19 @@ def test_harmonic_centrality_vs_networkx(spark):
         want_n = sum(1 for d in lengths.values() if d > 0)
         assert (got[s]["n_reached"], got[s]["harmonic"]) == (want_n, want_h)
     assert 4 not in got  # seed with no out-edges reaches nothing
+
+
+def test_conductance_two_communities(spark):
+    from linkgraph.graph import conductance
+
+    # two triangles joined by one bridge edge
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    m = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, key long"
+    )
+    got = {r["key"]: r for r in conductance(e, m).collect()}
+    # each community: vol = 3 internal edges * 2 + 1 bridge stub = 7
+    for k in (0, 1):
+        assert (got[k]["vol"], got[k]["cut"]) == (7, 1)
+        assert got[k]["conductance"] == round(1 / 7, 6)
