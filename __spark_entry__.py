@@ -854,6 +854,28 @@ def q_graph_harmonic3(spark, sf_dir):
     return harmonic_centrality(spark, edges, seeds, max_hops=3)
 
 
+def q_graph_wpagerank2(spark, sf_dir):
+    """Two weighted PageRank supersteps — edge weight = lineitem
+    multiplicity of the (customer, supplier) pair, rank flows
+    proportionally to weight."""
+    from linkgraph.pagerank import pagerank_weighted
+
+    li = tpcgraph.load(spark, sf_dir, "lineitem")
+    orders = tpcgraph.load(spark, sf_dir, "orders")
+    wedges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + tpcgraph.SUPP_OFFSET).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    verts = tpcgraph.vertices_of(wedges.select("src", "dst"))
+    return pagerank_weighted(wedges, verts, iters=2).select(
+        "id", F.round("r", 9).alias("rank9")
+    )
+
+
 def q_graph_conductance(spark, sf_dir):
     """Per-nation conductance of the order graph under the nation
     grouping — is the host-level rollup cutting real link structure?"""
@@ -1485,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_crawl_diff": q_graph_crawl_diff,
         "graph_harmonic3": q_graph_harmonic3,
         "graph_conductance": q_graph_conductance,
+        "graph_wpagerank2": q_graph_wpagerank2,
         "graph_hostrank2": q_graph_hostrank2,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
@@ -2851,6 +2874,44 @@ SELECT 'https://docs.example/d' || k AS dst_url,
   count(DISTINCT 't' || k || '&s')::BIGINT AS n_unique_anchors,
   min('t' || k || '&s') AS anchor_sample
 FROM l GROUP BY k
+""",
+        # weighted rounds: contrib = r*w/strength, dangling = strength 0
+        "graph_wpagerank2": """
+WITH we AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst, count(*)::DOUBLE AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+verts AS (SELECT src AS id FROM we UNION SELECT dst FROM we),
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+st AS (SELECT src, sum(w) AS strength FROM we GROUP BY src),
+r0 AS (
+  SELECT v.id, st.strength, 1.0 / (SELECT n FROM nn) AS r
+  FROM verts v LEFT JOIN st ON v.id = st.src
+),
+d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0 WHERE strength IS NULL),
+c1 AS (
+  SELECT we.dst AS id, sum(p.r * we.w / p.strength) AS contrib
+  FROM we JOIN r0 p ON we.src = p.id WHERE p.strength IS NOT NULL GROUP BY 1
+),
+r1 AS (
+  SELECT p.id, p.strength,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (coalesce(c.contrib, 0) + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS r
+  FROM r0 p LEFT JOIN c1 c ON p.id = c.id
+),
+d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1 WHERE strength IS NULL),
+c2 AS (
+  SELECT we.dst AS id, sum(p.r * we.w / p.strength) AS contrib
+  FROM we JOIN r1 p ON we.src = p.id WHERE p.strength IS NOT NULL GROUP BY 1
+),
+r2 AS (
+  SELECT p.id,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (coalesce(c.contrib, 0) + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS r
+  FROM r1 p LEFT JOIN c2 c ON p.id = c.id
+)
+SELECT id, round(r, 9) AS rank9 FROM r2
 """,
         # two endpoint stubs per edge, group agg, phi = cut/min(vol, tv-vol)
         "graph_conductance": f"""

@@ -314,3 +314,63 @@ def top_k(ranks: DataFrame, vertices: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("rank"), "url")
         .limit(k)
     )
+
+
+def pagerank_weighted(
+    wedges: DataFrame,
+    vertices: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over wedges(src, dst, w) — rank flows in
+    proportion to edge weight (link multiplicity / anchor count), the
+    standard web-ranking generalization: contrib = r * w / strength(src),
+    strength = sum of outgoing weights, dangling = strength 0. Same
+    damping/dangling semantics as ``pagerank``; a FIXED unrolled
+    superstep count (oracle-checkable round for round — the converging
+    iterative machine stays the unweighted ``pagerank``/blocked path).
+
+    Fully lazy: n and the per-round dangling mass ride broadcast 1-row
+    aggregates (no driver actions); each round is the same join+agg shape
+    as the flat path, shuffling on src then id.
+    """
+    s = wedges.groupBy("src").agg(F.sum("w").alias("strength"))
+    nn = vertices.agg(F.count("*").cast("double").alias("n"))
+    r = (
+        vertices.select("id")
+        .join(s, F.col("id") == F.col("src"), "left")
+        .select("id", "strength")
+        .crossJoin(F.broadcast(nn))
+        .select("id", "strength", (F.lit(1.0) / F.col("n")).alias("r"))
+    )
+    for _ in range(iters):
+        dm = r.where(F.col("strength").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            wedges.join(
+                r.where(F.col("strength").isNotNull()).select(
+                    F.col("id").alias("src"), "r", "strength"
+                ),
+                "src",
+            )
+            .select("dst", (F.col("r") * F.col("w") / F.col("strength")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r = (
+            r.select("id", "strength")
+            .join(contrib, F.col("id") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "id",
+                "strength",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / F.col("n"))
+                ).alias("r"),
+            )
+        )
+    return r.select("id", "r")

@@ -113,3 +113,38 @@ def test_personalized_empty_seed_intersection_raises(spark, tiny):
     seeds = spark.createDataFrame([(999999999,)], "id long")
     with pytest.raises(ValueError):
         pagerank(spark, tiny.edges, tiny.vertices, max_iter=2, seeds=seeds)
+
+
+def test_weighted_pagerank_reduces_to_unweighted_at_w1(spark, small):
+    from pyspark.sql import functions as F
+
+    from linkgraph.pagerank import pagerank, pagerank_weighted
+
+    we = small.edges.withColumn("w", F.lit(1.0))
+    wr = {
+        r["id"]: r["r"]
+        for r in pagerank_weighted(we, small.vertices, iters=3).collect()
+    }
+    ur = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            spark, small.edges, small.vertices, tol=0.0, max_iter=3
+        ).ranks.collect()
+    }
+    assert set(wr) == set(ur)
+    for i, v in ur.items():
+        assert abs(wr[i] - v) < 1e-12
+
+
+def test_weighted_pagerank_weights_shift_mass(spark):
+    from linkgraph.pagerank import pagerank_weighted
+
+    # 0 links to 1 (weight 9) and 2 (weight 1): 1 must outrank 2
+    we = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    r = {x["id"]: x["r"] for x in pagerank_weighted(we, verts, iters=8).collect()}
+    assert r[1] > r[2]
+    assert abs(sum(r.values()) - 1.0) < 1e-9
