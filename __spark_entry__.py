@@ -956,6 +956,37 @@ def q_sample_fill_report(spark, sf_dir):
     return sampling.chunk_fill_report(_docs(spark, sf_dir), budget=2048)
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Hourly error-rate anomaly flags: hours whose error fraction sits
+    more than 2 sample-stddevs from the mean over all hours (the
+    observability sweep a pipeline runs over its own event stream)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    rated = hourly.withColumn("rate", F.col("n_errors") / F.col("n_events"))
+    stats = rated.agg(
+        F.avg("rate").alias("mu"), F.stddev_samp("rate").alias("sd")
+    )
+    return (
+        rated.crossJoin(F.broadcast(stats))
+        .select(
+            "hour",
+            "n_events",
+            "n_errors",
+            F.round("rate", 6).alias("rate"),
+            (F.abs(F.col("rate") - F.col("mu")) > 2 * F.col("sd")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
 def q_events_retention(spark, sf_dir):
     """Week-over-week retention cohorts: of users active in week w, the
     fraction also active in w+1 (distinct (user, week) self-join shifted
@@ -1500,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_shards": q_sample_shards,
         "events_attrib": q_events_attrib,
         "events_retention": q_events_retention,
+        "events_anomaly": q_events_anomaly,
         "events_conversion": q_events_conversion,
         "text_top_terms": q_text_top_terms,
         "text_adaptive_filter": q_text_adaptive_filter,
@@ -3042,6 +3074,21 @@ SELECT source, n_docs::BIGINT AS n_docs, total_tokens::BIGINT AS total_tokens,
        ELSE round(1.0 - total_tokens / (ceil(total_tokens / 2048.0) * 2048.0), 6)
   END AS waste_frac
 FROM agg
+""",
+        # hourly error fraction vs 2-sigma band over all hours
+        "events_anomaly": """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n_events,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1
+),
+rated AS (SELECT *, n_errors / n_events::DOUBLE AS rate FROM hourly),
+s AS (SELECT avg(rate) AS mu, stddev_samp(rate) AS sd FROM rated)
+SELECT hour, n_events::BIGINT AS n_events, n_errors::BIGINT AS n_errors,
+       round(rate, 6) AS rate,
+       abs(rate - (SELECT mu FROM s)) > 2 * (SELECT sd FROM s) AS is_anomaly
+FROM rated
 """,
         # distinct (user, week) self-join shifted one week
         "events_retention": """
