@@ -1217,6 +1217,12 @@ def q_pipeline_curate(spark, sf_dir):
     return sampling.hash_sample(dd, 0.6).select("doc_id", "lang")
 
 
+def q_text_langid_scores(spark, sf_dir):
+    """Language ID with a confidence margin (best minus runner-up
+    stopword hits per token)."""
+    return textops.langid_scores(_docs(spark, sf_dir))
+
+
 def q_text_gopher(spark, sf_dir):
     """Gopher-rules composite filter with per-doc first-violation audit."""
     return textops.gopher_filter(_docs(spark, sf_dir))
@@ -1520,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_skipgrams": q_graph_skipgrams,
         "text_lm_score": q_text_lm_score,
         "text_gopher": q_text_gopher,
+        "text_langid_scores": q_text_langid_scores,
         "pipeline_curate": q_pipeline_curate,
         "text_collocations": q_text_collocations,
         "text_repeated_spans": q_text_repeated_spans,
@@ -2548,6 +2555,33 @@ SELECT doc_id,
        WHEN cen = greatest(cde, cen, ces, cfr) THEN 'en'
        WHEN ces = greatest(cde, cen, ces, cfr) THEN 'es'
        ELSE 'fr' END AS lang_pred
+FROM cnts
+""",
+        # same vote plus (best - runner-up)/n_tokens confidence margin
+        "text_langid_scores": f"""
+WITH {_TOKS},
+cnts AS (
+  SELECT doc_id, len(t) AS n,
+    list_sort([len(list_filter(t, x -> x IN {sw['de']})),
+               len(list_filter(t, x -> x IN {sw['en']})),
+               len(list_filter(t, x -> x IN {sw['es']})),
+               len(list_filter(t, x -> x IN {sw['fr']}))]) AS srt,
+    len(list_filter(t, x -> x IN {sw['de']})) AS cde,
+    len(list_filter(t, x -> x IN {sw['en']})) AS cen,
+    len(list_filter(t, x -> x IN {sw['es']})) AS ces,
+    len(list_filter(t, x -> x IN {sw['fr']})) AS cfr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN srt[4] = 0 THEN 'und'
+       WHEN cde = srt[4] THEN 'de'
+       WHEN cen = srt[4] THEN 'en'
+       WHEN ces = srt[4] THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  srt[4]::BIGINT AS best_hits,
+  srt[3]::BIGINT AS second_hits,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE round((srt[4] - srt[3]) / n::DOUBLE, 6) END AS margin
 FROM cnts
 """,
         "text_fingerprint": f"""

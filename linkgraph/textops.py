@@ -117,6 +117,36 @@ def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     return docs.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+def langid_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, lang_pred, best_hits, second_hits, margin) — language
+    ID with a confidence margin: (best − runner-up stopword hits) per
+    token. Curation drops low-margin docs (mixed-language or too short to
+    call) instead of trusting a bare argmax — the knob ``langid`` alone
+    does not expose. Same vote, same tie-break, map-only."""
+    t = tokens_col(F.col(text_col))
+    n = F.size(t)
+    counts = {lang: _count_in(t, ws) for lang, ws in STOPWORDS.items()}
+    arr = F.array_sort(F.array(*counts.values()))
+    best = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    margin = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((best - second) / n, 6)
+    )
+    return docs.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("best_hits"),
+        second.cast("long").alias("second_hits"),
+        margin.alias("margin"),
+    )
+
+
 def repetition(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
     top_2gram_char_frac, dup_5gram_frac) — Gopher-style repetition

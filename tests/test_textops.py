@@ -410,3 +410,21 @@ def test_gopher_filter_first_violation(spark):
     assert got[3]["reason"] == "stopwords"
     assert got[4]["reason"] == "symbol_ratio"
     assert got[5]["reason"] == "bullet_lines"
+
+
+def test_langid_scores_margin(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the hat is it you that"),  # clean en
+            (1, "the and der und cat hat"),             # 2 en vs 2 de tie
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.langid_scores(docs).collect()}
+    assert got[0]["lang_pred"] == "en" and got[0]["margin"] > 0.3
+    # mixed doc: tie at 3 hits each -> lexicographic 'de', margin 0
+    assert got[1]["lang_pred"] == "de"
+    assert got[1]["best_hits"] == got[1]["second_hits"] == 2
+    assert got[1]["margin"] == 0.0
+    assert got[2]["lang_pred"] == "und" and got[2]["margin"] == 0.0
