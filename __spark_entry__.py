@@ -1195,6 +1195,14 @@ def q_graph_skipgrams(spark, sf_dir):
     return skipgram_pairs(q_graph_walks(spark, sf_dir), window=2)
 
 
+def q_corpus_mi(spark, sf_dir):
+    """Mutual information between source and lang — the joint-mixture
+    diagnostic (high = language-siloed sources, stratify jointly)."""
+    from linkgraph.curation import category_mi
+
+    return category_mi(_docs(spark, sf_dir))
+
+
 def q_pipeline_curate(spark, sf_dir):
     """End-to-end curation pipeline composed from tested stages:
     Gopher-rules filter -> first-doc-per-fingerprint exact dedup ->
@@ -1528,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "text_langid_scores": q_text_langid_scores,
         "pipeline_curate": q_pipeline_curate,
+        "corpus_mi": q_corpus_mi,
         "text_collocations": q_text_collocations,
         "text_repeated_spans": q_text_repeated_spans,
         "extract_anchor_corpus": q_extract_anchor_corpus,
@@ -2818,6 +2827,23 @@ SELECT bc.w1, bc.w2, c12::BIGINT AS c12,
   round(ln((c12 / (SELECT B FROM bt))
         / ((u1.c / (SELECT T FROM tt)) * (u2.c / (SELECT T FROM tt)))), 6) AS pmi
 FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok
+""",
+        # joint/marginal counts -> MI and normalized MI
+        "corpus_mi": """
+WITH joint AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+ma AS (SELECT source, sum(c) AS ca FROM joint GROUP BY source),
+mb AS (SELECT lang, sum(c) AS cb FROM joint GROUP BY lang),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM joint),
+mi AS (
+  SELECT sum((j.c / (SELECT n FROM tot))
+             * ln((j.c * (SELECT n FROM tot)) / (ma.ca * mb.cb))) AS mi
+  FROM joint j JOIN ma USING (source) JOIN mb USING (lang)
+),
+ha AS (SELECT sum(-(ca / (SELECT n FROM tot)) * ln(ca / (SELECT n FROM tot))) AS ha FROM ma),
+hb AS (SELECT sum(-(cb / (SELECT n FROM tot)) * ln(cb / (SELECT n FROM tot))) AS hb FROM mb)
+SELECT (SELECT n FROM tot)::BIGINT AS n_docs,
+       round((SELECT mi FROM mi), 6) AS mi,
+       round((SELECT mi FROM mi) / least((SELECT ha FROM ha), (SELECT hb FROM hb)), 6) AS nmi
 """,
         # gopher keep -> first doc per md5(nrm) -> md5-coin sample(0.6)
         "pipeline_curate": f"""

@@ -93,3 +93,44 @@ def adaptive_quality_filter(
             F.round("thr", 6).alias("thr"),
         )
     )
+
+
+def category_mi(docs: DataFrame, a_col: str = "source", b_col: str = "lang") -> DataFrame:
+    """-> one row (n_docs, mi, nmi) — mutual information between two
+    categorical doc attributes (source x lang by default), the mixture
+    diagnostic: MI near 0 = languages spread evenly over sources; high =
+    sources are language silos (so per-source sampling skews the language
+    mix and the curation plan must stratify jointly). nmi normalizes by
+    the smaller marginal entropy (0..1).
+
+    One joint count aggregation (|A|x|B| rows), two marginal aggregations
+    derived from it, a broadcast total — nothing scales with corpus size
+    past the first groupBy.
+    """
+    joint = docs.groupBy(a_col, b_col).agg(F.count("*").alias("c"))
+    ma = joint.groupBy(a_col).agg(F.sum("c").alias("ca"))
+    mb = joint.groupBy(b_col).agg(F.sum("c").alias("cb"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    j = (
+        joint.join(ma, a_col)
+        .join(mb, b_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (F.col("c") / F.col("n")) * F.log(
+        (F.col("c") * F.col("n")) / (F.col("ca") * F.col("cb"))
+    )
+    ent = lambda cc: -(cc / F.col("n")) * F.log(cc / F.col("n"))  # noqa: E731
+    ha = ma.crossJoin(F.broadcast(tot)).agg(F.sum(ent(F.col("ca"))).alias("ha"))
+    hb = mb.crossJoin(F.broadcast(tot)).agg(F.sum(ent(F.col("cb"))).alias("hb"))
+    return (
+        j.agg(F.sum(term).alias("mi"), F.max("n").alias("n_docs"))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("mi", 6).alias("mi"),
+            F.round(
+                F.col("mi") / F.least(F.col("ha"), F.col("hb")), 6
+            ).alias("nmi"),
+        )
+    )

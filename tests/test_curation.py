@@ -77,3 +77,25 @@ def test_adaptive_quality_filter_per_stratum_median(spark):
         med = statistics.median([scores[i] for i in ids])
         want = {i for i in ids if scores[i] >= med}
         assert want == (kept & set(ids)), lang
+
+
+def test_category_mi_extremes(spark):
+    import math
+
+    from linkgraph.curation import category_mi
+
+    # perfectly language-siloed sources: MI = H(lang) -> nmi = 1
+    siloed = spark.createDataFrame(
+        [(i, f"s{i % 2}", ["en", "de"][i % 2]) for i in range(100)],
+        "doc_id long, source string, lang string",
+    )
+    r = category_mi(siloed).collect()[0]
+    assert r["nmi"] == 1.0
+    assert abs(r["mi"] - math.log(2)) < 1e-6
+    # independent attributes: MI ~ 0
+    indep = spark.createDataFrame(
+        [(i, f"s{i % 2}", ["en", "de"][(i // 2) % 2]) for i in range(100)],
+        "doc_id long, source string, lang string",
+    )
+    r2 = category_mi(indep).collect()[0]
+    assert abs(r2["mi"]) < 1e-6
