@@ -1231,6 +1231,11 @@ def q_text_langid_scores(spark, sf_dir):
     return textops.langid_scores(_docs(spark, sf_dir))
 
 
+def q_text_lm_score2(spark, sf_dir):
+    """Bigram-LM surprisal (add-0.5 smoothing) — conditional quality."""
+    return textops.lm_score2(_docs(spark, sf_dir), alpha=0.5)
+
+
 def q_text_gopher(spark, sf_dir):
     """Gopher-rules composite filter with per-doc first-violation audit."""
     return textops.gopher_filter(_docs(spark, sf_dir))
@@ -1533,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_skipgrams": q_graph_skipgrams,
         "text_lm_score": q_text_lm_score,
+        "text_lm_score2": q_text_lm_score2,
         "text_gopher": q_text_gopher,
         "text_langid_scores": q_text_langid_scores,
         "pipeline_curate": q_pipeline_curate,
@@ -2884,6 +2890,26 @@ first AS (
 )
 SELECT d.doc_id, d.lang FROM documents d JOIN first USING (doc_id)
 WHERE substr(md5(d.doc_id || ':s1'), 1, 6) < '999999'
+""",
+        # conditional surprisal: p = (c12+a)/(c1+a*V), a = 0.5
+        "text_lm_score2": f"""
+WITH {_TOKS},
+bgf AS (
+  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+    FROM toks WHERE len(t) >= 2
+  )
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
+ex AS (SELECT unnest(t) AS tok FROM toks),
+uc AS (SELECT tok AS w1, count(*) AS c1 FROM ex GROUP BY 1),
+vv AS (SELECT count(DISTINCT tok)::DOUBLE AS V FROM ex)
+SELECT d.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(-ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * (SELECT V FROM vv)))), 6)
+         AS avg_neg_logp2
+FROM bgf d JOIN bc USING (w1, w2) JOIN uc USING (w1)
+GROUP BY d.doc_id
 """,
         # same rule chain, first violation wins
         "text_gopher": f"""

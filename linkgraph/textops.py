@@ -585,6 +585,54 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def lm_score2(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, n_bigrams, avg_neg_logp2) for docs with >=2 tokens —
+    bigram-LM surprisal: mean of -ln p(w2|w1) with add-alpha smoothing,
+    p = (c(w1 w2)+alpha) / (c(w1)+alpha*V), counts from the corpus
+    itself. The conditional upgrade of ``lm_score``: boilerplate scores
+    low (predictable continuations), shuffled/garbled text scores high
+    even when its unigrams are common — the signal a KenLM filter brings,
+    without the model artifact.
+
+    Bigram arrays are built map-only (zip_with over shifted slices, like
+    the shingle path); counting/joining shuffles on the bigram key, and
+    the (V, alpha) normalizer rides a broadcast 1-row aggregate.
+    """
+    t = tokens_col(F.col(text_col))
+    m = F.size(t) - 1
+    bi = F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(t, 1, m), F.slice(t, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    dbg = docs.select(F.col(id_col), F.explode(bi).alias("bg")).select(
+        id_col,
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bc = dbg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    toks = docs.select(F.explode(t).alias("tok"))
+    uc = toks.groupBy("tok").agg(F.count("*").alias("c1")).select(
+        F.col("tok").alias("w1"), "c1"
+    )
+    vv = toks.agg(F.countDistinct("tok").cast("double").alias("V"))
+    a = float(alpha)
+    scored = (
+        dbg.join(bc, ["w1", "w2"]).join(uc, "w1").crossJoin(F.broadcast(vv))
+    )
+    p = (F.col("c12") + a) / (F.col("c1") + a * F.col("V"))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logp2"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, fp_md5, fp64) — content fingerprint of normalized text.
 

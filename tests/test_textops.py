@@ -428,3 +428,19 @@ def test_langid_scores_margin(spark):
     assert got[1]["best_hits"] == got[1]["second_hits"] == 2
     assert got[1]["margin"] == 0.0
     assert got[2]["lang_pred"] == "und" and got[2]["margin"] == 0.0
+
+
+def test_lm_score2_exact_bigram(spark):
+    import math
+
+    # corpus bigrams: "a b" x2, "b a" x1 ; unigrams a3 b2 ; V=2 ; alpha=0.5
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in textops.lm_score2(docs, alpha=0.5).collect()}
+    p_ab = (2 + 0.5) / (3 + 0.5 * 2)   # c(a b)=2, c(a)=3
+    p_ba = (1 + 0.5) / (2 + 0.5 * 2)   # c(b a)=1, c(b)=2
+    want = round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    assert got[0]["n_bigrams"] == 3
+    assert abs(got[0]["avg_neg_logp2"] - want) < 1e-9
+    assert 1 not in got and 2 not in got  # <2 tokens emit no row
