@@ -142,6 +142,8 @@ def assign_shards(
     partitioner (same doc always lands in the same shard across runs, so
     shards can be regenerated independently). Pure projection, zero
     shuffle; the write itself repartitions by ``shard``."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
@@ -209,6 +211,8 @@ def pack_chunks(
     optional. Token counts reuse the corpus-wide normalization
     (``textops.tokens_col``) so they agree with ``token_stats``.
     """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     from linkgraph.textops import tokens_col
 
     n = F.size(tokens_col(F.col(text_col))).cast("long")
@@ -238,6 +242,8 @@ def chunk_fill_report(
     One aggregation keyed on the stream; token counts reuse the corpus
     tokenizer so the report agrees with the pack map exactly.
     """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     from linkgraph.textops import tokens_col
 
     n = F.size(tokens_col(F.col(text_col))).cast("long")

@@ -38,6 +38,8 @@ def random_walks(
     One walk per start vertex (walk_id = start id), step 0 is the start
     itself; successor = hash-argmin over out-neighbors (see module doc).
     """
+    if steps < 0:
+        raise ValueError(f"steps must be >= 0, got {steps}")
     cur = starts.select(
         F.col("id").alias("walk_id"), F.col("id").alias("vertex")
     )

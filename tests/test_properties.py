@@ -155,3 +155,20 @@ def test_simhash_banded_pairs_are_lossless(spark, docs):
         for r in dedup.simhash_pairs(df, max_hamming=3).collect()
     }
     assert got == want
+
+
+@given(docs=st.lists(_words, min_size=1, max_size=10))
+@SET
+def test_lm_scores_are_nonnegative(spark, docs):
+    """Self-corpus LMs: p(token) <= 1 always (c <= T, c12 <= c1 and
+    alpha <= alpha*V), so both surprisal scores are >= 0 on any corpus."""
+    from linkgraph.textops import lm_score, lm_score2
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    for r in lm_score(df).collect():
+        assert r["avg_neg_logp"] >= 0.0
+    for r in lm_score2(df).collect():
+        assert r["avg_neg_logp2"] >= 0.0
