@@ -854,6 +854,19 @@ def q_graph_harmonic3(spark, sf_dir):
     return harmonic_centrality(spark, edges, seeds, max_hops=3)
 
 
+def q_graph_top10(spark, sf_dir):
+    """Reporting shape: top-10 vertices by 2-superstep PageRank, ordered
+    with a deterministic id tiebreak (sort + limit through the oracle)."""
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    res = pagerank(spark, edges, verts, tol=0.0, max_iter=2)
+    return (
+        res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+        .orderBy(F.desc("rank9"), F.asc("id"))
+        .limit(10)
+    )
+
+
 def q_graph_wpagerank2(spark, sf_dir):
     """Two weighted PageRank supersteps — edge weight = lineitem
     multiplicity of the (customer, supplier) pair, rank flows
@@ -1562,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic3": q_graph_harmonic3,
         "graph_conductance": q_graph_conductance,
         "graph_wpagerank2": q_graph_wpagerank2,
+        "graph_top10": q_graph_top10,
         "graph_hostrank2": q_graph_hostrank2,
         "graph_health": q_graph_health,
         "graph_assort": q_graph_assort,
@@ -2992,6 +3006,19 @@ SELECT 'https://docs.example/d' || k AS dst_url,
   count(DISTINCT 't' || k || '&s')::BIGINT AS n_unique_anchors,
   min('t' || k || '&s') AS anchor_sample
 FROM l GROUP BY k
+""",
+        # same unrolled PR rounds, then ORDER BY rank DESC, id LIMIT 10
+        "graph_top10": f"""
+WITH {_EDGES},
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+outd AS (
+  SELECT v.id, coalesce(o.c, 0) AS od FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+),
+r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
+{',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
+SELECT id, round(r, 9) AS rank9 FROM r2
+ORDER BY rank9 DESC, id ASC LIMIT 10
 """,
         # weighted rounds: contrib = r*w/strength, dangling = strength 0
         "graph_wpagerank2": """
