@@ -1208,6 +1208,42 @@ def q_graph_skipgrams(spark, sf_dir):
     return skipgram_pairs(q_graph_walks(spark, sf_dir), window=2)
 
 
+def q_corpus_pivot(spark, sf_dir):
+    """Pivot shape: per-source doc counts widened to one column per
+    language (explicit value list keeps the schema deterministic)."""
+    docs = _docs(spark, sf_dir)
+    p = (
+        docs.groupBy("source")
+        .pivot("lang", ["en", "de", "es", "fr"])
+        .count()
+    )
+    return p.select(
+        "source",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+            for c in ("en", "de", "es", "fr")
+        ],
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """Grouping-sets shape: ROLLUP(event_type) — per-type counts plus the
+    grand total in one aggregation pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_corpus_mi(spark, sf_dir):
     """Mutual information between source and lang — the joint-mixture
     diagnostic (high = language-siloed sources, stratify jointly)."""
@@ -1556,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_scores": q_text_langid_scores,
         "pipeline_curate": q_pipeline_curate,
         "corpus_mi": q_corpus_mi,
+        "corpus_pivot": q_corpus_pivot,
+        "events_rollup": q_events_rollup,
         "text_collocations": q_text_collocations,
         "text_repeated_spans": q_text_repeated_spans,
         "extract_anchor_corpus": q_extract_anchor_corpus,
@@ -2847,6 +2885,22 @@ SELECT bc.w1, bc.w2, c12::BIGINT AS c12,
   round(ln((c12 / (SELECT B FROM bt))
         / ((u1.c / (SELECT T FROM tt)) * (u2.c / (SELECT T FROM tt)))), 6) AS pmi
 FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok
+""",
+        # static pivot: sum(case) per language column
+        "corpus_pivot": """
+SELECT source,
+  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+  sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr
+FROM documents GROUP BY source
+""",
+        # ROLLUP grouping set, grand-total row labeled <all>
+        "events_rollup": """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY ROLLUP(event_type)
 """,
         # joint/marginal counts -> MI and normalized MI
         "corpus_mi": """
