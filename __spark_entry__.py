@@ -1285,6 +1285,23 @@ def q_text_lm_score2(spark, sf_dir):
     return textops.lm_score2(_docs(spark, sf_dir), alpha=0.5)
 
 
+def q_text_curriculum(spark, sf_dir):
+    """Curriculum staging: ntile(4) difficulty buckets per language over
+    the unigram-LM surprisal (easy -> hard training order). Partitioned
+    by lang so the sort never globalizes; deterministic doc_id tiebreak."""
+    docs = _docs(spark, sf_dir)
+    lm = textops.lm_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("avg_neg_logp"), F.asc("doc_id")
+    )
+    return lm.select(
+        "doc_id",
+        "lang",
+        "avg_neg_logp",
+        F.ntile(4).over(w).cast("int").alias("bucket"),
+    )
+
+
 def q_text_gopher(spark, sf_dir):
     """Gopher-rules composite filter with per-doc first-violation audit."""
     return textops.gopher_filter(_docs(spark, sf_dir))
@@ -1588,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_skipgrams": q_graph_skipgrams,
         "text_lm_score": q_text_lm_score,
         "text_lm_score2": q_text_lm_score2,
+        "text_curriculum": q_text_curriculum,
         "text_gopher": q_text_gopher,
         "text_langid_scores": q_text_langid_scores,
         "pipeline_curate": q_pipeline_curate,
@@ -2958,6 +2976,22 @@ first AS (
 )
 SELECT d.doc_id, d.lang FROM documents d JOIN first USING (doc_id)
 WHERE substr(md5(d.doc_id || ':s1'), 1, 6) < '999999'
+""",
+        # ntile(4) per lang over the unigram surprisal, id tiebreak
+        "text_curriculum": f"""
+WITH {_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+fr AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tt AS (SELECT count(*) AS total FROM ex),
+lm AS (
+  SELECT e.doc_id, count(*) AS n_tokens,
+         round(avg(-ln(fr.c::DOUBLE / (SELECT total FROM tt))), 6) AS avg_neg_logp
+  FROM ex e JOIN fr USING (tok) GROUP BY e.doc_id
+)
+SELECT lm.doc_id, d.lang, lm.avg_neg_logp,
+       ntile(4) OVER (PARTITION BY d.lang
+                      ORDER BY lm.avg_neg_logp ASC, lm.doc_id ASC)::INT AS bucket
+FROM lm JOIN documents d ON lm.doc_id = d.doc_id
 """,
         # conditional surprisal: p = (c12+a)/(c1+a*V), a = 0.5
         "text_lm_score2": f"""
