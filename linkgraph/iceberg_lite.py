@@ -1,0 +1,565 @@
+"""Pure-Python minimal Apache Iceberg v1 tables (write + scan), no jar.
+
+The north rule mandates "Iceberg table of Common-Crawl-style pages" and
+"every superstep checkpoints vertex-state DataFrames to Iceberg"
+(BASELINE.json:6,16). This sandbox has no iceberg-spark-runtime jar, no
+pyiceberg, and no network — so rounds 1-2 could only ship a
+fails-fast catalog seam (linkgraph/storage.py). This module closes the
+gap from first principles: it implements the PUBLIC Apache Iceberg
+*table spec* (format-version 1) directly —
+
+- table metadata JSON (``metadata/vN.metadata.json``) with schemas,
+  partition specs, snapshots, and snapshot-log, committed via
+  write-tmp + atomic rename of the HadoopTables ``version-hint.text``
+  pointer (the jar-based reader discovers tables exactly this way, so a
+  real Iceberg runtime pointed at these directories would resolve them);
+- manifest lists and manifest files as Avro object container files
+  (``linkgraph.avro_lite``) using the spec's field names and field-ids
+  (manifest_path/500, manifest_length/501, partition_spec_id/502,
+  added_snapshot_id/503; manifest_entry status/0, snapshot_id/1,
+  data_file/2 with file_path/100 … block_size_in_bytes/105), with
+  ``field-id`` attributes in the Avro schemas as the spec requires;
+- data files written BY SPARK (distributed, scales with executors) as
+  parquet with int64-micros timestamps (Iceberg's required physical
+  type — INT96 is disallowed by the spec), footer stats gathered by a
+  Spark job over the file list (no driver-side O(files) I/O);
+- identity partitioning + ``overwrite_partitions`` with real Iceberg
+  semantics: the new snapshot's manifest list drops replaced entries by
+  rewriting affected manifests (surviving entries demoted to status
+  EXISTING) and reuses untouched manifests by reference;
+- scans resolve snapshot → manifest list → manifests → live data files
+  and hand the pruned file list to ``spark.read.parquet``, so column
+  pruning / predicate pushdown still come from Spark's native parquet
+  source; time travel by snapshot id or timestamp; incremental
+  (changelog-style) reads of exactly the files a snapshot ADDED.
+
+A scan of a 10^12-row table is driver-light: the driver touches only
+metadata (KB-scale avro), never data. What does NOT scale here is
+implicit: manifests are read on the driver — at millions of data files
+real Iceberg distributes manifest reads; ours is a single-digit-MB loop,
+documented at `_live_entries`.
+
+Reference parity: the reference repo has no storage layer; this module
+exists for the BASELINE mandate, not for any reference file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import avro_lite as avro
+
+BLOCK_SIZE = 67108864  # spec'd v1 block_size_in_bytes (deprecated, required)
+
+# ---------------------------------------------------------------------------
+# schema conversion: Spark <-> Iceberg JSON (flat schemas; nested types are
+# not needed by the pages / vertex-state tables this engine checkpoints)
+
+_SPARK_TO_ICE = {
+    T.StringType: "string", T.LongType: "long", T.IntegerType: "int",
+    T.DoubleType: "double", T.FloatType: "float", T.BooleanType: "boolean",
+    T.BinaryType: "binary", T.DateType: "date",
+}
+_ICE_TO_SPARK = {
+    "string": T.StringType(), "long": T.LongType(), "int": T.IntegerType(),
+    "double": T.DoubleType(), "float": T.FloatType(),
+    "boolean": T.BooleanType(), "binary": T.BinaryType(),
+    "date": T.DateType(), "timestamptz": T.TimestampType(),
+}
+
+
+def schema_to_iceberg(schema: T.StructType) -> dict:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        if isinstance(f.dataType, T.TimestampType):
+            ice = "timestamptz"  # spark TimestampType is with-local-tz
+        else:
+            ice = _SPARK_TO_ICE.get(type(f.dataType))
+            if ice is None:
+                raise TypeError(
+                    f"iceberg_lite: unsupported column type {f.dataType} "
+                    f"for field {f.name!r} (flat primitive schemas only)")
+        fields.append({"id": i, "name": f.name,
+                       "required": not f.nullable, "type": ice})
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def schema_to_spark(ice: dict) -> T.StructType:
+    return T.StructType([
+        T.StructField(f["name"], _ICE_TO_SPARK[f["type"]],
+                      nullable=not f["required"])
+        for f in ice["fields"]])
+
+
+# ---------------------------------------------------------------------------
+# avro schemas for manifest list / manifest file (spec field names + ids)
+
+def _f(name: str, typ: Any, fid: int, optional: bool = False) -> dict:
+    out = {"name": name, "type": ["null", typ] if optional else typ,
+           "field-id": fid}
+    if optional:
+        out["default"] = None
+    return out
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        _f("manifest_path", "string", 500),
+        _f("manifest_length", "long", 501),
+        _f("partition_spec_id", "int", 502),
+        _f("added_snapshot_id", "long", 503),
+        _f("added_data_files_count", "int", 504, optional=True),
+        _f("existing_data_files_count", "int", 505, optional=True),
+        _f("deleted_data_files_count", "int", 506, optional=True),
+        _f("added_rows_count", "long", 512, optional=True),
+        _f("existing_rows_count", "long", 513, optional=True),
+        _f("deleted_rows_count", "long", 514, optional=True),
+    ]}
+
+_ICE_PRIM_TO_AVRO = {"long": "long", "int": "int", "string": "string",
+                     "double": "double", "float": "float",
+                     "boolean": "boolean", "date": "int",
+                     "timestamptz": "long", "binary": "bytes"}
+
+STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
+
+
+def _manifest_entry_schema(partition_avro_fields: list[dict]) -> dict:
+    data_file = {
+        "type": "record", "name": "r2", "fields": [
+            _f("file_path", "string", 100),
+            _f("file_format", "string", 101),
+            {"name": "partition", "field-id": 102, "type": {
+                "type": "record", "name": "r102",
+                "fields": partition_avro_fields}},
+            _f("record_count", "long", 103),
+            _f("file_size_in_bytes", "long", 104),
+            _f("block_size_in_bytes", "long", 105),
+        ]}
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        _f("status", "int", 0),
+        _f("snapshot_id", "long", 1),
+        {"name": "data_file", "field-id": 2, "type": data_file},
+    ]}
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DataFileInfo:
+    path: str
+    record_count: int
+    file_size: int
+
+
+def _spark_file_stats(spark: SparkSession, files: list[str]) -> \
+        list[DataFileInfo]:
+    """Footer-only stats for each parquet file, gathered by a Spark job
+    (executor-side pyarrow) — the driver never opens a data file, so a
+    snapshot with 10^5 new files costs one short distributed job."""
+    if not files:
+        return []
+
+    def _stat(path: str) -> tuple[str, int, int]:
+        import pyarrow.parquet as pq  # executor-side import
+        md = pq.read_metadata(path)
+        return path, md.num_rows, os.path.getsize(path)
+
+    n = len(files)
+    rows = spark.sparkContext.parallelize(files, min(n, 64)).map(_stat) \
+        .collect()
+    return [DataFileInfo(p, rc, fs) for p, rc, fs in rows]
+
+
+class IcebergLiteTable:
+    """One Iceberg v1 table rooted at ``location`` on a shared filesystem.
+
+    ``partition_by`` is a list of identity-transform column names (the
+    only transform this engine needs — vertex-state partitions by
+    superstep, pages tables are unpartitioned or by crawl batch).
+    """
+
+    def __init__(self, location: str, metadata: dict):
+        self.location = location.rstrip("/")
+        self.meta = metadata
+
+    # -- creation / loading ------------------------------------------------
+
+    @staticmethod
+    def create(location: str, schema: T.StructType,
+               partition_by: Iterable[str] = (),
+               properties: dict[str, str] | None = None) -> \
+            "IcebergLiteTable":
+        location = location.rstrip("/")
+        if os.path.exists(os.path.join(location, "metadata",
+                                       "version-hint.text")):
+            raise FileExistsError(f"iceberg table already at {location}")
+        ice_schema = schema_to_iceberg(schema)
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        spec_fields = []
+        for i, col in enumerate(partition_by):
+            if col not in by_name:
+                raise KeyError(f"partition column {col!r} not in schema")
+            spec_fields.append({"name": col, "transform": "identity",
+                                "source-id": by_name[col]["id"],
+                                "field-id": 1000 + i})
+        meta = {
+            "format-version": 1,
+            "table-uuid": str(uuid.uuid4()),
+            "location": location,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(ice_schema["fields"]),
+            "schema": ice_schema,
+            "schemas": [ice_schema],
+            "current-schema-id": 0,
+            "partition-spec": spec_fields,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(spec_fields),
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": dict(properties or {}),
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        tbl = IcebergLiteTable(location, meta)
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        tbl._commit(version=1)
+        return tbl
+
+    @staticmethod
+    def load(location: str) -> "IcebergLiteTable":
+        location = location.rstrip("/")
+        hint = os.path.join(location, "metadata", "version-hint.text")
+        with open(hint) as f:
+            version = int(f.read().strip())
+        path = os.path.join(location, "metadata", f"v{version}.metadata.json")
+        with open(path) as f:
+            return IcebergLiteTable(location, json.load(f))
+
+    @staticmethod
+    def exists(location: str) -> bool:
+        return os.path.exists(os.path.join(
+            location.rstrip("/"), "metadata", "version-hint.text"))
+
+    # -- properties --------------------------------------------------------
+
+    @property
+    def spark_schema(self) -> T.StructType:
+        return schema_to_spark(self.meta["schema"])
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return [f["name"] for f in self.meta["partition-spec"]]
+
+    def snapshots(self) -> list[dict]:
+        return list(self.meta["snapshots"])
+
+    def current_snapshot_id(self) -> int | None:
+        sid = self.meta["current-snapshot-id"]
+        return None if sid in (-1, None) else sid
+
+    def history(self) -> list[dict]:
+        return list(self.meta["snapshot-log"])
+
+    # -- commits -----------------------------------------------------------
+
+    def _commit(self, version: int | None = None) -> None:
+        mdir = os.path.join(self.location, "metadata")
+        if version is None:
+            hint = os.path.join(mdir, "version-hint.text")
+            with open(hint) as f:
+                version = int(f.read().strip()) + 1
+        self.meta["last-updated-ms"] = int(time.time() * 1000)
+        path = os.path.join(mdir, f"v{version}.metadata.json")
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f, indent=1)
+        os.replace(tmp, path)
+        tmp_hint = os.path.join(mdir, "version-hint.text.tmp")
+        with open(tmp_hint, "w") as f:
+            f.write(str(version))
+        os.replace(tmp_hint, os.path.join(mdir, "version-hint.text"))
+
+    def _partition_avro_fields(self) -> list[dict]:
+        ice_by_id = {f["id"]: f for f in self.meta["schema"]["fields"]}
+        out = []
+        for pf in self.meta["partition-spec"]:
+            src = ice_by_id[pf["source-id"]]
+            out.append(_f(pf["name"], _ICE_PRIM_TO_AVRO[src["type"]],
+                          pf["field-id"], optional=True))
+        return out
+
+    def _write_manifest(self, entries: list[dict], snapshot_id: int) -> dict:
+        name = f"manifest-{uuid.uuid4().hex}.avro"
+        path = os.path.join(self.location, "metadata", name)
+        schema = _manifest_entry_schema(self._partition_avro_fields())
+        ice_schema = json.dumps(self.meta["schema"])
+        spec_fields = json.dumps(self.meta["partition-spec"])
+        length = avro.write_container(
+            path, schema, entries,
+            metadata={"schema": ice_schema.encode(),
+                      "partition-spec": spec_fields.encode(),
+                      "partition-spec-id": b"0",
+                      "format-version": b"1",
+                      "content": b"data"})
+        added = [e for e in entries if e["status"] == STATUS_ADDED]
+        existing = [e for e in entries if e["status"] == STATUS_EXISTING]
+        return {
+            "manifest_path": path, "manifest_length": length,
+            "partition_spec_id": 0, "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(added),
+            "existing_data_files_count": len(existing),
+            "deleted_data_files_count": 0,
+            "added_rows_count":
+                sum(e["data_file"]["record_count"] for e in added),
+            "existing_rows_count":
+                sum(e["data_file"]["record_count"] for e in existing),
+            "deleted_rows_count": 0,
+        }
+
+    def _current_manifest_files(self) -> list[dict]:
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return []
+        snap = next(s for s in self.meta["snapshots"]
+                    if s["snapshot-id"] == sid)
+        _, _, manifests = avro.read_container(snap["manifest-list"])
+        return manifests
+
+    @staticmethod
+    def _new_snapshot_id() -> int:
+        return int.from_bytes(os.urandom(7), "big")  # positive 56-bit
+
+    def _finish_snapshot(self, snapshot_id: int, manifest_files: list[dict],
+                         operation: str,
+                         summary_extra: dict[str, str] | None = None) -> int:
+        list_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        list_path = os.path.join(self.location, "metadata", list_name)
+        avro.write_container(
+            list_path, _MANIFEST_LIST_SCHEMA, manifest_files,
+            metadata={"format-version": b"1"})
+        now_ms = int(time.time() * 1000)
+        parent = self.current_snapshot_id()
+        summary = {"operation": operation}
+        summary.update(summary_extra or {})
+        snap = {"snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+                "summary": summary, "manifest-list": list_path,
+                "schema-id": 0}
+        if parent is not None:
+            snap["parent-snapshot-id"] = parent
+        self.meta["snapshots"].append(snap)
+        self.meta["current-snapshot-id"] = snapshot_id
+        self.meta["snapshot-log"].append(
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
+        self._commit()
+        return snapshot_id
+
+    # -- data writes -------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame, subdir: str) -> \
+            list[DataFileInfo]:
+        """Distributed parquet write into ``data/<subdir>/``; Spark
+        executors write, a Spark job collects footer stats."""
+        spark = df.sparkSession
+        out_dir = os.path.join(self.location, "data", subdir)
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        # the Iceberg spec requires int64-micros timestamps in parquet
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+                       "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        files = sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet"))
+        return _spark_file_stats(spark, files)
+
+    def _entries_for(self, infos: list[DataFileInfo],
+                     partition_values: dict[str, Any]) -> list[dict]:
+        part = {pf["name"]: partition_values.get(pf["name"])
+                for pf in self.meta["partition-spec"]}
+        return [{"status": STATUS_ADDED, "snapshot_id": None,
+                 "data_file": {
+                     "file_path": i.path, "file_format": "PARQUET",
+                     "partition": part, "record_count": i.record_count,
+                     "file_size_in_bytes": i.file_size,
+                     "block_size_in_bytes": BLOCK_SIZE}}
+                for i in infos]
+
+    def _snapshot_with_new_entries(
+            self, entries: list[dict], keep_previous: bool, operation: str,
+            drop_pred=None) -> int:
+        """Core commit: write the new manifest (+ carried-over previous
+        manifests, optionally filtered by ``drop_pred(entry) -> bool``)."""
+        sid = self._new_snapshot_id()
+        for e in entries:
+            e["snapshot_id"] = sid
+        manifest_files: list[dict] = []
+        if entries:
+            manifest_files.append(self._write_manifest(entries, sid))
+        dropped_rows = 0
+        if keep_previous:
+            for mf in self._current_manifest_files():
+                if drop_pred is None:
+                    manifest_files.append(mf)  # reuse by reference
+                    continue
+                _, _, old = avro.read_container(mf["manifest_path"])
+                kept = [e for e in old if not drop_pred(e)]
+                if len(kept) == len(old):
+                    manifest_files.append(mf)  # untouched -> by reference
+                    continue
+                dropped_rows += sum(e["data_file"]["record_count"]
+                                    for e in old if drop_pred(e))
+                if kept:
+                    for e in kept:
+                        e["status"] = STATUS_EXISTING
+                    manifest_files.append(
+                        self._write_manifest(kept, mf["added_snapshot_id"]))
+        added_rows = sum(e["data_file"]["record_count"] for e in entries)
+        return self._finish_snapshot(
+            sid, manifest_files, operation,
+            {"added-records": str(added_rows),
+             "deleted-records": str(dropped_rows)})
+
+    def append(self, df: DataFrame,
+               partition_values: dict[str, Any] | None = None) -> int:
+        """Append ``df`` as a new snapshot. For partitioned tables the
+        caller names the identity partition this write lands in (the
+        vertex-state pattern: one superstep per write)."""
+        pv = dict(partition_values or {})
+        missing = [c for c in self.partition_columns if c not in pv]
+        if missing:
+            raise ValueError(f"append needs partition values for {missing}")
+        sid_dir = uuid.uuid4().hex[:12]
+        sub = "/".join([f"{k}={pv[k]}" for k in self.partition_columns]
+                       + [sid_dir]) if pv else sid_dir
+        infos = self._write_data_files(df, sub)
+        entries = self._entries_for(infos, pv)
+        return self._snapshot_with_new_entries(
+            entries, keep_previous=True, operation="append")
+
+    def overwrite_all(self, df: DataFrame,
+                      partition_values: dict[str, Any] | None = None) -> int:
+        """Replace the whole table content in one snapshot."""
+        pv = dict(partition_values or {})
+        infos = self._write_data_files(df, uuid.uuid4().hex[:12])
+        entries = self._entries_for(infos, pv)
+        return self._snapshot_with_new_entries(
+            entries, keep_previous=False, operation="overwrite")
+
+    def overwrite_partitions(self, df: DataFrame,
+                             partition_values: dict[str, Any]) -> int:
+        """Idempotent partition replace (the superstep commit mark):
+        drops every live entry whose identity-partition tuple equals
+        ``partition_values``, then adds ``df``'s files there."""
+        pv = dict(partition_values)
+        missing = [c for c in self.partition_columns if c not in pv]
+        if missing:
+            raise ValueError(f"overwrite needs partition values: {missing}")
+        sub = "/".join(f"{k}={pv[k]}" for k in self.partition_columns) \
+            + "/" + uuid.uuid4().hex[:12]
+        infos = self._write_data_files(df, sub)
+        entries = self._entries_for(infos, pv)
+        target = {k: pv[k] for k in self.partition_columns}
+
+        def drop(entry: dict) -> bool:
+            return entry["data_file"]["partition"] == target
+
+        return self._snapshot_with_new_entries(
+            entries, keep_previous=True, operation="overwrite",
+            drop_pred=drop)
+
+    # -- scans -------------------------------------------------------------
+
+    def _snapshot(self, snapshot_id: int | None = None,
+                  as_of_ms: int | None = None) -> dict | None:
+        snaps = self.meta["snapshots"]
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot-id"] == snapshot_id:
+                    return s
+            raise KeyError(f"no snapshot {snapshot_id} in {self.location}")
+        if as_of_ms is not None:
+            eligible = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+            if not eligible:
+                return None
+            return max(eligible, key=lambda s: s["timestamp-ms"])
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return None
+        return next(s for s in snaps if s["snapshot-id"] == sid)
+
+    def _live_entries(self, snap: dict | None,
+                      partition_filter: dict[str, Any] | None = None) -> \
+            list[dict]:
+        # Driver-side loop over manifests: metadata-only (KB-MB scale even
+        # for 10^12-row tables); real Iceberg distributes this read above
+        # ~10^6 files — at that point move this loop into a Spark job over
+        # manifest paths, same avro_lite reader executor-side.
+        if snap is None:
+            return []
+        _, _, manifests = avro.read_container(snap["manifest-list"])
+        out = []
+        for mf in manifests:
+            _, _, entries = avro.read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                if partition_filter is not None:
+                    part = e["data_file"]["partition"]
+                    if any(part.get(k) != v
+                           for k, v in partition_filter.items()):
+                        continue  # partition pruning from metadata alone
+                out.append(e)
+        return out
+
+    def scan(self, spark: SparkSession, snapshot_id: int | None = None,
+             as_of_ms: int | None = None,
+             partition_filter: dict[str, Any] | None = None) -> DataFrame:
+        """DataFrame over the table state at a snapshot (default: current).
+
+        ``partition_filter`` prunes files from manifest metadata before
+        Spark sees them — identity-partition pruning without opening a
+        single data file, exactly what Iceberg buys at 100 TB."""
+        snap = self._snapshot(snapshot_id, as_of_ms)
+        entries = self._live_entries(snap, partition_filter)
+        files = [e["data_file"]["file_path"] for e in entries]
+        if not files:
+            return spark.createDataFrame([], self.spark_schema)
+        return spark.read.schema(self.spark_schema).parquet(*files)
+
+    def scan_added(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Incremental read: exactly the rows ADDED by ``snapshot_id``
+        (the changelog primitive — per-superstep lineage reads)."""
+        snap = self._snapshot(snapshot_id)
+        files = [e["data_file"]["file_path"]
+                 for e in self._live_entries(snap)
+                 if e["status"] == STATUS_ADDED
+                 and e["snapshot_id"] == snapshot_id]
+        if not files:
+            return spark.createDataFrame([], self.spark_schema)
+        return spark.read.schema(self.spark_schema).parquet(*files)
+
+    def files(self, snapshot_id: int | None = None) -> list[dict]:
+        """The ``files`` metadata table: one row per live data file."""
+        snap = self._snapshot(snapshot_id)
+        return [{"file_path": e["data_file"]["file_path"],
+                 "partition": e["data_file"]["partition"],
+                 "record_count": e["data_file"]["record_count"],
+                 "file_size_in_bytes": e["data_file"]["file_size_in_bytes"],
+                 "status": e["status"], "snapshot_id": e["snapshot_id"]}
+                for e in self._live_entries(snap)]

@@ -1,0 +1,259 @@
+"""iceberg_lite: pure-Python Iceberg v1 tables execute for real here.
+
+Complements tests/test_iceberg.py (which still self-skips awaiting a
+runtime jar for the catalog-session path): these tests exercise the
+spec-level implementation — avro container codec, metadata json /
+manifest-list / manifest layout, snapshots, time travel, identity
+partition overwrite — with no jar at all.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from linkgraph import avro_lite as avro
+from linkgraph.iceberg_lite import (
+    IcebergLiteTable, STATUS_ADDED, STATUS_EXISTING, schema_to_iceberg,
+    schema_to_spark,
+)
+
+
+# ---------------------------------------------------------------------------
+# avro codec
+
+
+def test_avro_zigzag_longs_roundtrip():
+    for v in (0, -1, 1, 63, 64, -64, -65, 2**31, -2**31, 2**63 - 1, -2**63):
+        buf = io.BytesIO()
+        avro.write_long(buf, v)
+        buf.seek(0)
+        assert avro.read_long(buf) == v
+
+
+def test_avro_container_roundtrip_all_types(tmp_path):
+    schema = {"type": "record", "name": "e", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "d", "type": "double"},
+        {"name": "bl", "type": "boolean"},
+        {"name": "by", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": {
+            "type": "record", "name": "sub", "fields": [
+                {"name": "x", "type": "int"}]}}},
+        {"name": "m", "type": {"type": "map", "values": "double"}},
+    ]}
+    recs = [
+        {"s": "héllo☃", "n": -(2**62), "i": -7, "d": 2.5, "bl": True,
+         "by": b"\x00\xff", "opt": None, "arr": [{"x": 1}, {"x": -5}],
+         "m": {"a": 1.5, "b": -0.25}},
+        {"s": "", "n": 0, "i": 0, "d": 0.0, "bl": False, "by": b"",
+         "opt": 42, "arr": [], "m": {}},
+    ]
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"t-{codec}.avro")
+        length = avro.write_container(path, schema, recs, codec=codec,
+                                      metadata={"k": b"v"})
+        assert length == os.path.getsize(path)
+        schema2, meta, out = avro.read_container(path)
+        assert out == recs
+        assert meta["k"] == b"v"
+        assert schema2 == schema
+
+
+def test_avro_container_framing(tmp_path):
+    """File structure is the spec's: magic, metadata map with avro.schema,
+    16-byte sync repeated after the block."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    path = str(tmp_path / "f.avro")
+    avro.write_container(path, schema, [{"x": 1}])
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"Obj\x01"
+    assert b"avro.schema" in raw and b"avro.codec" in raw
+    # sync marker appears twice: after header and after the single block
+    schema2, meta, recs = avro.read_container(path)
+    assert recs == [{"x": 1}]
+
+
+# ---------------------------------------------------------------------------
+# schema conversion
+
+
+def test_schema_conversion_roundtrip():
+    spark_schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ])
+    ice = schema_to_iceberg(spark_schema)
+    assert [f["id"] for f in ice["fields"]] == [1, 2, 3, 4, 5]
+    assert ice["fields"][1]["type"] == "timestamptz"
+    assert ice["fields"][0]["required"] is True
+    back = schema_to_spark(ice)
+    assert back == spark_schema
+
+
+def test_schema_conversion_rejects_nested():
+    nested = T.StructType([T.StructField(
+        "a", T.ArrayType(T.LongType()), True)])
+    with pytest.raises(TypeError):
+        schema_to_iceberg(nested)
+
+
+# ---------------------------------------------------------------------------
+# table lifecycle
+
+
+@pytest.fixture()
+def pages(spark):
+    return spark.range(0, 120).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 9).cast("string"),
+                 F.lit("/p"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html>"), F.col("id").cast("string")),
+                 "utf-8").alias("html"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_create_append_scan(spark, tmp_path, pages):
+    loc = str(tmp_path / "pages_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    s1 = t.append(pages.filter(F.col("lang") == "en"))
+    s2 = t.append(pages.filter(F.col("lang") == "de"))
+    t2 = IcebergLiteTable.load(loc)
+    assert t2.scan(spark).count() == 120
+    # snapshots accumulate; parent chain recorded
+    snaps = t2.snapshots()
+    assert [s["snapshot-id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent-snapshot-id"] == s1
+    # time travel to the first snapshot
+    assert t2.scan(spark, snapshot_id=s1).count() == 40
+    # incremental: exactly what s2 added
+    inc = t2.scan_added(spark, s2)
+    assert inc.count() == 80
+    assert inc.select("lang").distinct().collect()[0][0] == "de"
+    # as-of-timestamp travel
+    ts1 = snaps[0]["timestamp-ms"]
+    assert t2.scan(spark, as_of_ms=ts1).count() == 40
+
+
+def test_metadata_layout_is_spec_shaped(spark, tmp_path, pages):
+    """The on-disk layout is HadoopTables + spec v1: version-hint.text,
+    vN.metadata.json with required keys, avro manifests with field-ids."""
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages)
+    hint = os.path.join(loc, "metadata", "version-hint.text")
+    assert open(hint).read().strip() == "2"  # v1 create + v2 append
+    meta = json.load(open(os.path.join(loc, "metadata", "v2.metadata.json")))
+    for key in ("format-version", "table-uuid", "location", "last-column-id",
+                "schema", "partition-specs", "snapshots",
+                "current-snapshot-id", "snapshot-log"):
+        assert key in meta, key
+    assert meta["format-version"] == 1
+    snap = meta["snapshots"][0]
+    # manifest list: spec field names + ids
+    lschema, _, mfs = avro.read_container(snap["manifest-list"])
+    ids = {f["name"]: f["field-id"] for f in lschema["fields"]}
+    assert ids["manifest_path"] == 500 and ids["manifest_length"] == 501
+    assert ids["partition_spec_id"] == 502
+    assert ids["added_snapshot_id"] == 503
+    assert mfs[0]["manifest_length"] == \
+        os.path.getsize(mfs[0]["manifest_path"])
+    # manifest file: entry schema ids + key-value metadata
+    eschema, emeta, entries = avro.read_container(mfs[0]["manifest_path"])
+    eids = {f["name"]: f["field-id"] for f in eschema["fields"]}
+    assert eids == {"status": 0, "snapshot_id": 1, "data_file": 2}
+    assert emeta["format-version"] == b"1" and emeta["content"] == b"data"
+    df_ids = {f["name"]: f["field-id"]
+              for f in eschema["fields"][2]["type"]["fields"]}
+    assert df_ids["file_path"] == 100 and df_ids["record_count"] == 103
+    assert all(e["status"] == STATUS_ADDED for e in entries)
+    assert sum(e["data_file"]["record_count"] for e in entries) == 120
+    # every referenced data file exists and is parquet
+    for e in entries:
+        assert os.path.exists(e["data_file"]["file_path"])
+        assert e["data_file"]["file_format"] == "PARQUET"
+
+
+def test_timestamps_written_as_int64_micros(spark, tmp_path, pages):
+    """Iceberg requires int64-micros parquet timestamps (INT96 is
+    disallowed by the spec); the write path must force that and restore
+    the session conf afterwards."""
+    import pyarrow.parquet as pq
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    loc = str(tmp_path / "ts_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages)
+    assert spark.conf.get("spark.sql.parquet.outputTimestampType") == prev
+    f = t.files()[0]["file_path"]
+    ts_field = pq.read_schema(f).field("warc_ts")
+    assert str(ts_field.type).startswith("timestamp[us")
+    # and the values survive the round trip
+    got = t.scan(spark).agg(F.min("warc_ts").cast("long")).collect()[0][0]
+    assert got == 1700000000
+
+
+def test_partitioned_overwrite_is_idempotent(spark, tmp_path):
+    """The vertex-state pattern: one identity partition per superstep,
+    re-running a superstep replaces exactly its own partition."""
+    loc = str(tmp_path / "state")
+    state0 = spark.range(0, 50).select(
+        F.col("id").alias("vid"), F.lit(0).alias("superstep"),
+        F.lit(1.0).alias("rank"))
+    t = IcebergLiteTable.create(loc, state0.schema,
+                                partition_by=["superstep"])
+    t.overwrite_partitions(state0, {"superstep": 0})
+    s1 = state0.withColumn("superstep", F.lit(1)) \
+        .withColumn("rank", F.lit(2.0))
+    t.overwrite_partitions(s1, {"superstep": 1})
+    # idempotent re-write of superstep 1 (the crash-recovery path)
+    s1b = s1.withColumn("rank", F.lit(3.0))
+    t.overwrite_partitions(s1b, {"superstep": 1})
+    t = IcebergLiteTable.load(loc)
+    assert t.scan(spark).count() == 100  # not 150: partition replaced
+    ranks = dict(t.scan(spark).groupBy("superstep")
+                 .agg(F.sum("rank").alias("s")).collect())
+    assert ranks == {0: 50.0, 1: 150.0}
+    # metadata-only partition pruning: file list for superstep=0 excludes
+    # every superstep=1 file before Spark ever opens one
+    pruned = t.scan(spark, partition_filter={"superstep": 0})
+    assert pruned.count() == 50
+    files0 = {f["file_path"] for f in t.files()
+              if f["partition"] == {"superstep": 0}}
+    scanned = {f.removeprefix("file://") for f in pruned.inputFiles()}
+    assert scanned <= files0
+    # surviving entries from rewritten manifests are EXISTING, new ADDED
+    statuses = {f["status"] for f in t.files()}
+    assert statuses <= {STATUS_ADDED, STATUS_EXISTING}
+
+
+def test_overwrite_all_and_empty_scan(spark, tmp_path):
+    loc = str(tmp_path / "ow")
+    df = spark.range(0, 10).select(F.col("id"))
+    t = IcebergLiteTable.create(loc, df.schema)
+    assert t.scan(spark).count() == 0  # pre-first-snapshot: empty, typed
+    t.append(df)
+    t.overwrite_all(spark.range(100, 103).select(F.col("id")))
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == [100, 101, 102]
+    assert t.snapshots()[-1]["summary"]["operation"] == "overwrite"
+
+
+def test_create_twice_fails(spark, tmp_path):
+    loc = str(tmp_path / "dup")
+    df = spark.range(3).select(F.col("id"))
+    IcebergLiteTable.create(loc, df.schema)
+    with pytest.raises(FileExistsError):
+        IcebergLiteTable.create(loc, df.schema)
