@@ -130,9 +130,76 @@ class IcebergStateStore:
         return spark.table(self.manifest_table)
 
 
+class IcebergLiteStateStore:
+    """Iceberg-backed state store with NO runtime jar: snapshots, idempotent
+    partition overwrite, and manifest-list resolution come from
+    ``linkgraph.iceberg_lite`` (the public Iceberg v1 table spec
+    implemented directly). Layout under ``root``:
+
+    - ``vertex_state``: one Iceberg table identity-partitioned by
+      (run_id, algo, superstep_p); each superstep write is an
+      ``overwrite_partitions`` commit, so re-running a superstep replaces
+      exactly its own partition and the snapshot IS the commit mark —
+      the same semantics `IcebergStateStore` gets from the catalog path.
+    - ``manifest``: an append-only Iceberg table (one snapshot per
+      superstep's lineage row).
+    """
+
+    _KEYS = ("run_id", "algo", "superstep_p")
+
+    def __init__(self, spark: SparkSession, root: str):
+        from .iceberg_lite import IcebergLiteTable
+
+        self._T = IcebergLiteTable
+        self._spark = spark
+        self.root = root.rstrip("/")
+        os.makedirs(self.root, exist_ok=True)
+
+    def _table(self, name: str, df: DataFrame | None = None,
+               partition_by: tuple[str, ...] = ()):
+        loc = f"{self.root}/{name}"
+        if self._T.exists(loc):
+            return self._T.load(loc)
+        if df is None:
+            raise FileNotFoundError(f"no iceberg table at {loc}")
+        return self._T.create(loc, df.schema, partition_by=partition_by)
+
+    def _keyed(self, df: DataFrame, run_id: str, algo: str,
+               superstep: int) -> DataFrame:
+        return (df.withColumn("run_id", F.lit(run_id))
+                  .withColumn("algo", F.lit(algo))
+                  .withColumn("superstep_p", F.lit(superstep)))
+
+    def write_state(self, state: DataFrame, run_id: str, algo: str,
+                    superstep: int) -> DataFrame:
+        keyed = self._keyed(state, run_id, algo, superstep)
+        tbl = self._table("vertex_state", keyed, partition_by=self._KEYS)
+        tbl.overwrite_partitions(
+            keyed, {"run_id": run_id, "algo": algo, "superstep_p": superstep})
+        return self.read_state(state.sparkSession, run_id, algo, superstep)
+
+    def read_state(self, spark: SparkSession, run_id: str, algo: str,
+                   superstep: int) -> DataFrame:
+        tbl = self._table("vertex_state")
+        return tbl.scan(spark, partition_filter={
+            "run_id": run_id, "algo": algo, "superstep_p": superstep,
+        }).drop(*self._KEYS)
+
+    def append_manifest(self, rows: DataFrame) -> None:
+        tbl = self._table("manifest", rows)
+        tbl.append(rows.coalesce(1))
+
+    def read_manifest(self, spark: SparkSession) -> DataFrame:
+        return self._table("manifest").scan(spark)
+
+
 def for_url(spark: SparkSession, url: str):
-    """'iceberg://catalog.namespace' -> IcebergStateStore; anything else is
+    """'iceberg://catalog.namespace' -> IcebergStateStore (needs a runtime
+    jar + catalog conf); 'iceberg+lite://<dir>' -> IcebergLiteStateStore
+    (pure-Python spec implementation, works everywhere); anything else is
     a filesystem root -> ParquetStateStore."""
+    if url.startswith("iceberg+lite://"):
+        return IcebergLiteStateStore(spark, url[len("iceberg+lite://"):])
     if url.startswith("iceberg://"):
         return IcebergStateStore(spark, url[len("iceberg://"):])
     return ParquetStateStore(url)

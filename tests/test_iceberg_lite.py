@@ -257,3 +257,68 @@ def test_create_twice_fails(spark, tmp_path):
     IcebergLiteTable.create(loc, df.schema)
     with pytest.raises(FileExistsError):
         IcebergLiteTable.create(loc, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# the mandated path: per-superstep vertex-state checkpointing to Iceberg,
+# resumable mid-iteration — executing with zero jars via iceberg_lite
+
+
+def test_pagerank_checkpoints_to_iceberg_and_resumes(spark, tiny, tmp_path):
+    import math
+
+    from conftest import collect_map
+    from linkgraph.checkpoint import CheckpointManager
+    from linkgraph.pagerank import pagerank
+
+    url = f"iceberg+lite://{tmp_path}/wh_full"
+    full_cp = CheckpointManager(spark, url, "run-full")
+    full = pagerank(spark, tiny.edges, tiny.vertices, max_iter=8, tol=0.0,
+                    checkpoint=full_cp)
+
+    # vertex_state is a real Iceberg table: one overwrite snapshot per
+    # superstep, identity-partitioned by (run_id, algo, superstep_p)
+    tbl = IcebergLiteTable.load(str(tmp_path / "wh_full" / "vertex_state"))
+    assert tbl.partition_columns == ["run_id", "algo", "superstep_p"]
+    assert len(tbl.snapshots()) == 8
+    assert all(s["summary"]["operation"] == "overwrite"
+               for s in tbl.snapshots())
+    supersteps = {f["partition"]["superstep_p"] for f in tbl.files()}
+    assert supersteps == set(range(8))
+
+    # kill after superstep 4, resume, bitwise-equivalent final ranks
+    url2 = f"iceberg+lite://{tmp_path}/wh_part"
+    part_cp = CheckpointManager(spark, url2, "run-part")
+    pagerank(spark, tiny.edges, tiny.vertices, max_iter=5, tol=0.0,
+             checkpoint=part_cp)
+    assert part_cp.latest_complete("pagerank") == 4
+    resumed = pagerank(spark, tiny.edges, tiny.vertices, max_iter=3, tol=0.0,
+                       checkpoint=part_cp, resume=True)
+    assert resumed.iterations == 8
+    a = collect_map(full.ranks, "id", "rank")
+    b = collect_map(resumed.ranks, "id", "rank")
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), k
+
+    # lineage manifest also lives in an Iceberg table (append snapshots)
+    m = part_cp.manifest().toPandas()
+    assert set(m["superstep"]) == set(range(8))
+    assert m["completed"].all()
+
+
+def test_iceberg_store_superstep_rewrite_is_idempotent(spark, tmp_path):
+    """Crash recovery: re-writing superstep k replaces its partition —
+    no duplicate state rows, one more snapshot."""
+    from linkgraph.storage import for_url
+
+    st = for_url(spark, f"iceberg+lite://{tmp_path}/wh")
+    df = spark.range(0, 20).select(F.col("id"), F.lit(1.0).alias("rank"))
+    st.write_state(df, "r", "pagerank", 3)
+    got = st.write_state(df.withColumn("rank", F.lit(2.0)), "r",
+                         "pagerank", 3)
+    assert got.count() == 20
+    assert got.agg(F.sum("rank")).collect()[0][0] == 40.0
+    back = st.read_state(spark, "r", "pagerank", 3)
+    assert back.columns == ["id", "rank"]
+    assert back.count() == 20
