@@ -1539,8 +1539,108 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Iceberg-lite queries: the mandated Iceberg scan path, executing with no
+# runtime jar (linkgraph.iceberg_lite implements the public v1 table spec).
+# The tables are built once per sf_dir from documents.parquet with a
+# DETERMINISTIC snapshot split (even doc_ids appended first, then odd), so
+# snapshot-1 scans / incremental reads have exact SQL oracles.
+# ---------------------------------------------------------------------------
+
+def _iceberg_root(sf_dir: str) -> str:
+    import hashlib
+
+    return "/tmp/lg-iceberg/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+
+
+def _iceberg_docs(spark, sf_dir):
+    """Two-snapshot documents table (append even doc_ids, append odd)."""
+    import os
+    import shutil
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    loc = f"{_iceberg_root(sf_dir)}/documents"
+    done = f"{loc}/_build_done"
+    if not (IcebergLiteTable.exists(loc) and os.path.exists(done)):
+        shutil.rmtree(loc, ignore_errors=True)  # crashed partial build
+        docs = _docs(spark, sf_dir)
+        t = IcebergLiteTable.create(loc, docs.schema)
+        t.append(docs.filter(F.col("doc_id") % 2 == 0))
+        t.append(docs.filter(F.col("doc_id") % 2 == 1))
+        open(done, "w").write("ok")
+    return IcebergLiteTable.load(loc)
+
+
+def _iceberg_docs_by_lang(spark, sf_dir):
+    """Identity-partitioned (by lang) documents table."""
+    import os
+    import shutil
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    loc = f"{_iceberg_root(sf_dir)}/documents_by_lang"
+    done = f"{loc}/_build_done"
+    if not (IcebergLiteTable.exists(loc) and os.path.exists(done)):
+        shutil.rmtree(loc, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        t = IcebergLiteTable.create(loc, docs.schema, partition_by=["lang"])
+        langs = [r[0] for r in
+                 docs.select("lang").distinct().orderBy("lang").collect()]
+        for lg in langs:  # one identity partition per crawl language
+            t.append(docs.filter(F.col("lang") == lg), {"lang": lg})
+        open(done, "w").write("ok")
+    return IcebergLiteTable.load(loc)
+
+
+def q_iceberg_scan(spark, sf_dir):
+    """Latest-snapshot scan: manifest-list -> manifests -> data files ->
+    Spark parquet source; per-lang rollup proves full content."""
+    t = _iceberg_docs(spark, sf_dir)
+    return (t.scan(spark).groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+def q_iceberg_time_travel(spark, sf_dir):
+    """Snapshot-1 scan (time travel by snapshot id) == even doc_ids."""
+    t = _iceberg_docs(spark, sf_dir)
+    s1 = t.snapshots()[0]["snapshot-id"]
+    return (t.scan(spark, snapshot_id=s1).groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+def q_iceberg_incremental(spark, sf_dir):
+    """Changelog read: exactly the rows ADDED by snapshot 2 (odd ids)."""
+    t = _iceberg_docs(spark, sf_dir)
+    s2 = t.snapshots()[1]["snapshot-id"]
+    return (t.scan_added(spark, s2).groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("min_doc_id")))
+
+
+def q_iceberg_partition_prune(spark, sf_dir):
+    """Identity-partition pruning from manifest metadata alone: the 'en'
+    scan never opens a non-en data file (asserted), then aggregates."""
+    t = _iceberg_docs_by_lang(spark, sf_dir)
+    pruned = t.scan(spark, partition_filter={"lang": "en"})
+    en_files = {f["file_path"] for f in t.files()
+                if f["partition"] == {"lang": "en"}}
+    opened = {p.removeprefix("file://") for p in pruned.inputFiles()}
+    assert opened <= en_files, "partition pruning must drop non-en files"
+    return pruned.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("long").alias("sum_sq_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "iceberg_scan": q_iceberg_scan,
+        "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_partition_prune": q_iceberg_partition_prune,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank2": q_graph_pagerank2,
         "graph_ppr2": q_graph_ppr2,
@@ -1907,6 +2007,23 @@ cand AS (
     )
 
     return {
+        "iceberg_scan": """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang
+""",
+        "iceberg_time_travel": """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+""",
+        "iceberg_incremental": """
+SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc_id
+FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+""",
+        "iceberg_partition_prune": """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars * n_chars)::BIGINT AS sum_sq_chars
+FROM documents WHERE lang = 'en' GROUP BY source
+""",
         "graph_degrees": f"""
 WITH {_EDGES}
 SELECT v.id, coalesce(o.c, 0)::BIGINT AS out_deg, coalesce(i.c, 0)::BIGINT AS in_deg
