@@ -11,6 +11,13 @@ iceberg-spark-runtime jar itself:
   prohibited, so the jar cannot be fetched or vendored;
 - attempt log + method in BENCH/BASELINE.md / VERDICT round-2 item #5.
 
+Round 3 closes the executed-coverage gap differently: the public Iceberg
+v1 table spec is implemented directly in pure Python
+(linkgraph/iceberg_lite.py — snapshots, avro manifests, partition
+overwrite, time travel), so checkpointing/scan DO execute through real
+Iceberg metadata here with no jar (tests/test_iceberg_lite.py). This
+file keeps covering the jar-backed catalog-session route only.
+
 This test therefore self-skips with that reason unless a jar is provided
 via $LINKGRAPH_ICEBERG_JAR (or is already on the session classpath), in
 which case it runs a REAL end-to-end: catalog session -> vertex-state
