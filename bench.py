@@ -209,6 +209,19 @@ def main() -> None:
     print(f"sim_topk recall@5 vs bruteforce: "
           f"{extras['sim_topk_recall_at_5']}", file=sys.stderr)
 
+    # -- jar-free Iceberg: snapshot commit + metadata-resolved scan --------
+    import shutil
+    import tempfile
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    ice_loc = tempfile.mkdtemp(prefix="lg-bench-ice-") + "/documents"
+    ice = IcebergLiteTable.create(ice_loc, docs.schema)
+    timed("iceberg_commit", lambda: ice.append(docs))
+    timed("iceberg_scan",
+          lambda: ice.scan(spark).groupBy("lang").count().count())
+    shutil.rmtree(os.path.dirname(ice_loc), ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "linkgraph headline queries wall-clock",
