@@ -554,6 +554,105 @@ class IcebergLiteTable:
             return spark.createDataFrame([], self.spark_schema)
         return spark.read.schema(self.spark_schema).parquet(*files)
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, spark: SparkSession,
+                target_file_size: int = 128 * 1024 * 1024) -> int | None:
+        """Bin-pack small data files (the streaming-ingest antidote: many
+        micro-batch commits -> many tiny files -> degraded scans).
+
+        Per identity-partition group with more than one file, reads
+        exactly that group's files and rewrites them into
+        ``ceil(total_bytes / target_file_size)`` files via a distributed
+        Spark job; untouched groups carry over by reference (status
+        EXISTING). One "replace" snapshot commits the swap — readers on
+        the old snapshot are unaffected until `expire_snapshots`.
+        Returns the new snapshot id, or None if nothing needed packing.
+        """
+        entries = self._live_entries(self._snapshot())
+        groups: dict[tuple, list[dict]] = {}
+        for e in entries:
+            key = tuple(sorted(e["data_file"]["partition"].items()))
+            groups.setdefault(key, []).append(e)
+        to_pack = {k: v for k, v in groups.items() if len(v) > 1}
+        if not to_pack:
+            return None
+        new_entries: list[dict] = []
+        packed_paths: set[str] = set()
+        for key, group in to_pack.items():
+            paths = [e["data_file"]["file_path"] for e in group]
+            packed_paths.update(paths)
+            total = sum(e["data_file"]["file_size_in_bytes"] for e in group)
+            n_out = max(1, -(-total // target_file_size))
+            df = spark.read.schema(self.spark_schema).parquet(*paths) \
+                .repartition(int(n_out))
+            sub = "/".join(f"{k}={v}" for k, v in key) or "compact"
+            infos = self._write_data_files(
+                df, f"{sub}/compact-{uuid.uuid4().hex[:12]}")
+            new_entries.extend(self._entries_for(infos, dict(key)))
+
+        def drop(entry: dict) -> bool:
+            return entry["data_file"]["file_path"] in packed_paths
+
+        return self._snapshot_with_new_entries(
+            new_entries, keep_previous=True, operation="replace",
+            drop_pred=drop)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Retire all but the newest ``keep_last`` snapshots and delete
+        every manifest-list / manifest / data file no longer referenced
+        by a kept snapshot. Time travel to expired snapshots stops
+        working (that is the point: bounded storage growth).
+
+        Deletes run driver-side here (os.remove per file) — fine for
+        metadata, and data deletes are O(expired files); at 10^6+ files
+        per expiration real Iceberg fans deletes out to executors, which
+        would be one ``parallelize(paths).foreach(os.remove)`` job.
+        Returns {"snapshots": n_expired, "data_files": n, "manifests": n}.
+        """
+        snaps = self.meta["snapshots"]
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return {"snapshots": 0, "data_files": 0, "manifests": 0}
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        cur = self.current_snapshot_id()
+        if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
+            raise ValueError("cannot expire the current snapshot")
+
+        def _refs(snapshots: list[dict]) -> tuple[set[str], set[str]]:
+            lists_, manifests, data = set(), set(), set()
+            for s in snapshots:
+                lists_.add(s["manifest-list"])
+                _, _, mfs = avro.read_container(s["manifest-list"])
+                for mf in mfs:
+                    manifests.add(mf["manifest_path"])
+                    _, _, es = avro.read_container(mf["manifest_path"])
+                    data.update(e["data_file"]["file_path"] for e in es)
+            return lists_ | manifests, data
+
+        keep_meta, keep_data = _refs(kept)
+        drop_meta, drop_data = _refs(expired)
+        dead_meta = drop_meta - keep_meta
+        dead_data = drop_data - keep_data
+        keep_ids = {s["snapshot-id"] for s in kept}
+        self.meta["snapshots"] = kept
+        self.meta["snapshot-log"] = [
+            e for e in self.meta["snapshot-log"]
+            if e["snapshot-id"] in keep_ids]
+        # kept snapshots may have expired parents; drop the dangling link
+        for s in self.meta["snapshots"]:
+            if s.get("parent-snapshot-id") not in keep_ids:
+                s.pop("parent-snapshot-id", None)
+        self._commit()
+        for path in sorted(dead_meta | dead_data):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        return {"snapshots": len(expired), "data_files": len(dead_data),
+                "manifests": len(dead_meta)}
+
     def files(self, snapshot_id: int | None = None) -> list[dict]:
         """The ``files`` metadata table: one row per live data file."""
         snap = self._snapshot(snapshot_id)

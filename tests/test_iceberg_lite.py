@@ -322,3 +322,88 @@ def test_iceberg_store_superstep_rewrite_is_idempotent(spark, tmp_path):
     back = st.read_state(spark, "r", "pagerank", 3)
     assert back.columns == ["id", "rank"]
     assert back.count() == 20
+
+
+# ---------------------------------------------------------------------------
+# maintenance: compaction + snapshot expiration (streaming-ingest hygiene)
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    loc = str(tmp_path / "cmp")
+    df = spark.range(0, 400).select(F.col("id"), (F.col("id") % 5)
+                                    .alias("grp"))
+    t = IcebergLiteTable.create(loc, df.schema)
+    for lo in range(0, 400, 100):  # 4 micro-batch appends, 4+ files each
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100))
+                 .repartition(4))
+    assert len(t.files()) >= 16
+    before = t.scan(spark).agg(F.sum("id")).collect()[0][0]
+    sid = t.compact(spark)
+    assert sid is not None
+    t = IcebergLiteTable.load(loc)
+    assert len(t.files()) < 16  # bin-packed
+    assert t.scan(spark).count() == 400
+    assert t.scan(spark).agg(F.sum("id")).collect()[0][0] == before
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+    # second compact is a no-op
+    assert t.compact(spark) is None
+
+
+def test_compact_respects_partitions(spark, tmp_path):
+    loc = str(tmp_path / "cmp_p")
+    df = spark.range(0, 60).select(F.col("id"), F.lit(0).alias("step"))
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["step"])
+    for s in (0, 1):
+        for _ in range(2):
+            t.append(df.withColumn("step", F.lit(s)).repartition(3),
+                     {"step": s})
+    t.compact(spark)
+    t = IcebergLiteTable.load(loc)
+    parts = {f["partition"]["step"] for f in t.files()}
+    assert parts == {0, 1}
+    # pruned reads still only touch their own partition's files
+    got = t.scan(spark, partition_filter={"step": 1}).count()
+    assert got == 120
+
+
+def test_expire_snapshots_bounds_storage(spark, tmp_path):
+    import glob
+
+    loc = str(tmp_path / "exp")
+    df = spark.range(0, 30).select(F.col("id"))
+    t = IcebergLiteTable.create(loc, df.schema)
+    sids = [t.append(df) for _ in range(4)]
+    n_data_before = len(glob.glob(f"{loc}/data/**/*.parquet",
+                                  recursive=True))
+    t.overwrite_all(df.limit(5))  # strands the 4 append snapshots' files
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 4
+    assert stats["data_files"] > 0
+    t = IcebergLiteTable.load(loc)
+    assert len(t.snapshots()) == 1
+    assert t.scan(spark).count() == 5
+    # expired snapshots are gone from time travel
+    with pytest.raises(KeyError):
+        t.scan(spark, snapshot_id=sids[0])
+    # stranded data files physically deleted
+    n_data_after = len(glob.glob(f"{loc}/data/**/*.parquet",
+                                 recursive=True))
+    assert n_data_after < n_data_before
+    # live data untouched, table still readable after reload
+    assert IcebergLiteTable.load(loc).scan(spark).count() == 5
+
+
+def test_expire_keeps_shared_files(spark, tmp_path):
+    """An append chain shares files across snapshots: expiring old
+    snapshots must NOT delete files still referenced by kept ones."""
+    loc = str(tmp_path / "exp_sh")
+    df = spark.range(0, 10).select(F.col("id"))
+    t = IcebergLiteTable.create(loc, df.schema)
+    t.append(df)
+    t.append(df.select((F.col("id") + 10).alias("id")))
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 1
+    assert stats["data_files"] == 0  # snapshot 2 references snapshot 1's files
+    assert t.scan(spark).count() == 20
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
