@@ -1635,9 +1635,39 @@ def q_iceberg_partition_prune(spark, sf_dir):
         .cast("long").alias("sum_sq_chars"))
 
 
+def q_iceberg_stream_ingest(spark, sf_dir):
+    """Structured Streaming -> Iceberg sink: each micro-batch commits one
+    append snapshot (exactly-once via batch-id summaries); the table scan
+    must equal the batch extraction row-for-row, so it shares the
+    stream_links oracle shape."""
+    import tempfile
+
+    from linkgraph.streaming import (
+        run_into_iceberg,
+        stream_extract_links,
+        stream_pages,
+    )
+
+    pages = _synth_pages(_docs(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="lg-stream-ice-q-")
+    src, tbl, ckpt = f"{tmp}/pages", f"{tmp}/links_tbl", f"{tmp}/ckpt"
+    pages.select("url", "html").write.mode("overwrite").parquet(src)
+    links = stream_extract_links(
+        stream_pages(spark, src, schema="url string, html binary")
+    )
+    t = run_into_iceberg(links, tbl, ckpt)
+    return t.scan(spark).select(
+        F.regexp_extract("src_url", r"d(\d+)$", 1).cast("long")
+        .alias("src_doc"),
+        F.col("pos").cast("int").alias("pos"),
+        "dst_url",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "iceberg_scan": q_iceberg_scan,
+        "iceberg_stream_ingest": q_iceberg_stream_ingest,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_partition_prune": q_iceberg_partition_prune,
@@ -2010,6 +2040,17 @@ cand AS (
         "iceberg_scan": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY lang
+""",
+        "iceberg_stream_ingest": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT doc_id AS src_doc,
+         unnest(range(0, doc_id % 3 + 1)) AS j
+  FROM documents
+)
+SELECT src_doc, j::INT AS pos,
+       'https://docs.example/d' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url
+FROM l
 """,
         "iceberg_time_travel": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars

@@ -402,7 +402,8 @@ class IcebergLiteTable:
 
     def _snapshot_with_new_entries(
             self, entries: list[dict], keep_previous: bool, operation: str,
-            drop_pred=None) -> int:
+            drop_pred=None, extra_summary: dict[str, str] | None = None) \
+            -> int:
         """Core commit: write the new manifest (+ carried-over previous
         manifests, optionally filtered by ``drop_pred(entry) -> bool``)."""
         sid = self._new_snapshot_id()
@@ -430,13 +431,14 @@ class IcebergLiteTable:
                     manifest_files.append(
                         self._write_manifest(kept, mf["added_snapshot_id"]))
         added_rows = sum(e["data_file"]["record_count"] for e in entries)
-        return self._finish_snapshot(
-            sid, manifest_files, operation,
-            {"added-records": str(added_rows),
-             "deleted-records": str(dropped_rows)})
+        summary = {"added-records": str(added_rows),
+                   "deleted-records": str(dropped_rows)}
+        summary.update(extra_summary or {})
+        return self._finish_snapshot(sid, manifest_files, operation, summary)
 
     def append(self, df: DataFrame,
-               partition_values: dict[str, Any] | None = None) -> int:
+               partition_values: dict[str, Any] | None = None,
+               summary: dict[str, str] | None = None) -> int:
         """Append ``df`` as a new snapshot. For partitioned tables the
         caller names the identity partition this write lands in (the
         vertex-state pattern: one superstep per write)."""
@@ -450,7 +452,8 @@ class IcebergLiteTable:
         infos = self._write_data_files(df, sub)
         entries = self._entries_for(infos, pv)
         return self._snapshot_with_new_entries(
-            entries, keep_previous=True, operation="append")
+            entries, keep_previous=True, operation="append",
+            extra_summary=summary)
 
     def overwrite_all(self, df: DataFrame,
                       partition_values: dict[str, Any] | None = None) -> int:

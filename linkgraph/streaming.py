@@ -90,6 +90,58 @@ def stream_first_seen(links: DataFrame, key_col: str = "dst_url") -> DataFrame:
     )
 
 
+def run_into_iceberg(
+    stream_df: DataFrame,
+    table_location: str,
+    checkpoint_path: str,
+    timeout_sec: int = 300,
+) -> "IcebergLiteTable":
+    """Stream sink into a jar-free Iceberg table: each micro-batch commits
+    one append SNAPSHOT (``foreachBatch`` -> ``IcebergLiteTable.append``),
+    so downstream consumers get the changelog for free —
+    ``scan_added(snapshot_id)`` is exactly one micro-batch, and a periodic
+    ``compact()`` heals the small-files sprawl the commit cadence creates.
+
+    Exactly-once story: Structured Streaming's checkpoint makes batch
+    replays carry the same ``batchId``; we stamp it into the snapshot
+    summary and skip batches already committed (the Iceberg snapshot is
+    the sink-side transaction log, same recipe the real Iceberg sink
+    uses). Drains with Trigger.AvailableNow, like run_available_now.
+    """
+    from .iceberg_lite import IcebergLiteTable
+
+    state: dict[str, IcebergLiteTable] = {}
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = state.get("t")
+        if tbl is None:
+            if IcebergLiteTable.exists(table_location):
+                tbl = IcebergLiteTable.load(table_location)
+            else:
+                tbl = IcebergLiteTable.create(table_location, batch_df.schema)
+            state["t"] = tbl
+        done = {
+            s["summary"].get("streaming-batch-id")
+            for s in tbl.snapshots()
+        }
+        if str(batch_id) in done:
+            return  # replayed batch: already a committed snapshot
+        tbl.append(batch_df, summary={"streaming-batch-id": str(batch_id)})
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+    return IcebergLiteTable.load(table_location)
+
+
 def run_available_now(
     stream_df: DataFrame, out_path: str, checkpoint_path: str, timeout_sec: int = 300
 ) -> None:

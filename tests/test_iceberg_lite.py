@@ -407,3 +407,59 @@ def test_expire_keeps_shared_files(spark, tmp_path):
     assert t.scan(spark).count() == 20
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+# ---------------------------------------------------------------------------
+# streaming ingestion: one Iceberg snapshot per micro-batch
+
+
+def test_stream_into_iceberg_snapshots_per_batch(spark, tmp_path):
+    from linkgraph.streaming import (
+        run_into_iceberg, stream_extract_links, stream_pages,
+    )
+
+    html = F.encode(F.concat(
+        F.lit('<html><body><a href="https://h'),
+        (F.col("id") % 9).cast("string"),
+        F.lit('/p'), ((F.col("id") + 1) % 120).cast("string"),
+        F.lit('">x</a></body></html>')), "utf-8")
+    linked = spark.range(0, 120).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 9).cast("string"),
+                 F.lit("/p"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id"))
+        .alias("warc_ts"),
+        html.alias("html"), F.col("id"))
+    src = str(tmp_path / "src")
+    linked.select("url", "warc_ts", "html").write.parquet(src)
+    links = stream_extract_links(
+        stream_pages(spark, src)).drop("warc_ts")
+    tbl_loc = str(tmp_path / "links_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    t = run_into_iceberg(links, tbl_loc, ckpt)
+    # content == batch extraction, row for row
+    from linkgraph.extract import extract_links_udf
+
+    batch = spark.read.parquet(src).select(
+        F.col("url").alias("src_url"),
+        F.posexplode(extract_links_udf(F.col("html"), F.col("url")))
+        .alias("pos", "dst_url"))
+    got = t.scan(spark)
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    # snapshots carry the streaming batch id in their summary
+    assert all("streaming-batch-id" in s["summary"] for s in t.snapshots())
+    # draining again with the same checkpoint adds NO new snapshot
+    n = len(t.snapshots())
+    t2 = run_into_iceberg(links, tbl_loc, ckpt)
+    assert len(t2.snapshots()) == n
+    # new source data -> exactly one more snapshot, changelog-readable
+    extra = linked.limit(3).select(
+        F.concat(F.lit("https://xh/q"), F.col("id").cast("string"))
+        .alias("url"), "warc_ts", "html")
+    extra.write.mode("append").parquet(src)
+    t3 = run_into_iceberg(links, tbl_loc, ckpt)
+    assert len(t3.snapshots()) == n + 1
+    inc = t3.scan_added(spark, t3.snapshots()[-1]["snapshot-id"])
+    assert inc.count() > 0
+    assert all(r["src_url"].startswith("https://xh/")
+               for r in inc.select("src_url").collect())
