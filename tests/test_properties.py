@@ -172,3 +172,56 @@ def test_lm_scores_are_nonnegative(spark, docs):
         assert r["avg_neg_logp"] >= 0.0
     for r in lm_score2(df).collect():
         assert r["avg_neg_logp2"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# avro_lite codec: encode(decode(x)) == x for arbitrary records
+
+
+_AVRO_VALUE = {
+    "long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "string": st.text(max_size=40),
+    "bytes": st.binary(max_size=40),
+    "boolean": st.booleans(),
+    "double": st.floats(allow_nan=False, width=64),
+}
+
+
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries({
+            "s": _AVRO_VALUE["string"],
+            "n": _AVRO_VALUE["long"],
+            "i": _AVRO_VALUE["int"],
+            "d": _AVRO_VALUE["double"],
+            "b": _AVRO_VALUE["boolean"],
+            "by": _AVRO_VALUE["bytes"],
+            "opt": st.one_of(st.none(), _AVRO_VALUE["long"]),
+            "arr": st.lists(_AVRO_VALUE["string"], max_size=5),
+            "m": st.dictionaries(
+                st.text(max_size=8), _AVRO_VALUE["long"], max_size=4),
+        }),
+        max_size=8,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_avro_container_roundtrip_property(tmp_path_factory, rows, codec):
+    from linkgraph import avro_lite as avro
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "by", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "string"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ]}
+    path = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    avro.write_container(path, schema, rows, codec=codec)
+    _, _, out = avro.read_container(path)
+    assert out == rows
