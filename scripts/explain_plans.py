@@ -78,6 +78,22 @@ def _asof_plan(spark, sf_dir):
     return asof_join(pur, sig, on="user_id", ts_col="ts", right_cols=["sig_id"])
 
 
+def _iceberg_plan(spark, docs):
+    """Latest-snapshot scan of a jar-free Iceberg table: the file list
+    comes from manifest metadata, but filter pushdown and column pruning
+    must still show up at the underlying parquet scan node."""
+    import tempfile
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    # tmp dir outlives the lazy df (the audit explains within this process)
+    loc = tempfile.mkdtemp(prefix="lg-plan-ice-") + "/documents"
+    t = IcebergLiteTable.create(loc, docs.schema)
+    t.append(docs)
+    return (t.scan(spark).where(F.col("lang") == "en")
+            .select("doc_id", "n_chars"))
+
+
 def main() -> None:
     spark = get_spark("plan-audit", cores=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
@@ -173,6 +189,8 @@ def main() -> None:
         "adaptive quality filter (score projection + broadcast thresholds)":
             __import__("linkgraph.curation", fromlist=["adaptive_quality_filter"])
             .adaptive_quality_filter(docs, key_col="lang"),
+        "iceberg scan (metadata-resolved file list; pushdown + pruning "
+        "still reach the parquet scan)": _iceberg_plan(spark, docs),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
