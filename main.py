@@ -12,7 +12,9 @@ Local smoke (no cluster): add --local-cores 8. On a cluster, the master
 and executor sizing come from spark-submit, never from this script.
 
 Jobs:
-  extract     pages -> links + edges + vertices (written under --out)
+  extract     pages -> links + edges + vertices (written under --out);
+              --pages may be a parquet dir OR an Iceberg table directory
+              (jar-free reader; append @<snapshot_id> to time-travel)
   pagerank    converged ranks (+ per-superstep checkpoints when
               --checkpoint-dir is set; --resume continues a run_id)
   pagerank-blocked  the scale path: one-time CSR block compaction under
@@ -53,9 +55,26 @@ def build_session(args):
     return b.getOrCreate()
 
 
+def load_pages(spark, url: str):
+    """Parquet dir or jar-free Iceberg table (BASELINE.json:6 mandates the
+    Iceberg ingest path); ``path@<snapshot_id>`` time-travels."""
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    path, _, snap = url.partition("@")
+    if IcebergLiteTable.exists(path):
+        t = IcebergLiteTable.load(path)
+        return t.scan(spark, snapshot_id=int(snap) if snap else None)
+    if snap:
+        raise SystemExit(f"--pages {url}: @snapshot requires an Iceberg table")
+    return spark.read.parquet(path)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--pages", required=True, help="pages table path (parquet dir)")
+    p.add_argument("--pages", required=True,
+                   help="pages table: parquet dir, or an Iceberg table "
+                        "directory (auto-detected; optional @<snapshot_id> "
+                        "suffix time-travels)")
     p.add_argument("--out", required=True, help="output root directory")
     p.add_argument("--job", default="all",
                    choices=["extract", "pagerank", "pagerank-blocked",
@@ -107,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         else [args.job]
     )
 
-    pages = spark.read.parquet(args.pages)
+    pages = load_pages(spark, args.pages)
     links = build_links(pages)
     edges, vertices = build_graph(pages, links)
     if "extract" in jobs:
