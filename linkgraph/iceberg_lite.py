@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 import time
 import uuid
 from dataclasses import dataclass
@@ -132,6 +133,23 @@ _ICE_PRIM_TO_AVRO = {"long": "long", "int": "int", "string": "string",
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
 
 
+def _kv_array(name: str, fid: int, key_fid: int, value_fid: int,
+              value_type: str) -> dict:
+    """Iceberg encodes int-keyed stats maps as avro arrays of key/value
+    records (avro maps require string keys — spec: "Avro type: map<...>
+    stored as array of key-value records")."""
+    return {
+        "name": name, "field-id": fid, "default": None,
+        "type": ["null", {"type": "array", "items": {
+            "type": "record", "name": f"k{key_fid}_v{value_fid}",
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_fid},
+                {"name": "value", "type": value_type,
+                 "field-id": value_fid},
+            ]}}],
+    }
+
+
 def _manifest_entry_schema(partition_avro_fields: list[dict]) -> dict:
     data_file = {
         "type": "record", "name": "r2", "fields": [
@@ -143,12 +161,49 @@ def _manifest_entry_schema(partition_avro_fields: list[dict]) -> dict:
             _f("record_count", "long", 103),
             _f("file_size_in_bytes", "long", 104),
             _f("block_size_in_bytes", "long", 105),
+            _kv_array("null_value_counts", 110, 121, 122, "long"),
+            _kv_array("lower_bounds", 125, 126, 127, "bytes"),
+            _kv_array("upper_bounds", 128, 129, 130, "bytes"),
         ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         _f("status", "int", 0),
         _f("snapshot_id", "long", 1),
         {"name": "data_file", "field-id": 2, "type": data_file},
     ]}
+
+
+# single-value binary serialization for bounds (Iceberg spec appendix D:
+# little-endian numerics, UTF-8 strings)
+
+def encode_bound(ice_type: str, v: Any) -> bytes:
+    if ice_type == "int" or ice_type == "date":
+        return struct.pack("<i", int(v))
+    if ice_type in ("long", "timestamptz"):
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    raise TypeError(f"no bound serialization for {ice_type}")
+
+
+def decode_bound(ice_type: str, b: bytes) -> Any:
+    if ice_type == "int" or ice_type == "date":
+        return struct.unpack("<i", b)[0]
+    if ice_type in ("long", "timestamptz"):
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8")
+    raise TypeError(f"no bound serialization for {ice_type}")
+
+
+_STATS_TYPES = ("int", "long", "float", "double", "string")
 
 
 # ---------------------------------------------------------------------------
@@ -159,25 +214,60 @@ class DataFileInfo:
     path: str
     record_count: int
     file_size: int
+    null_counts: dict[int, int]
+    lower_bounds: dict[int, bytes]
+    upper_bounds: dict[int, bytes]
 
 
-def _spark_file_stats(spark: SparkSession, files: list[str]) -> \
+def _spark_file_stats(spark: SparkSession, files: list[str],
+                      stat_fields: dict[str, tuple[int, str]]) -> \
         list[DataFileInfo]:
-    """Footer-only stats for each parquet file, gathered by a Spark job
-    (executor-side pyarrow) — the driver never opens a data file, so a
-    snapshot with 10^5 new files costs one short distributed job."""
+    """Footer-only stats for each parquet file — row count, size, and
+    per-column null counts + min/max bounds aggregated across row groups
+    — gathered by a Spark job (executor-side pyarrow): the driver never
+    opens a data file, so a snapshot with 10^5 new files costs one short
+    distributed job. ``stat_fields`` maps column name -> (iceberg field
+    id, iceberg type) for the bound-eligible primitive columns."""
     if not files:
         return []
 
-    def _stat(path: str) -> tuple[str, int, int]:
+    def _stat(path: str):
         import pyarrow.parquet as pq  # executor-side import
         md = pq.read_metadata(path)
-        return path, md.num_rows, os.path.getsize(path)
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in stat_fields:
+                    continue
+                st = col.statistics
+                if st is None:
+                    continue
+                if st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                if st.has_min_max:
+                    mn, mx = st.min, st.max
+                    if name not in mins or mn < mins[name]:
+                        mins[name] = mn
+                    if name not in maxs or mx > maxs[name]:
+                        maxs[name] = mx
+        lower, upper, nullc = {}, {}, {}
+        for name, (fid, ice_t) in stat_fields.items():
+            if name in mins:
+                lower[fid] = encode_bound(ice_t, mins[name])
+                upper[fid] = encode_bound(ice_t, maxs[name])
+            if name in nulls:
+                nullc[fid] = nulls[name]
+        return path, md.num_rows, os.path.getsize(path), nullc, lower, upper
 
     n = len(files)
     rows = spark.sparkContext.parallelize(files, min(n, 64)).map(_stat) \
         .collect()
-    return [DataFileInfo(p, rc, fs) for p, rc, fs in rows]
+    return [DataFileInfo(*r) for r in rows]
 
 
 class IcebergLiteTable:
@@ -386,7 +476,17 @@ class IcebergLiteTable:
         files = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
-        return _spark_file_stats(spark, files)
+        return _spark_file_stats(spark, files, self._stat_fields())
+
+    def _stat_fields(self) -> dict[str, tuple[int, str]]:
+        return {f["name"]: (f["id"], f["type"])
+                for f in self.meta["schema"]["fields"]
+                if f["type"] in _STATS_TYPES}
+
+    @staticmethod
+    def _kv(d: dict[int, Any]) -> list[dict] | None:
+        return ([{"key": k, "value": v} for k, v in sorted(d.items())]
+                if d else None)
 
     def _entries_for(self, infos: list[DataFileInfo],
                      partition_values: dict[str, Any]) -> list[dict]:
@@ -397,7 +497,10 @@ class IcebergLiteTable:
                      "file_path": i.path, "file_format": "PARQUET",
                      "partition": part, "record_count": i.record_count,
                      "file_size_in_bytes": i.file_size,
-                     "block_size_in_bytes": BLOCK_SIZE}}
+                     "block_size_in_bytes": BLOCK_SIZE,
+                     "null_value_counts": self._kv(i.null_counts),
+                     "lower_bounds": self._kv(i.lower_bounds),
+                     "upper_bounds": self._kv(i.upper_bounds)}}
                 for i in infos]
 
     def _snapshot_with_new_entries(
@@ -506,8 +609,32 @@ class IcebergLiteTable:
             return None
         return next(s for s in snaps if s["snapshot-id"] == sid)
 
+    def _entry_may_match(self, entry: dict,
+                         bounds_filter: dict[str, tuple]) -> bool:
+        """False only when the file's recorded [lower, upper] range for a
+        column provably misses the queried [lo, hi] interval — files with
+        no recorded bounds are always kept (pruning must be sound)."""
+        fields = self._stat_fields()
+        df_ = entry["data_file"]
+        lower = {e["key"]: e["value"]
+                 for e in (df_.get("lower_bounds") or [])}
+        upper = {e["key"]: e["value"]
+                 for e in (df_.get("upper_bounds") or [])}
+        for col, (lo, hi) in bounds_filter.items():
+            if col not in fields:
+                raise KeyError(f"no stats-eligible column {col!r}")
+            fid, ice_t = fields[col]
+            if fid in upper and lo is not None and \
+                    decode_bound(ice_t, upper[fid]) < lo:
+                return False
+            if fid in lower and hi is not None and \
+                    decode_bound(ice_t, lower[fid]) > hi:
+                return False
+        return True
+
     def _live_entries(self, snap: dict | None,
-                      partition_filter: dict[str, Any] | None = None) -> \
+                      partition_filter: dict[str, Any] | None = None,
+                      bounds_filter: dict[str, tuple] | None = None) -> \
             list[dict]:
         # Driver-side loop over manifests: metadata-only (KB-MB scale even
         # for 10^12-row tables); real Iceberg distributes this read above
@@ -527,19 +654,27 @@ class IcebergLiteTable:
                     if any(part.get(k) != v
                            for k, v in partition_filter.items()):
                         continue  # partition pruning from metadata alone
+                if bounds_filter is not None and \
+                        not self._entry_may_match(e, bounds_filter):
+                    continue  # min/max file skipping from manifest stats
                 out.append(e)
         return out
 
     def scan(self, spark: SparkSession, snapshot_id: int | None = None,
              as_of_ms: int | None = None,
-             partition_filter: dict[str, Any] | None = None) -> DataFrame:
+             partition_filter: dict[str, Any] | None = None,
+             bounds_filter: dict[str, tuple] | None = None) -> DataFrame:
         """DataFrame over the table state at a snapshot (default: current).
 
         ``partition_filter`` prunes files from manifest metadata before
         Spark sees them — identity-partition pruning without opening a
-        single data file, exactly what Iceberg buys at 100 TB."""
+        single data file, exactly what Iceberg buys at 100 TB.
+        ``bounds_filter`` ({col: (lo, hi)}, either end None for open)
+        additionally skips files whose manifest-recorded min/max bounds
+        prove the interval empty; it is advisory (the caller still
+        applies the row-level filter — pruning is sound, not exact)."""
         snap = self._snapshot(snapshot_id, as_of_ms)
-        entries = self._live_entries(snap, partition_filter)
+        entries = self._live_entries(snap, partition_filter, bounds_filter)
         files = [e["data_file"]["file_path"] for e in entries]
         if not files:
             return spark.createDataFrame([], self.spark_schema)
@@ -657,11 +792,30 @@ class IcebergLiteTable:
                 "manifests": len(dead_meta)}
 
     def files(self, snapshot_id: int | None = None) -> list[dict]:
-        """The ``files`` metadata table: one row per live data file."""
+        """The ``files`` metadata table: one row per live data file, with
+        column stats decoded back to values (keyed by column name)."""
+        by_id = {fid: (name, ice_t) for name, (fid, ice_t)
+                 in self._stat_fields().items()}
+
+        def _dec(kv: list[dict] | None, decode: bool) -> dict:
+            out = {}
+            for e in kv or []:
+                if e["key"] in by_id:
+                    name, ice_t = by_id[e["key"]]
+                    out[name] = decode_bound(ice_t, e["value"]) \
+                        if decode else e["value"]
+            return out
+
         snap = self._snapshot(snapshot_id)
         return [{"file_path": e["data_file"]["file_path"],
                  "partition": e["data_file"]["partition"],
                  "record_count": e["data_file"]["record_count"],
                  "file_size_in_bytes": e["data_file"]["file_size_in_bytes"],
-                 "status": e["status"], "snapshot_id": e["snapshot_id"]}
+                 "status": e["status"], "snapshot_id": e["snapshot_id"],
+                 "null_value_counts":
+                     _dec(e["data_file"].get("null_value_counts"), False),
+                 "lower_bounds":
+                     _dec(e["data_file"].get("lower_bounds"), True),
+                 "upper_bounds":
+                     _dec(e["data_file"].get("upper_bounds"), True)}
                 for e in self._live_entries(snap)]

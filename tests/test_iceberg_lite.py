@@ -463,3 +463,60 @@ def test_stream_into_iceberg_snapshots_per_batch(spark, tmp_path):
     assert inc.count() > 0
     assert all(r["src_url"].startswith("https://xh/")
                for r in inc.select("src_url").collect())
+
+
+# ---------------------------------------------------------------------------
+# column stats in manifests + min/max file skipping
+
+
+def test_manifest_column_bounds_recorded(spark, tmp_path):
+    from linkgraph.iceberg_lite import decode_bound, encode_bound
+
+    # single-value serialization round-trips (spec appendix D shapes)
+    for t, v in [("int", -5), ("long", 2**40), ("double", -2.5),
+                 ("float", 1.5), ("string", "héllo")]:
+        assert decode_bound(t, encode_bound(t, v)) == v
+
+    loc = str(tmp_path / "stats")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.when(F.col("id") < 90, F.concat(F.lit("k"), F.col("id")))
+        .alias("name"))  # 10 nulls
+    t = IcebergLiteTable.create(loc, df.schema)
+    t.append(df.coalesce(1))
+    f = t.files()[0]
+    assert f["lower_bounds"]["id"] == 0
+    assert f["upper_bounds"]["id"] == 99
+    assert f["lower_bounds"]["v"] == 0 and f["upper_bounds"]["v"] == 198
+    assert f["null_value_counts"]["name"] == 10
+
+
+def test_bounds_filter_skips_files(spark, tmp_path):
+    loc = str(tmp_path / "skip")
+    df = spark.range(0, 1000).select(F.col("id"),
+                                     (F.col("id") % 7).alias("g"))
+    t = IcebergLiteTable.create(loc, df.schema)
+    # 10 sorted-range commits -> each file covers a narrow id range
+    for lo in range(0, 1000, 100):
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100))
+                 .coalesce(1))
+    n_files = len(t.files())
+    assert n_files == 10
+    pruned = t.scan(spark, bounds_filter={"id": (250, 349)})
+    opened = pruned.inputFiles()
+    assert len(opened) == 2  # only the [200,300) and [300,400) files
+    # sound: the pruned scan plus the row filter equals the full answer
+    got = sorted(r["id"] for r in
+                 pruned.filter(F.col("id").between(250, 349)).collect())
+    assert got == list(range(250, 350))
+    # open-ended intervals
+    assert len(t.scan(spark, bounds_filter={"id": (950, None)})
+               .inputFiles()) == 1
+    assert len(t.scan(spark, bounds_filter={"id": (None, 49)})
+               .inputFiles()) == 1
+    # provably-empty interval -> zero files, empty typed DataFrame
+    empty = t.scan(spark, bounds_filter={"id": (5000, None)})
+    assert empty.count() == 0 and empty.schema == t.spark_schema
+    # unknown column raises
+    with pytest.raises(KeyError):
+        t.scan(spark, bounds_filter={"nope": (1, 2)})
