@@ -1635,6 +1635,45 @@ def q_iceberg_partition_prune(spark, sf_dir):
         .cast("long").alias("sum_sq_chars"))
 
 
+def _iceberg_docs_ranged(spark, sf_dir):
+    """Five sorted doc_id-range commits -> five files with disjoint
+    manifest-recorded min/max bounds (the file-skipping fixture)."""
+    import os
+    import shutil
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    loc = f"{_iceberg_root(sf_dir)}/documents_ranged"
+    done = f"{loc}/_build_done"
+    if not (IcebergLiteTable.exists(loc) and os.path.exists(done)):
+        shutil.rmtree(loc, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        t = IcebergLiteTable.create(loc, docs.schema)
+        for i in range(5):
+            lo, hi = i * n // 5, (i + 1) * n // 5
+            t.append(docs.filter((F.col("doc_id") >= lo)
+                                 & (F.col("doc_id") < hi)).coalesce(1))
+        open(done, "w").write("ok")
+    return IcebergLiteTable.load(loc)
+
+
+def q_iceberg_bounds_scan(spark, sf_dir):
+    """Min/max file skipping: a doc_id range query resolves to the 2 of 5
+    files whose manifest bounds overlap it (asserted), then the exact row
+    filter + rollup run on the pruned scan."""
+    t = _iceberg_docs_ranged(spark, sf_dir)
+    n = sum(f["record_count"] for f in t.files())
+    lo, hi = n // 5, 3 * n // 5  # [lo, hi): spans commits 1 and 2 exactly
+    pruned = t.scan(spark, bounds_filter={"doc_id": (lo, hi - 1)})
+    assert len(pruned.inputFiles()) < len(t.files()), \
+        "bounds filter must skip non-overlapping files"
+    return (pruned.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 def q_iceberg_stream_ingest(spark, sf_dir):
     """Structured Streaming -> Iceberg sink: each micro-batch commits one
     append snapshot (exactly-once via batch-id summaries); the table scan
@@ -1668,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "iceberg_scan": q_iceberg_scan,
         "iceberg_stream_ingest": q_iceberg_stream_ingest,
+        "iceberg_bounds_scan": q_iceberg_bounds_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_partition_prune": q_iceberg_partition_prune,
@@ -2055,6 +2095,14 @@ FROM l
         "iceberg_time_travel": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+""",
+        "iceberg_bounds_scan": """
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE doc_id >= (SELECT c // 5 FROM n)
+  AND doc_id < (SELECT 3 * c // 5 FROM n)
+GROUP BY lang
 """,
         "iceberg_incremental": """
 SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc_id
