@@ -270,6 +270,48 @@ def _spark_file_stats(spark: SparkSession, files: list[str],
     return [DataFileInfo(*r) for r in rows]
 
 
+def _entry_may_match(entry: dict, bounds_filter: dict[str, tuple],
+                     stat_fields: dict[str, tuple[int, str]]) -> bool:
+    """False only when the file's recorded [lower, upper] range for a
+    column provably misses the queried [lo, hi] interval — files with no
+    recorded bounds are always kept (pruning must be sound)."""
+    df_ = entry["data_file"]
+    lower = {e["key"]: e["value"] for e in (df_.get("lower_bounds") or [])}
+    upper = {e["key"]: e["value"] for e in (df_.get("upper_bounds") or [])}
+    for col, (lo, hi) in bounds_filter.items():
+        fid, ice_t = stat_fields[col]
+        if fid in upper and lo is not None and \
+                decode_bound(ice_t, upper[fid]) < lo:
+            return False
+        if fid in lower and hi is not None and \
+                decode_bound(ice_t, lower[fid]) > hi:
+            return False
+    return True
+
+
+def _filter_manifest_entries(
+        manifest_path: str, partition_filter: dict[str, Any] | None,
+        bounds_filter: dict[str, tuple] | None,
+        stat_fields: dict[str, tuple[int, str]]) -> list[dict]:
+    """Read one manifest and keep live entries passing the metadata
+    filters. Module-level + argument-pure so scan planning can run it
+    either in a driver loop or fanned out inside a Spark job."""
+    _, _, entries = avro.read_container(manifest_path)
+    out = []
+    for e in entries:
+        if e["status"] == STATUS_DELETED:
+            continue
+        if partition_filter is not None:
+            part = e["data_file"]["partition"]
+            if any(part.get(k) != v for k, v in partition_filter.items()):
+                continue  # partition pruning from metadata alone
+        if bounds_filter is not None and \
+                not _entry_may_match(e, bounds_filter, stat_fields):
+            continue  # min/max file skipping from manifest stats
+        out.append(e)
+    return out
+
+
 class IcebergLiteTable:
     """One Iceberg v1 table rooted at ``location`` on a shared filesystem.
 
@@ -609,55 +651,43 @@ class IcebergLiteTable:
             return None
         return next(s for s in snaps if s["snapshot-id"] == sid)
 
-    def _entry_may_match(self, entry: dict,
-                         bounds_filter: dict[str, tuple]) -> bool:
-        """False only when the file's recorded [lower, upper] range for a
-        column provably misses the queried [lo, hi] interval — files with
-        no recorded bounds are always kept (pruning must be sound)."""
-        fields = self._stat_fields()
-        df_ = entry["data_file"]
-        lower = {e["key"]: e["value"]
-                 for e in (df_.get("lower_bounds") or [])}
-        upper = {e["key"]: e["value"]
-                 for e in (df_.get("upper_bounds") or [])}
-        for col, (lo, hi) in bounds_filter.items():
-            if col not in fields:
-                raise KeyError(f"no stats-eligible column {col!r}")
-            fid, ice_t = fields[col]
-            if fid in upper and lo is not None and \
-                    decode_bound(ice_t, upper[fid]) < lo:
-                return False
-            if fid in lower and hi is not None and \
-                    decode_bound(ice_t, lower[fid]) > hi:
-                return False
-        return True
+    # planning fans out to a Spark job above this many manifests (a long
+    # append/overwrite history); below it a driver loop is faster than a
+    # job launch
+    DISTRIBUTED_PLAN_THRESHOLD = 64
 
     def _live_entries(self, snap: dict | None,
                       partition_filter: dict[str, Any] | None = None,
-                      bounds_filter: dict[str, tuple] | None = None) -> \
-            list[dict]:
-        # Driver-side loop over manifests: metadata-only (KB-MB scale even
-        # for 10^12-row tables); real Iceberg distributes this read above
-        # ~10^6 files — at that point move this loop into a Spark job over
-        # manifest paths, same avro_lite reader executor-side.
+                      bounds_filter: dict[str, tuple] | None = None,
+                      spark: SparkSession | None = None) -> list[dict]:
+        """All live (non-DELETED) entries at ``snap``, filtered by
+        partition equality and min/max bounds from metadata alone.
+
+        Small manifest lists are planned with a driver loop; past
+        DISTRIBUTED_PLAN_THRESHOLD manifests (and given a session) the
+        per-manifest read+filter fans out as a Spark job — the same move
+        real Iceberg makes for 10^6-file tables, so planning cost scales
+        with executors, not with the driver."""
         if snap is None:
             return []
+        if bounds_filter is not None:
+            fields = self._stat_fields()
+            for col in bounds_filter:
+                if col not in fields:
+                    raise KeyError(f"no stats-eligible column {col!r}")
         _, _, manifests = avro.read_container(snap["manifest-list"])
-        out = []
-        for mf in manifests:
-            _, _, entries = avro.read_container(mf["manifest_path"])
-            for e in entries:
-                if e["status"] == STATUS_DELETED:
-                    continue
-                if partition_filter is not None:
-                    part = e["data_file"]["partition"]
-                    if any(part.get(k) != v
-                           for k, v in partition_filter.items()):
-                        continue  # partition pruning from metadata alone
-                if bounds_filter is not None and \
-                        not self._entry_may_match(e, bounds_filter):
-                    continue  # min/max file skipping from manifest stats
-                out.append(e)
+        stat_fields = self._stat_fields()
+        paths = [mf["manifest_path"] for mf in manifests]
+        if spark is not None and len(paths) > self.DISTRIBUTED_PLAN_THRESHOLD:
+            plan = (partition_filter, bounds_filter, stat_fields)
+            return (spark.sparkContext
+                    .parallelize(paths, min(len(paths), 64))
+                    .flatMap(lambda p: _filter_manifest_entries(p, *plan))
+                    .collect())
+        out: list[dict] = []
+        for p in paths:
+            out.extend(_filter_manifest_entries(
+                p, partition_filter, bounds_filter, stat_fields))
         return out
 
     def scan(self, spark: SparkSession, snapshot_id: int | None = None,
@@ -674,7 +704,8 @@ class IcebergLiteTable:
         prove the interval empty; it is advisory (the caller still
         applies the row-level filter — pruning is sound, not exact)."""
         snap = self._snapshot(snapshot_id, as_of_ms)
-        entries = self._live_entries(snap, partition_filter, bounds_filter)
+        entries = self._live_entries(snap, partition_filter, bounds_filter,
+                                     spark=spark)
         files = [e["data_file"]["file_path"] for e in entries]
         if not files:
             return spark.createDataFrame([], self.spark_schema)

@@ -520,3 +520,25 @@ def test_bounds_filter_skips_files(spark, tmp_path):
     # unknown column raises
     with pytest.raises(KeyError):
         t.scan(spark, bounds_filter={"nope": (1, 2)})
+
+
+def test_distributed_planning_matches_driver_loop(spark, tmp_path):
+    """Past the manifest threshold, scan planning fans out as a Spark job
+    — identical file set and results to the driver loop."""
+    loc = str(tmp_path / "dist_plan")
+    df = spark.range(0, 60).select(F.col("id"))
+    t = IcebergLiteTable.create(loc, df.schema)
+    for lo in range(0, 60, 10):  # 6 manifests
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 10))
+                 .coalesce(1))
+    try:
+        t.DISTRIBUTED_PLAN_THRESHOLD = 2  # force the distributed path
+        dist = t.scan(spark, bounds_filter={"id": (15, 34)})
+        dist_files = sorted(dist.inputFiles())
+        dist_rows = sorted(r["id"] for r in dist.collect())
+    finally:
+        del t.DISTRIBUTED_PLAN_THRESHOLD  # back to the class default
+    drv = t.scan(spark, bounds_filter={"id": (15, 34)})
+    assert sorted(drv.inputFiles()) == dist_files
+    assert len(dist_files) == 3  # [10,20) [20,30) [30,40)
+    assert dist_rows == sorted(r["id"] for r in drv.collect())
