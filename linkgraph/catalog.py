@@ -50,3 +50,20 @@ def register(spark: SparkSession, sf_dir: str, prefix: str = "lg_") -> list[str]
     for name, df in named.items():
         df.createOrReplaceTempView(name)
     return list(named)
+
+
+def register_iceberg(spark: SparkSession, name: str, location: str,
+                     snapshot_id: int | None = None) -> str:
+    """Expose a jar-free Iceberg table (linkgraph.iceberg_lite) as a temp
+    view — optionally pinned to a snapshot, so SQL users get time travel:
+
+        register_iceberg(spark, "pages_v1", loc, snapshot_id=s1)
+        spark.sql("SELECT lang, count(*) FROM pages_v1 GROUP BY lang")
+
+    The view wraps the lazy snapshot scan; filters/pruning still reach
+    the underlying parquet scan through it."""
+    from .iceberg_lite import IcebergLiteTable
+
+    df = IcebergLiteTable.load(location).scan(spark, snapshot_id=snapshot_id)
+    df.createOrReplaceTempView(name)
+    return name

@@ -542,3 +542,19 @@ def test_distributed_planning_matches_driver_loop(spark, tmp_path):
     assert sorted(drv.inputFiles()) == dist_files
     assert len(dist_files) == 3  # [10,20) [20,30) [30,40)
     assert dist_rows == sorted(r["id"] for r in drv.collect())
+
+
+def test_register_iceberg_view_time_travel(spark, tmp_path, pages):
+    """catalog.register_iceberg exposes a lite table (optionally snapshot-
+    pinned) as a SQL temp view; the view is the lazy snapshot scan."""
+    from linkgraph.catalog import register_iceberg
+
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    s1 = t.append(pages.filter(F.col("lang") == "en"))
+    t.append(pages.filter(F.col("lang") == "de"))
+    register_iceberg(spark, "pages_cur", loc)
+    register_iceberg(spark, "pages_v1", loc, snapshot_id=s1)
+    assert spark.sql("SELECT count(*) c FROM pages_cur").collect()[0]["c"] == 120
+    v1 = spark.sql("SELECT lang, count(*) c FROM pages_v1 GROUP BY lang").collect()
+    assert [(r["lang"], r["c"]) for r in v1] == [("en", 40)]
