@@ -412,6 +412,56 @@ def q_graph_scc(spark, sf_dir):
     return strongly_connected_components(spark, e, verts)
 
 
+def _bowtie_fixture_edges(spark, sf_dir):
+    """Deterministic digraph over documents with a full bow-tie shape.
+
+    Residue classes of doc_id mod 10: 3..9 = CORE (a ring through all
+    core ids plus one pseudo-random chord each, so the core is one SCC
+    of small diameter); 0 = IN (one link into the core, nothing links
+    here); 1 = OUT (linked from core m==3 nodes, no out-links); 2 =
+    tubes/tendrils/disconnected split on doc_id mod 40 (2: IN->v->OUT
+    tube, 12: tendril off IN, 22: tendril into OUT, 32: isolated).
+    Requires n % 10 == 0 (holds for the sf* documents tables)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    d = F.col("doc_id")
+    m = d % 10
+    core_of = lambda t: (t - t % 10) + 3 + (t % 7)  # noqa: E731
+    parts = [
+        docs.where(m.between(3, 8)).select(d.alias("src"),
+                                           ((d + 1) % n).alias("dst")),
+        docs.where(m == 9).select(d.alias("src"), ((d + 4) % n).alias("dst")),
+        docs.where(m.between(3, 9)).select(
+            d.alias("src"), core_of((d * 7) % n).alias("dst")),
+        docs.where(m == 0).select(
+            d.alias("src"), core_of((d * 3) % n).alias("dst")),
+        docs.where(m == 3).select(d.alias("src"), (d - 2).alias("dst")),
+        docs.where(d % 40 == 2).select((d - 2).alias("src"), d.alias("dst")),
+        docs.where(d % 40 == 2).select(d.alias("src"), (d - 1).alias("dst")),
+        docs.where(d % 40 == 12).select((d - 2).alias("src"), d.alias("dst")),
+        docs.where(d % 40 == 22).select(d.alias("src"), (d - 1).alias("dst")),
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def q_graph_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (Broder et al.) of a deterministic crawl-
+    shaped digraph: per-vertex CORE/IN/OUT/TUBE/TENDRIL/DISCONNECTED
+    class. The web-graph structural report the reference's component
+    partition (ccm graphs.py, complexity.py:84) becomes at crawl scale."""
+    from linkgraph.bowtie import bowtie
+
+    docs = _docs(spark, sf_dir)
+    edges = _bowtie_fixture_edges(spark, sf_dir)
+    verts = docs.select(F.col("doc_id").alias("id"))
+    return bowtie(spark, edges, verts).select(
+        F.col("id").cast("long").alias("id"), "cls"
+    )
+
+
 def q_graph_subgraph(spark, sf_dir):
     """Node-induced subgraph with recomputed degrees (G3)."""
     edges = tpcgraph.order_edges(spark, sf_dir)
@@ -1735,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_csr": q_graph_csr,
         "graph_quotient": q_graph_quotient,
         "graph_scc": q_graph_scc,
+        "graph_bowtie": q_graph_bowtie,
         "graph_subgraph": q_graph_subgraph,
         "graph_rollup": q_graph_rollup,
         "render_fixed": q_render_fixed,
@@ -2555,6 +2606,76 @@ mutual AS (
 )
 SELECT d.doc_id AS id, least(d.doc_id, coalesce(m.m, d.doc_id)) AS component
 FROM documents d LEFT JOIN mutual m ON d.doc_id = m.id
+""",
+        "graph_bowtie": """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS d, doc_id % 10 AS m, (SELECT n FROM nn) AS n
+         FROM documents),
+e0 AS (
+  SELECT d AS src, (d+1) % n AS dst FROM base WHERE m BETWEEN 3 AND 8
+  UNION ALL SELECT d, (d+4) % n FROM base WHERE m = 9
+  UNION ALL
+  SELECT d, ((d*7)%n) - ((d*7)%n) % 10 + 3 + ((d*7)%n) % 7
+  FROM base WHERE m BETWEEN 3 AND 9
+  UNION ALL
+  SELECT d, ((d*3)%n) - ((d*3)%n) % 10 + 3 + ((d*3)%n) % 7
+  FROM base WHERE m = 0
+  UNION ALL SELECT d, d-2 FROM base WHERE m = 3
+  UNION ALL SELECT d-2, d FROM base WHERE d % 40 = 2
+  UNION ALL SELECT d, d-1 FROM base WHERE d % 40 = 2
+  UNION ALL SELECT d-2, d FROM base WHERE d % 40 = 12
+  UNION ALL SELECT d, d-1 FROM base WHERE d % 40 = 22
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS id, min(r1.b) AS mm
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY 1
+),
+scc AS (
+  SELECT b.d AS id, least(b.d, coalesce(mu.mm, b.d)) AS component
+  FROM base b LEFT JOIN mutual mu ON b.d = mu.id
+),
+giant AS (
+  SELECT component FROM scc GROUP BY component
+  ORDER BY count(*) DESC, component ASC LIMIT 1
+),
+core AS (SELECT id FROM scc WHERE component = (SELECT component FROM giant)),
+innodes AS (
+  SELECT DISTINCT r.a AS id FROM reach r JOIN core c ON r.b = c.id
+  WHERE r.a NOT IN (SELECT id FROM core)
+),
+outnodes AS (
+  SELECT DISTINCT r.b AS id FROM reach r JOIN core c ON r.a = c.id
+  WHERE r.b NOT IN (SELECT id FROM core)
+),
+from_in AS (
+  SELECT id FROM innodes
+  UNION
+  SELECT DISTINCT r.b FROM reach r JOIN innodes i ON r.a = i.id
+),
+to_out AS (
+  SELECT id FROM outnodes
+  UNION
+  SELECT DISTINCT r.a FROM reach r JOIN outnodes o ON r.b = o.id
+)
+SELECT b.d::BIGINT AS id,
+  CASE
+    WHEN b.d IN (SELECT id FROM core) THEN 'CORE'
+    WHEN b.d IN (SELECT id FROM innodes) THEN 'IN'
+    WHEN b.d IN (SELECT id FROM outnodes) THEN 'OUT'
+    WHEN b.d IN (SELECT id FROM from_in)
+     AND b.d IN (SELECT id FROM to_out) THEN 'TUBE'
+    WHEN b.d IN (SELECT id FROM from_in)
+      OR b.d IN (SELECT id FROM to_out) THEN 'TENDRIL'
+    ELSE 'DISCONNECTED'
+  END AS cls
+FROM base b
 """,
         "graph_subgraph": f"""
 WITH {_EDGES},
