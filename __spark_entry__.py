@@ -1753,8 +1753,63 @@ def q_iceberg_stream_ingest(spark, sf_dir):
     )
 
 
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy URL spellings over documents: row doc_id is the
+    (doc_id % 5)-th alias spelling of page p = doc_id div 5; all five
+    spellings canonicalize to the same URL (uppercase scheme/host, default
+    port, duplicate slash, /./ segment, fragment). Pure JVM expressions,
+    mirrored verbatim in the oracle SQL fixture."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    p = F.expr("doc_id div 5").cast("string")
+    m = F.col("doc_id") % 5
+    host = F.concat(
+        F.lit("site"), (F.expr("doc_id div 5") % 7).cast("string"),
+        F.lit(".example"),
+    )
+    qs = F.when(F.expr("doc_id div 5") % 3 == 0, F.lit("?b=2&a=1")) \
+        .otherwise(F.lit(""))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://"), host, F.lit("/p"), p, qs))
+        .when(m == 1, F.concat(F.lit("HTTPS://"), F.upper(host), F.lit("/p"),
+                               p, qs, F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("https://"), host, F.lit(":443/p"), p, qs))
+        .when(m == 3, F.concat(F.lit("https://"), host, F.lit("//p"), p, qs))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/./p"), p, qs))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (urlops.canonicalize): the crawl dedup key.
+    One codegen'd projection, no shuffle; the oracle reimplements the full
+    rule set in DuckDB SQL (both regex dialects are RE2-safe)."""
+    from linkgraph.urlops import canonicalize
+
+    m = _messy_urls(spark, sf_dir)
+    return m.select("doc_id", "url", canonicalize(F.col("url")).alias("canon_url"))
+
+
+def q_url_aliases(spark, sf_dir):
+    """Alias-group report (urlops.alias_groups): spellings per canonical
+    page. One shuffle on the canonical key; alias sets are per-page bounded."""
+    from linkgraph.urlops import canonicalize
+
+    m = _messy_urls(spark, sf_dir)
+    return (
+        m.withColumn("canon_url", canonicalize(F.col("url")))
+        .groupBy("canon_url")
+        .agg(
+            F.countDistinct("url").alias("n_aliases"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sort_array(F.collect_set("url")).getItem(0).alias("first_alias"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "url_canon": q_url_canon,
+        "url_aliases": q_url_aliases,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_stream_ingest": q_iceberg_stream_ingest,
         "iceberg_bounds_scan": q_iceberg_bounds_scan,
@@ -2127,7 +2182,61 @@ cand AS (
         for t, dims in enumerate(lsh_table_dims(4, 8, 64))
     )
 
+    # messy-URL fixture + full canonicalization rules (mirrors
+    # urlops.canonicalize rule-for-rule; every regex is RE2-safe so the
+    # same patterns run on both engines; 'g' = DuckDB global-replace flag,
+    # Spark's regexp_replace is global by default)
+    _murl_canon = """
+base AS (
+  SELECT doc_id, CAST(doc_id % 5 AS INT) AS v,
+    CAST(doc_id // 5 AS VARCHAR) AS p,
+    CASE WHEN (doc_id // 5) % 3 = 0 THEN '?b=2&a=1' ELSE '' END AS qs,
+    'site' || CAST((doc_id // 5) % 7 AS VARCHAR) || '.example' AS host
+  FROM documents
+),
+murl AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://' || host || '/p' || p || qs
+      WHEN 1 THEN 'HTTPS://' || upper(host) || '/p' || p || qs || '#frag'
+      WHEN 2 THEN 'https://' || host || ':443/p' || p || qs
+      WHEN 3 THEN 'https://' || host || '//p' || p || qs
+      ELSE 'https://' || host || '/./p' || p || qs
+    END AS url
+  FROM base
+),
+c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS u FROM murl),
+c2 AS (SELECT *, lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme FROM c1),
+c3 AS (SELECT *, substr(u, length(scheme) + 4) AS rest FROM c2),
+c4 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM c3),
+c5 AS (SELECT *, substr(rest, length(hostport) + 1) AS pq,
+  CASE WHEN scheme = 'http' THEN regexp_replace(lower(hostport), ':80$', '')
+       WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '')
+       ELSE lower(hostport) END AS hcanon FROM c4),
+c6 AS (SELECT *, regexp_extract(pq, '^([^?]*)', 1) AS path0 FROM c5),
+c7 AS (SELECT *, substr(pq, length(path0) + 2) AS query0,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(path0,
+    '/+', '/', 'g'), '(/\\.)+/', '/', 'g'), '(/\\.)+$', '/', 'g'),
+    '/index\\.html?$', '/', 'g') AS path1 FROM c6),
+canon AS (SELECT doc_id, url,
+  scheme || '://' || hcanon ||
+  CASE WHEN path1 = '' THEN '/' ELSE path1 END ||
+  CASE WHEN query0 = '' THEN ''
+       ELSE '?' || array_to_string(list_sort(string_split(query0, '&')), '&')
+  END AS canon_url FROM c7)
+"""
+
     return {
+        "url_canon": f"""
+WITH {_murl_canon}
+SELECT doc_id, url, canon_url FROM canon
+""",
+        "url_aliases": f"""
+WITH {_murl_canon}
+SELECT canon_url, count(DISTINCT url) AS n_aliases, count(*) AS n_rows,
+       list_sort(list(DISTINCT url))[1] AS first_alias
+FROM canon GROUP BY canon_url
+""",
         "iceberg_scan": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY lang
