@@ -1806,8 +1806,29 @@ def q_url_aliases(spark, sf_dir):
     )
 
 
+BM25_QUERIES = [
+    (0, "spark join window"),
+    (1, "customer order filter"),
+    (2, "fast sort merge batch"),
+    (3, "vector column table scan"),
+]
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 top-5 per query (search.bm25_topk): broadcast query terms
+    against the inverted postings table, exact two-phase top-k — no
+    per-query global sort. Scores rounded to 6dp before ranking so the
+    DuckDB oracle ranks identically."""
+    from linkgraph.search import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    qs = spark.createDataFrame(BM25_QUERIES, ["query_id", "qtext"])
+    return bm25_topk(docs, qs, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_bm25": q_text_bm25,
         "url_canon": q_url_canon,
         "url_aliases": q_url_aliases,
         "iceberg_scan": q_iceberg_scan,
@@ -2226,7 +2247,50 @@ canon AS (SELECT doc_id, url,
   END AS canon_url FROM c7)
 """
 
+    _bm25_qvals = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
+    _bm25 = f"""
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+post AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+q(query_id, qtext) AS (VALUES {_bm25_qvals}),
+qt AS (
+  SELECT DISTINCT query_id, unnest(string_split(trim(regexp_replace(
+    lower(qtext), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term FROM q
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+    round(sum(
+      ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / stats.avgdl))
+    ), 6) AS score
+  FROM qt
+  JOIN post USING (term) JOIN dfreq USING (term)
+  JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY qt.query_id, post.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+"""
+
     return {
+        "text_bm25": f"""
+WITH {_TOKS},
+{_bm25}
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 5
+""",
         "url_canon": f"""
 WITH {_murl_canon}
 SELECT doc_id, url, canon_url FROM canon
