@@ -1826,8 +1826,20 @@ def q_text_bm25(spark, sf_dir):
     return bm25_topk(docs, qs, k=5)
 
 
+def q_graph_linkpred(spark, sf_dir):
+    """Link prediction (linkpredict.link_prediction): common-neighbor and
+    Adamic-Adar scores for unlinked pairs on the sparse high-value graph.
+    hub_cap=None is the exact mode (the oracle's closure); production
+    default caps wedge centers at deg 10k."""
+    from linkgraph.linkpredict import link_prediction
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    return link_prediction(edges, min_common=2, hub_cap=None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "graph_linkpred": q_graph_linkpred,
         "text_bm25": q_text_bm25,
         "url_canon": q_url_canon,
         "url_aliases": q_url_aliases,
@@ -2286,6 +2298,22 @@ ranked AS (
 """
 
     return {
+        "graph_linkpred": f"""
+WITH {_SEDGES},
+deg AS (SELECT u AS w, count(*) AS d FROM und GROUP BY u),
+wedge AS (
+  SELECT a.v AS u, b.v AS v, a.u AS w
+  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+),
+cand AS (
+  SELECT u, v, count(*) AS cn, round(sum(1.0 / ln(d)), 6) AS aa
+  FROM wedge JOIN deg USING (w)
+  GROUP BY u, v HAVING count(*) >= 2
+)
+SELECT c.u, c.v, c.cn, c.aa FROM cand c
+LEFT JOIN und e ON c.u = e.u AND c.v = e.v
+WHERE e.u IS NULL
+""",
         "text_bm25": f"""
 WITH {_TOKS},
 {_bm25}
