@@ -1837,8 +1837,17 @@ def q_graph_linkpred(spark, sf_dir):
     return link_prediction(edges, min_common=2, hub_cap=None)
 
 
+def q_dedup_contain(spark, sf_dir):
+    """Asymmetric shingle containment (dedup.containment_pairs): the
+    quote/boilerplate-superset detector — |sh(a) ∩ sh(b)| / |sh(a)|, both
+    directions, exact df_cap=None closure for the oracle."""
+    docs = _docs(spark, sf_dir)
+    return dedup.containment_pairs(docs, n=3, threshold=0.2, df_cap=None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_contain": q_dedup_contain,
         "graph_linkpred": q_graph_linkpred,
         "text_bm25": q_text_bm25,
         "url_canon": q_url_canon,
@@ -2298,6 +2307,23 @@ ranked AS (
 """
 
     return {
+        "dedup_contain": f"""
+WITH {_TOKS}, {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS m
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+dirs AS (
+  SELECT i.a, i.b, round(m::DOUBLE / sa.n_sh, 6) AS containment
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+  UNION ALL
+  SELECT i.b, i.a, round(m::DOUBLE / sb.n_sh, 6)
+  FROM inter i JOIN sizes sb ON sb.doc_id = i.b
+)
+SELECT a, b, containment FROM dirs WHERE containment >= 0.2
+""",
         "graph_linkpred": f"""
 WITH {_SEDGES},
 deg AS (SELECT u AS w, count(*) AS d FROM und GROUP BY u),

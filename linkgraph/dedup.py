@@ -119,6 +119,31 @@ def ngram_jaccard_pairs(
     them all from ONE persisted (doc_id, shingle) scan (see
     shingle_table); the tokenize+explode pass is the dominant cost.
     """
+    inter, sizes = _posting_intersections(
+        docs, n, df_cap, log_drops, id_col, text_col, shingles,
+        caller="ngram_jaccard_pairs",
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("m") / (F.col("na") + F.col("nb") - F.col("m")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def _posting_intersections(
+    docs, n, df_cap, log_drops, id_col, text_col, shingles, caller,
+):
+    """Shared core of the set-overlap dedup ops: per-shingle posting
+    lists -> (inter: (a, b, m) pairwise intersection counts with a < b,
+    sizes: (doc_id, n_sh) per-doc distinct shingle counts)."""
     if shingles is not None:
         sh = shingles
     else:
@@ -149,10 +174,10 @@ def ngram_jaccard_pairs(
             ).collect()[0]
             if row["inst"]:
                 log.warning(
-                    "ngram_jaccard_pairs: df_cap=%d drops %d shingle "
+                    "%s: df_cap=%d drops %d shingle "
                     "instances (%d distinct hot shingles; recall is "
                     "capped, not exact)",
-                    df_cap, int(row["inst"]), int(row["uniq"]),
+                    caller, df_cap, int(row["inst"]), int(row["uniq"]),
                 )
     else:
         kept = _register_cache(lists.persist())
@@ -175,19 +200,48 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("m"))
     )
-    out = (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("m") / (F.col("na") + F.col("nb") - F.col("m")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return inter, sizes
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = DF_CAP_DEFAULT,
+    log_drops: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """-> (a, b, containment) where containment = |sh(a) ∩ sh(b)| / |sh(a)|
+    >= threshold: the fraction of a's shingles also present in b.
+
+    ASYMMETRIC set overlap (Broder's containment, the companion measure
+    to resemblance/Jaccard): a short doc quoted inside a long one scores
+    containment ~1 while its Jaccard is tiny — this is the quote /
+    boilerplate-superset / partial-duplicate detector that symmetric
+    dedup misses. Both directions are emitted (a-in-b and b-in-a rows),
+    each thresholded independently. Same inverted-index plan and df_cap
+    hot-shingle guard as ngram_jaccard_pairs; ``shingles`` shares the one
+    (doc_id, shingle) scan across a dedup pipeline.
+    """
+    inter, sizes = _posting_intersections(
+        docs, n, df_cap, log_drops, id_col, text_col, shingles,
+        caller="containment_pairs",
     )
-    return out
+    with_sizes = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+    )
+    fwd = with_sizes.select(
+        "a", "b", F.round(F.col("m") / F.col("na"), 6).alias("containment")
+    )
+    rev = with_sizes.select(
+        F.col("b").alias("a"), F.col("a").alias("b"),
+        F.round(F.col("m") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------------------------------

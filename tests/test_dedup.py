@@ -277,3 +277,42 @@ def test_simhash_pairs_equal_bruteforce(spark):
     }
     assert got == want
     assert (0, 3, 0) in got  # exact dups at hamming 0
+
+
+def test_containment_pairs_exact(spark, docs_df):
+    got = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dedup.containment_pairs(docs_df, threshold=0.0,
+                                         df_cap=None).collect()
+    }
+    texts = dict(DOCS)
+    want = {}
+    for a, b in itertools.permutations(texts, 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        if sa and sa & sb:
+            want[(a, b)] = round(len(sa & sb) / len(sa), 6)
+    assert got == want
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    short = "the five word quoted sentence here"
+    long = ("a very long document with lots of filler words surrounding "
+            "it so that " + short + " appears verbatim inside plus even "
+            "more filler trailing text to pad the shingle set out")
+    df = spark.createDataFrame([(0, short), (1, long)],
+                               "doc_id long, text string")
+    cont = {(r["a"], r["b"]): r["containment"]
+            for r in dedup.containment_pairs(df, threshold=0.9,
+                                             df_cap=None).collect()}
+    assert cont == {(0, 1): 1.0}  # short fully contained; reverse below 0.9
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5, df_cap=None).count()
+    assert jac == 0  # symmetric measure misses the quote
+
+
+def test_containment_shares_shingle_scan(spark, docs_df):
+    sh = dedup.shingle_table(docs_df, n=3)
+    via_shared = dedup.containment_pairs(docs_df, threshold=0.5,
+                                         shingles=sh, df_cap=None).count()
+    direct = dedup.containment_pairs(docs_df, threshold=0.5,
+                                     df_cap=None).count()
+    assert via_shared == direct > 0
