@@ -182,6 +182,31 @@ def q_graph_ppr2(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 9).alias("rank9"))
 
 
+def q_graph_trustrank(spark, sf_dir):
+    """TrustRank + spam mass (Gyongyi et al., VLDB'04): trust propagated
+    from a customer whitelist (ids divisible by 37) via two personalized
+    supersteps, plain PageRank alongside, spam_mass = (pr - tr)/pr — the
+    web-spam demotion composition a crawl pipeline runs before sampling.
+    Ratios are computed from the 9-rounded ranks in BOTH engines so the
+    division is bit-identical."""
+    from linkgraph.pagerank import trustrank
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    seeds = verts.where(
+        (F.col("id") < 1000000) & (F.col("id") % 37 == 0)
+    ).select("id")
+    out = trustrank(spark, edges, verts, seeds, max_iter=2)
+    pr9 = F.round("pr", 9)
+    tr9 = F.round("tr", 9)
+    return out.select(
+        "id",
+        pr9.alias("pr9"),
+        tr9.alias("tr9"),
+        F.round((pr9 - tr9) / pr9, 6).alias("spam_mass6"),
+    )
+
+
 def q_graph_pagerank2_blocked(spark, sf_dir):
     """Two supersteps through the SCALE path — blocked CSR store, packed
     edge words, native scatter-add kernel, pre-scaled rank files — against
@@ -1861,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pagerank2": q_graph_pagerank2,
         "graph_ppr2": q_graph_ppr2,
+        "graph_trustrank": q_graph_trustrank,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
         "graph_kcore": q_graph_kcore,
@@ -2439,6 +2465,28 @@ r0 AS (
 )
 {',' + _ppr_round('r0', 'r1') + ',' + _ppr_round('r1', 'r2')}
 SELECT id, round(r, 9) AS rank9 FROM r2
+""",
+        "graph_trustrank": f"""
+WITH {_EDGES},
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+outd AS (
+  SELECT v.id, coalesce(o.c, 0) AS od FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+),
+p0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
+{',' + _pr_round('p0', 'p1') + ',' + _pr_round('p1', 'p2')},
+sd AS (SELECT id FROM verts WHERE id < 1000000 AND id % 37 = 0),
+ns AS (SELECT count(*)::DOUBLE AS k FROM sd),
+t0 AS (
+  SELECT o.id, o.od,
+         CASE WHEN s.id IS NULL THEN 0.0 ELSE 1.0 / (SELECT k FROM ns) END AS tp,
+         1.0 / (SELECT n FROM nn) AS r
+  FROM outd o LEFT JOIN sd s ON o.id = s.id
+)
+{',' + _ppr_round('t0', 't1') + ',' + _ppr_round('t1', 't2')}
+SELECT p2.id, round(p2.r, 9) AS pr9, round(t2.r, 9) AS tr9,
+       round((round(p2.r, 9) - round(t2.r, 9)) / round(p2.r, 9), 6) AS spam_mass6
+FROM p2 JOIN t2 ON p2.id = t2.id
 """,
         "graph_hits2": f"""
 WITH {_EDGES},

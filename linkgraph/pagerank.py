@@ -374,3 +374,36 @@ def pagerank_weighted(
             )
         )
     return r.select("id", "r")
+
+
+def trustrank(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 2,
+    tol: float = 0.0,
+) -> DataFrame:
+    """TrustRank + spam mass (Gyongyi/Garcia-Molina/Pedersen, VLDB'04).
+
+    Trust is personalized PageRank from a whitelist seed set (teleport and
+    dangling mass both land on the seeds); spam mass is the fraction of a
+    vertex's plain PageRank NOT explained by propagated trust,
+    ``(pr - tr) / pr`` — the standard web-spam demotion score. Both walks
+    reuse the flat ``pagerank`` machine (same salting/broadcast/unpersist
+    discipline), so this is two superstep pipelines plus one join — no new
+    shuffle shapes, and the blocked-CSR path could serve either walk at
+    100 TB (trust is just a tp vector).
+
+    Returns ``(id, pr, tr, spam_mass)``. pr > 0 always (uniform teleport),
+    so the division is total.
+    """
+    pr = pagerank(spark, edges, vertices, tol=tol, max_iter=max_iter).ranks
+    tr = pagerank(
+        spark, edges, vertices, tol=tol, max_iter=max_iter, seeds=seeds
+    ).ranks
+    return (
+        pr.withColumnRenamed("rank", "pr")
+        .join(tr.withColumnRenamed("rank", "tr"), "id")
+        .withColumn("spam_mass", (F.col("pr") - F.col("tr")) / F.col("pr"))
+    )

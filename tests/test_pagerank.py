@@ -148,3 +148,30 @@ def test_weighted_pagerank_weights_shift_mass(spark):
     r = {x["id"]: x["r"] for x in pagerank_weighted(we, verts, iters=8).collect()}
     assert r[1] > r[2]
     assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_spam_mass(spark, small):
+    """trustrank == (python PR oracle, python PPR oracle, their ratio);
+    vertices unreachable from the seed set get tr == 0, spam_mass == 1."""
+    from linkgraph.pagerank import trustrank
+    from oracles import pagerank_oracle, ppr_oracle
+
+    g = small.nx_digraph_ids()
+    seed_ids = sorted(i for i in g.nodes if i % 7 == 0)[:6]
+    assert seed_ids
+    want_pr = pagerank_oracle(g.nodes, g.edges, tol=1e-12)
+    want_tr = ppr_oracle(g.nodes, g.edges, seed_ids, tol=1e-12)
+
+    seeds = spark.createDataFrame([(i,) for i in seed_ids], "id long")
+    out = trustrank(
+        spark, small.edges, small.vertices, seeds, max_iter=300, tol=1e-10
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == set(want_pr)
+    for v, r in rows.items():
+        assert math.isclose(r["pr"], want_pr[v], rel_tol=1e-6, abs_tol=1e-6)
+        assert math.isclose(r["tr"], want_tr[v], rel_tol=1e-6, abs_tol=1e-6)
+        want_sm = (want_pr[v] - want_tr[v]) / want_pr[v]
+        assert math.isclose(r["spam_mass"], want_sm, rel_tol=1e-5, abs_tol=1e-5)
+        if want_tr[v] == 0.0:
+            assert r["tr"] == 0.0 and r["spam_mass"] == 1.0
