@@ -1270,6 +1270,21 @@ def q_text_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), width=12)
 
 
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing fingerprint selection (MOSS, Schleimer et al. SIGMOD'03):
+    per-window min k-gram hash, rightmost tie — the deterministic
+    guaranteed-detection counterpart to MinHash (any shared k+w-1-token
+    run yields a shared fingerprint)."""
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """MOSS match step: doc pairs sharing >= 2 distinct winnowing
+    fingerprints, with the paper's common-fingerprint cap (df <= 50)
+    bounding the self-join buckets."""
+    return dedup.winnow_pairs(_docs(spark, sf_dir), k=4, w=5, min_shared=2)
+
+
 def q_text_collocations(spark, sf_dir):
     """PMI bigram collocations (min_count=5) over the corpus."""
     return textops.collocations(_docs(spark, sf_dir), min_count=5)
@@ -1958,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "text_collocations": q_text_collocations,
         "text_repeated_spans": q_text_repeated_spans,
+        "text_winnowing": q_text_winnowing,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "extract_anchor_corpus": q_extract_anchor_corpus,
         "sample_mixture": q_sample_mixture,
         "source_length_stats": q_source_length_stats,
@@ -2117,6 +2134,33 @@ w_{out} AS (
   FROM {prev} p LEFT JOIN w_{out} w ON p.id = w.vid
 )
 """
+
+
+def _winnow_sel(k: int, w: int) -> str:
+    """Winnowing selection CTEs over ``toks`` -> wsel(doc_id, pos, fp):
+    per-window min of k-gram md5 prefixes, rightmost tie via the same
+    hash||lpad(MAXPOS-pos) string-min trick the engine uses."""
+    return f"""
+wg AS (
+  SELECT doc_id, i::BIGINT - 1 AS pos,
+         substr(md5(array_to_string(t[i:i + {k - 1}], ' ')), 1, 15) AS h,
+         (len(t) - {k - 1})::BIGINT AS m
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {k - 2})) AS i
+        FROM toks WHERE len(t) >= {k})
+),
+wmin AS (
+  SELECT doc_id, pos, m,
+         min(h || lpad((99999999 - pos)::VARCHAR, 8, '0')) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mk
+  FROM wg
+),
+wsel AS (
+  SELECT DISTINCT doc_id,
+         (99999999 - substr(mk, 16, 8)::BIGINT) AS pos,
+         substr(mk, 1, 15) AS fp
+  FROM wmin WHERE pos <= greatest(m - {w}, 0)
+)"""
 
 
 def _pr_round(prev: str, out: str) -> str:
@@ -3485,6 +3529,19 @@ w AS (
 )
 SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+""",
+        "text_winnowing": f"""
+WITH {_TOKS},{_winnow_sel(4, 5)}
+SELECT doc_id, pos, fp FROM wsel
+""",
+        "dedup_winnow_pairs": f"""
+WITH {_TOKS},{_winnow_sel(4, 5)},
+sf AS (SELECT DISTINCT doc_id, fp FROM wsel),
+rare AS (SELECT fp FROM sf GROUP BY fp HAVING count(*) <= 50),
+sr AS (SELECT s.doc_id, s.fp FROM sf s JOIN rare r ON s.fp = r.fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+FROM sr a JOIN sr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         # corpus bigram PMI, hapax tail cut before the unigram joins
         "text_collocations": f"""

@@ -658,3 +658,125 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_contaminated_ngrams"))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, pos, fp) — winnowing-selected token k-gram fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03 "local algorithms for document
+    fingerprinting" — the MOSS algorithm).
+
+    Every token k-gram is hashed (md5, 15-hex/60-bit prefix — portable
+    across engines); in each sliding window of ``w`` consecutive k-gram
+    hashes the MINIMUM is selected with ties broken by the RIGHTMOST
+    position (the paper's rule), then selections are deduped. The
+    guarantee is structural, not probabilistic (contrast MinHash): any
+    shared token run of length >= k + w - 1 between two documents yields
+    at least one shared selected fingerprint, and expected density is
+    2/(w+1) of all k-grams.
+
+    Distributed shape: one positional k-gram projection (pure JVM
+    zip_with slices, no Python), one window function partitioned by
+    doc_id — a single shuffle keyed on doc, no self-join, O(tokens)
+    rows in flight. The min-with-rightmost-tie rule rides ONE string
+    min: key = hash || zero-padded (MAXPOS - pos), so arg-selection
+    needs no struct comparators and the same expression runs on DuckDB.
+    Docs with fewer than k tokens yield nothing; docs with fewer than w
+    k-grams form a single whole-doc window.
+    """
+    from pyspark.sql import Window
+
+    assert k >= 1 and w >= 1
+    t = tokens_col(F.col(text_col))
+    m = F.size(t) - (k - 1)
+    grams = F.slice(t, 1, m)
+    for j in range(2, k + 1):
+        grams = F.zip_with(
+            grams, F.slice(t, j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    g = (
+        docs.where(F.size(tokens_col(F.col(text_col))) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(grams).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.concat(
+                F.substring(F.md5(F.col("gram")), 1, 15),
+                F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
+            ).alias("key"),
+        )
+    )
+    part = Window.partitionBy("doc_id")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(part).alias("m"),
+            F.min("key").over(win).alias("mk"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0)))
+        .select(
+            "doc_id",
+            (F.lit(99999999) - F.substring("mk", 16, 8).cast("long")).alias("pos"),
+            F.substring("mk", 1, 15).alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    fp_cap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """-> (doc_a, doc_b, shared) — document pairs sharing >= ``min_shared``
+    distinct winnowing fingerprints: the MOSS plagiarism/near-dup match
+    step over :func:`winnow_fingerprints` (pass ``fingerprints`` to share
+    one selection scan with the per-doc query).
+
+    Fingerprints selected in more than ``fp_cap`` documents are dropped
+    before the self-join — the paper's "ignore extremely common
+    fingerprints" rule, and the same hot-key quadratic-blowup guard as
+    ngram_jaccard_pairs' df_cap: bucket sizes are bounded, so the join
+    is never |D|^2 however skewed the boilerplate.
+    """
+    sel = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    ).select("doc_id", "fp").distinct()
+    rare = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= fp_cap)
+        .select("fp")
+    )
+    s = sel.join(rare, "fp")
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
