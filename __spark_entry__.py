@@ -1105,6 +1105,17 @@ def q_events_retention(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered 4-step funnel (view -> click -> signup -> purchase): a
+    user reaches step i only via a step-i event strictly after their
+    step-(i-1) match in (ts, event_id) order — one JVM fold per user,
+    no per-step self-join."""
+    from linkgraph.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "signup", "purchase"])
+
+
 def q_events_conversion(spark, sf_dir):
     """Conversion analytics composed on the as-of join: per user, how
     many purchases and how many attributed to a signup within 24h."""
@@ -1985,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_anomaly": q_events_anomaly,
         "events_conversion": q_events_conversion,
+        "events_funnel": q_events_funnel,
         "text_top_terms": q_text_top_terms,
         "text_adaptive_filter": q_text_adaptive_filter,
         "sample_fill_report": q_sample_fill_report,
@@ -3966,6 +3978,32 @@ SELECT strftime(act.wk, '%Y-%m-%d') AS week_start,
 FROM act LEFT JOIN ret USING (wk)
 """,
         # asof-attributed purchases, 24h conversion window, per user
+        "events_funnel": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+  WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+),
+t1 AS (SELECT user_id, min(rk) AS r FROM ev WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.rk) AS r FROM ev e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.rk > t1.r GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.rk) AS r FROM ev e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'signup' AND e.rk > t2.r GROUP BY 1),
+t4 AS (SELECT e.user_id, min(e.rk) AS r FROM ev e JOIN t3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.rk > t3.r GROUP BY 1),
+c AS (
+  SELECT 1 AS step, 'view' AS step_name, count(*) AS n FROM t1
+  UNION ALL SELECT 2, 'click', count(*) FROM t2
+  UNION ALL SELECT 3, 'signup', count(*) FROM t3
+  UNION ALL SELECT 4, 'purchase', count(*) FROM t4
+)
+SELECT step::BIGINT AS step, step_name, n::BIGINT AS n_users,
+       round(CASE WHEN step = 1 THEN 1.0
+                  ELSE n::DOUBLE / lag(n) OVER (ORDER BY step) END, 6)
+         AS conv_from_prev6
+FROM c WHERE n > 0
+""",
         "events_conversion": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
