@@ -437,6 +437,35 @@ def q_graph_scc(spark, sf_dir):
     return strongly_connected_components(spark, e, verts)
 
 
+def q_graph_condensation(spark, sf_dir):
+    """SCC condensation DAG of the bow-tie fixture digraph (CORE plus
+    IN/OUT/tube/tendril singletons => many classes): class-pair edges
+    weighted by distinct crossing links, with both class sizes — the
+    quotient-by-SCC composition (scc labels feed the same join shape as
+    quotient_edges), acyclic by construction."""
+    from linkgraph.scc import condensation
+
+    docs = _docs(spark, sf_dir)
+    e = _bowtie_fixture_edges(spark, sf_dir)
+    verts = docs.select(F.col("doc_id").alias("id"))
+    lab = strongly_connected_components(spark, e, verts)
+    cond = condensation(spark, e, verts, labels=lab)
+    sz = lab.groupBy("component").agg(F.count("*").cast("long").alias("s"))
+    return (
+        cond.join(
+            sz.select(F.col("component").alias("comp_src"),
+                      F.col("s").alias("src_size")),
+            "comp_src",
+        )
+        .join(
+            sz.select(F.col("component").alias("comp_dst"),
+                      F.col("s").alias("dst_size")),
+            "comp_dst",
+        )
+        .select("comp_src", "comp_dst", "n_edges", "src_size", "dst_size")
+    )
+
+
 def _bowtie_fixture_edges(spark, sf_dir):
     """Deterministic digraph over documents with a full bow-tie shape.
 
@@ -1934,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_csr": q_graph_csr,
         "graph_quotient": q_graph_quotient,
         "graph_scc": q_graph_scc,
+        "graph_condensation": q_graph_condensation,
         "graph_bowtie": q_graph_bowtie,
         "graph_subgraph": q_graph_subgraph,
         "graph_rollup": q_graph_rollup,
@@ -2937,6 +2967,53 @@ mutual AS (
 )
 SELECT d.doc_id AS id, least(d.doc_id, coalesce(m.m, d.doc_id)) AS component
 FROM documents d LEFT JOIN mutual m ON d.doc_id = m.id
+""",
+        "graph_condensation": """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS d, doc_id % 10 AS m, (SELECT n FROM nn) AS n
+         FROM documents),
+e0 AS (
+  SELECT d AS src, (d+1) % n AS dst FROM base WHERE m BETWEEN 3 AND 8
+  UNION ALL SELECT d, (d+4) % n FROM base WHERE m = 9
+  UNION ALL
+  SELECT d, ((d*7)%n) - ((d*7)%n) % 10 + 3 + ((d*7)%n) % 7
+  FROM base WHERE m BETWEEN 3 AND 9
+  UNION ALL
+  SELECT d, ((d*3)%n) - ((d*3)%n) % 10 + 3 + ((d*3)%n) % 7
+  FROM base WHERE m = 0
+  UNION ALL SELECT d, d-2 FROM base WHERE m = 3
+  UNION ALL SELECT d-2, d FROM base WHERE d % 40 = 2
+  UNION ALL SELECT d, d-1 FROM base WHERE d % 40 = 2
+  UNION ALL SELECT d-2, d FROM base WHERE d % 40 = 12
+  UNION ALL SELECT d, d-1 FROM base WHERE d % 40 = 22
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS id, min(r1.b) AS mm
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY 1
+),
+lab AS (
+  SELECT b.d AS id, least(b.d, coalesce(mu.mm, b.d)) AS component
+  FROM base b LEFT JOIN mutual mu ON b.d = mu.id
+),
+sz AS (SELECT component, count(*) AS s FROM lab GROUP BY 1),
+cond AS (
+  SELECT l1.component AS comp_src, l2.component AS comp_dst,
+         count(*) AS n_edges
+  FROM edges e JOIN lab l1 ON e.src = l1.id JOIN lab l2 ON e.dst = l2.id
+  WHERE l1.component <> l2.component GROUP BY 1, 2
+)
+SELECT c.comp_src, c.comp_dst, c.n_edges::BIGINT AS n_edges,
+       s1.s::BIGINT AS src_size, s2.s::BIGINT AS dst_size
+FROM cond c
+JOIN sz s1 ON c.comp_src = s1.component
+JOIN sz s2 ON c.comp_dst = s2.component
 """,
         "graph_bowtie": """
 WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),

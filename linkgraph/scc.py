@@ -203,3 +203,46 @@ def scc_count(spark, edges: DataFrame, vertices: DataFrame) -> int:
     """P = number of SCCs (the reference's formula input, complexity.py:84)."""
     comps = strongly_connected_components(spark, edges, vertices)
     return int(comps.select("component").distinct().count())
+
+
+def condensation(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """-> (comp_src, comp_dst, n_edges) — the SCC condensation DAG: one
+    vertex per strongly connected component, an edge (A, B) weighted by
+    the number of DISTINCT underlying (src, dst) edges crossing from A
+    to B. Acyclic by construction (any condensation cycle would merge
+    its classes into one SCC) — the canonical DAG view of the web graph
+    that bow-tie/reachability analyses run on. Pass ``labels`` (id,
+    component) to reuse an already-computed SCC result.
+
+    Scale shape: two hash joins of the edge table against the label
+    table (both keyed on vertex id, broadcast-able when the label side
+    is a quotient of a crawl) and one groupBy on the class pair — no
+    iteration beyond the SCC labelling itself.
+
+    Reference parity: nx.condensation over reference graphs.py's digraph
+    (the quotient-by-SCC composition; cf. quotient.py block_to_block).
+    """
+    lab = (
+        labels
+        if labels is not None
+        else strongly_connected_components(spark, edges, vertices)
+    )
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ls = lab.select(F.col("id").alias("src"), F.col("component").alias("comp_src"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("component").alias("comp_dst"))
+    return (
+        e.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("comp_src") != F.col("comp_dst"))
+        .groupBy("comp_src", "comp_dst")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )

@@ -102,3 +102,26 @@ def test_scc_quotient_is_dag(spark):
     qpairs = {(r["q_src"], r["q_dst"]) for r in q.collect()}
     g = nx.DiGraph(list(qpairs))
     assert nx.is_directed_acyclic_graph(g)
+
+
+def test_condensation_matches_networkx(spark):
+    """condensation() == nx.condensation edge-for-edge with multiplicity
+    (distinct underlying edges) and is acyclic."""
+    from linkgraph.scc import condensation
+
+    edges_py = _random_digraph(11, 40, 110)
+    n = 40
+    edges = spark.createDataFrame(sorted(edges_py), "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        (r["comp_src"], r["comp_dst"]): r["n_edges"]
+        for r in condensation(spark, edges, verts).collect()
+    }
+
+    lab = _nx_labels(n, edges_py)
+    want = {}
+    for u, v in edges_py:
+        if lab[u] != lab[v]:
+            want[(lab[u], lab[v])] = want.get((lab[u], lab[v]), 0) + 1
+    assert got == want
+    assert nx.is_directed_acyclic_graph(nx.DiGraph(list(got)))
