@@ -868,6 +868,18 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    top-20 per language by u^(1/n_chars) with a deterministic md5
+    uniform — the reproducible proportional-to-length corpus draw."""
+    from linkgraph import sampling
+
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        k=20, weight_col="n_chars", strata_col="lang",
+    ).select("lang", "doc_id", "n_chars", "h60", "rk")
+
+
 def q_text_decontam(spark, sf_dir):
     """Test-set decontamination: corpus docs sharing any word 8-gram with
     a held-out benchmark slice (doc_id % 37 == 0), benchmark broadcast."""
@@ -1996,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "sample_cap_source": q_sample_cap_source,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
         "text_decontam": q_text_decontam,
         "text_line_dedup": q_text_line_dedup,
         "text_pii_redact": q_text_pii_redact,
@@ -3476,6 +3489,27 @@ SELECT doc_id, source, source_rank::INT AS source_rank FROM (
          ) AS source_rank
   FROM documents
 ) WHERE source_rank <= 15
+""",
+        # A-Res weighted draw: rank by ln(u)/w == u^(1/w), top-20 per lang
+        "sample_weighted": """
+WITH h AS (
+  SELECT lang, doc_id, n_chars,
+         CAST('0x' || substr(md5(doc_id::VARCHAR || ':ws1'), 1, 15) AS BIGINT)
+           AS h60
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT lang, doc_id, n_chars, h60,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ln((h60 + 1)::DOUBLE / 1152921504606846977.0)
+                    / n_chars DESC, doc_id
+         ) AS rk
+  FROM h
+)
+SELECT lang, doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars, h60,
+       rk::BIGINT AS rk
+FROM r WHERE rk <= 20
 """,
         # per-stratum md5 coin: en 0.5 / de 0.2 / fr 0.1, others dropped
         "sample_stratified": f"""

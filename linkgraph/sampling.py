@@ -270,3 +270,54 @@ def chunk_fill_report(
         )
         .alias("waste_frac"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    strata_col: str | None = None,
+    seed: str = "ws1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``k`` items per stratum (or globally) drawn with probability
+    proportional to ``weight_col`` — Efraimidis & Spirakis A-Res
+    (IPL 2006): each item draws uniform u and is ranked by u^(1/w);
+    the top-k by that key is exactly a weighted draw without
+    replacement.
+
+    The uniform is the md5-hash integer of (id, seed) scaled to (0, 1),
+    so the draw is reproducible and both engines rank identically; the
+    ranking key rides ln(u)/w (monotone in u^(1/w), avoids pow). One
+    window per stratum — a single shuffle on the stratum key; global
+    mode uses one partition only for the FINAL top-k rank, so cap k
+    accordingly (per-stratum is the scale path, matching how mixtures
+    are drawn per language/source).
+
+    -> input columns + (h60, rk): the 60-bit hash driving the draw and
+    the 1-based rank within the stratum.
+    """
+    assert k >= 1
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    # u in (0,1): (h60+1)/(2^60+1); key = ln(u)/w, top-k DESCENDING
+    u = (h60 + F.lit(1).cast("double")) / F.lit(float(2**60 + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    part = (
+        Window.partitionBy(strata_col) if strata_col is not None
+        else Window.partitionBy()
+    )
+    w = part.orderBy(key.desc(), F.col(id_col))
+    out = (
+        docs.where(F.col(weight_col) > 0)
+        .withColumn("h60", h60)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+    return out

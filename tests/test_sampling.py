@@ -155,3 +155,55 @@ def test_assign_shards_deterministic_and_balanced(spark):
     rep = {r["shard"]: r for r in sampling.shard_balance_report(docs, 16).collect()}
     assert sum(r["n_docs"] for r in rep.values()) == 800
     assert all(20 <= r["n_docs"] <= 90 for r in rep.values())  # roughly uniform
+
+
+def test_weighted_sample_matches_python_ares(spark):
+    """weighted_sample == a literal python A-Res replica (same md5
+    uniforms, ln(u)/w ranking, id tie-break), per stratum."""
+    import hashlib
+    import math
+
+    from linkgraph.sampling import weighted_sample
+
+    rows = [(i, "s%d" % (i % 3), (i * 37) % 11 + 1) for i in range(60)]
+    rows.append((99, "s0", 0))  # w == 0: excluded from the draw
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"{i}:ws1".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / (2**60 + 1)) / w
+
+    want = {}
+    by_stratum = {}
+    for i, s, w in rows:
+        if w > 0:
+            by_stratum.setdefault(s, []).append((i, w))
+    K = 4
+    for s, items in by_stratum.items():
+        ranked = sorted(items, key=lambda t: (-key(t[0], t[1]), t[0]))
+        for rk, (i, _) in enumerate(ranked[:K], start=1):
+            want[(s, i)] = rk
+
+    got = {
+        (r["lang"], r["doc_id"]): r["rk"]
+        for r in weighted_sample(
+            df, k=K, weight_col="n_chars", strata_col="lang"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_items(spark):
+    """Across 40 independent seeds, an item with 30x the weight must be
+    drawn into the k=1 slot far more often (law-of-large-numbers check
+    on P ~ w_i / sum w for the first A-Res draw)."""
+    from linkgraph.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, 30), (1, 1), (2, 1), (3, 1)], "doc_id long, n_chars long"
+    )
+    wins = {i: 0 for i in range(4)}
+    for s in range(40):
+        top = weighted_sample(df, k=1, seed="t%d" % s).collect()[0]
+        wins[top["doc_id"]] += 1
+    assert wins[0] >= 25  # E[wins0] = 40 * 30/33 ~ 36
