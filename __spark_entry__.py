@@ -380,6 +380,21 @@ def q_graph_labelprop2(spark, sf_dir):
     return label_propagation(spark, edges, tpcgraph.vertices_of(edges), iterations=2)
 
 
+def q_graph_modularity(spark, sf_dir):
+    """Newman-Girvan modularity terms of the 2-round label-propagation
+    communities on the sparse order graph — per-community q_c = m_c/m -
+    (d_c/2m)^2, so the partition's Q is the column sum. Composition:
+    label_propagation feeds modularity, the same operator chain a
+    community-detection pipeline ships."""
+    from linkgraph.graph import modularity
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    labels = label_propagation(
+        spark, edges, tpcgraph.vertices_of(edges), iterations=2
+    )
+    return modularity(edges, labels)
+
+
 def q_graph_triangles(spark, sf_dir):
     edges = tpcgraph.supplier_copart_edges(spark, sf_dir)
     return triangle_counts(spark, edges, tpcgraph.vertices_of(edges))
@@ -1969,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_complexity_multi": q_graph_complexity_multi,
         "checkpoint_manifest": q_checkpoint_manifest,
         "graph_labelprop2": q_graph_labelprop2,
+        "graph_modularity": q_graph_modularity,
         "graph_triangles": q_graph_triangles,
         "graph_lcc": q_graph_lcc,
         "graph_ktruss": q_graph_ktruss,
@@ -2832,6 +2848,35 @@ WITH {_SEDGES},
 l0 AS (SELECT id, id AS label FROM sverts)
 {',' + _lp_round('l0', 'l1') + ',' + _lp_round('l1', 'l2')}
 SELECT id, label FROM l2
+""",
+        "graph_modularity": f"""
+WITH {_SEDGES},
+l0 AS (SELECT id, id AS label FROM sverts)
+{',' + _lp_round('l0', 'l1') + ',' + _lp_round('l1', 'l2')},
+ue AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+       FROM und WHERE u <> v),
+mm AS (SELECT count(*)::DOUBLE AS m FROM ue),
+deg AS (
+  SELECT id, count(*) AS deg
+  FROM (SELECT a AS id FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1
+),
+ds AS (
+  SELECT l.label, count(*) AS n_nodes, sum(coalesce(d.deg, 0)) AS degree_sum
+  FROM l2 l LEFT JOIN deg d ON l.id = d.id GROUP BY 1
+),
+ie AS (
+  SELECT la.label, count(*) AS intra
+  FROM ue JOIN l2 la ON ue.a = la.id JOIN l2 lb ON ue.b = lb.id
+  WHERE la.label = lb.label GROUP BY 1
+)
+SELECT ds.label, ds.n_nodes::BIGINT AS n_nodes,
+       coalesce(ie.intra, 0)::BIGINT AS intra_edges,
+       ds.degree_sum::BIGINT AS degree_sum,
+       round(coalesce(ie.intra, 0)::DOUBLE / (SELECT m FROM mm)
+             - (ds.degree_sum::DOUBLE / (2 * (SELECT m FROM mm)))
+               * (ds.degree_sum::DOUBLE / (2 * (SELECT m FROM mm))), 9)
+         AS q_term9
+FROM ds LEFT JOIN ie ON ds.label = ie.label
 """,
         "graph_ktruss": """
 WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

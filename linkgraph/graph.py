@@ -399,3 +399,67 @@ def snapshot_diff(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
         .otherwise(F.lit("added"))
         .alias("status"),
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """edges(src, dst) + labels(id, label) -> per-community
+    (label, n_nodes, intra_edges, degree_sum, q_term9) over the
+    UNDIRECTED simple graph: Newman-Girvan modularity terms
+    q_c = m_c/m - (d_c/(2m))^2, so Q = sum(q_term9). The community-
+    quality score for a label-propagation / host partition — the
+    companion metric to :func:`conductance` (cut-based) on the
+    fraction-of-edges side.
+
+    Shape: one canonical-pair projection (least/greatest), degree from
+    the exploded incidence, two dictionary joins to tag endpoint labels,
+    one groupBy per aggregate — all hash exchanges on bounded keys; the
+    label map broadcasts when communities come from a quotient. The
+    q_term arithmetic is written with an explicit x*x square so the SQL
+    oracle evaluates the identical IEEE expression.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    mm = e.agg(F.count("*").cast("double").alias("m"))
+    inc = e.select(F.col("u").alias("id")).unionAll(
+        e.select(F.col("v").alias("id"))
+    )
+    deg = inc.groupBy("id").agg(F.count("*").alias("deg"))
+    la = labels.select("id", "label")
+    dsum = (
+        la.join(deg, "id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("deg", F.lit(0))).cast("long").alias("degree_sum"),
+        )
+    )
+    lu = la.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = la.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    half = F.col("degree_sum").cast("double") / (2.0 * F.col("m"))
+    return (
+        dsum.join(intra, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("intra_edges", F.lit(0)).cast("double") / F.col("m")
+                - half * half,
+                9,
+            ).alias("q_term9"),
+        )
+    )

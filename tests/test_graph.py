@@ -243,3 +243,45 @@ def test_conductance_two_communities(spark):
     for k in (0, 1):
         assert (got[k]["vol"], got[k]["cut"]) == (7, 1)
         assert got[k]["conductance"] == round(1 / 7, 6)
+
+
+def test_modularity_matches_networkx(spark):
+    """sum(q_term9) == nx.community.modularity on a random partition;
+    per-community terms match a literal python replica."""
+    import random
+
+    import networkx as nx
+
+    from linkgraph.graph import modularity
+
+    rng = random.Random(13)
+    n = 40
+    epairs = set()
+    while len(epairs) < 120:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            epairs.add((min(u, v), max(u, v)))
+    label = {i: i % 5 for i in range(n)}
+
+    edges = spark.createDataFrame(sorted(epairs), "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, label[i]) for i in range(n)], "id long, label long"
+    )
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+
+    g = nx.Graph(sorted(epairs))
+    g.add_nodes_from(range(n))
+    comms = [{i for i in range(n) if label[i] == c} for c in range(5)]
+    want_q = nx.community.modularity(g, comms)
+    got_q = sum(r["q_term9"] for r in rows.values())
+    assert abs(got_q - want_q) < 1e-6
+
+    m = len(epairs)
+    for c in range(5):
+        mc = sum(1 for (u, v) in epairs if label[u] == c and label[v] == c)
+        dc = sum(g.degree(i) for i in range(n) if label[i] == c)
+        r = rows[c]
+        assert r["n_nodes"] == sum(1 for i in range(n) if label[i] == c)
+        assert r["intra_edges"] == mc
+        assert r["degree_sum"] == dc
+        assert abs(r["q_term9"] - (mc / m - (dc / (2 * m)) ** 2)) < 1e-8
