@@ -804,6 +804,28 @@ def q_text_langid(spark, sf_dir):
     return textops.langid(_docs(spark, sf_dir))
 
 
+def q_text_langid_confusion(spark, sf_dir):
+    """Language-ID eval: confusion matrix of the stopword-vote predictor
+    against the stored lang label, with per-true-lang recall — the
+    quality gate you run on a classifier before trusting it to route a
+    100 TB corpus."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pred = textops.langid(docs)
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    counts = j.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang", "lang_pred", "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("recall6"),
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (map-only array lambdas)."""
     return textops.repetition(_docs(spark, sf_dir))
@@ -1659,6 +1681,35 @@ def q_rel_top_customers(spark, sf_dir):
     )
 
 
+def q_rel_ship_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer |X| orders |X| lineitem,
+    revenue per order, top 10 — the classic 3-way join + agg + top-k
+    plan (broadcast dims, one shuffle on the fact key)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def q_mm_payload(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     payload = F.encode(F.col("text"), "UTF-8")
@@ -2009,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_langid_confusion": q_text_langid_confusion,
         "text_repetition": q_text_repetition,
         "text_c4_clean": q_text_c4_clean,
         "source_report": q_source_report,
@@ -2079,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
+        "rel_ship_priority": q_rel_ship_priority,
         "mm_payload": q_mm_payload,
         "mm_features": q_mm_features,
     }
@@ -3435,6 +3488,35 @@ SELECT doc_id,
        ELSE 'fr' END AS lang_pred
 FROM cnts
 """,
+        "text_langid_confusion": f"""
+WITH {_TOKS},
+cnts AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN {sw['de']})) AS cde,
+    len(list_filter(t, x -> x IN {sw['en']})) AS cen,
+    len(list_filter(t, x -> x IN {sw['es']})) AS ces,
+    len(list_filter(t, x -> x IN {sw['fr']})) AS cfr
+  FROM toks
+),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+         WHEN cde = greatest(cde, cen, ces, cfr) THEN 'de'
+         WHEN cen = greatest(cde, cen, ces, cfr) THEN 'en'
+         WHEN ces = greatest(cde, cen, ces, cfr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM cnts
+),
+cm AS (
+  SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n_docs,
+       round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang), 6)
+         AS recall6
+FROM cm
+""",
         # same vote plus (best - runner-up)/n_tokens confidence margin
         "text_langid_scores": f"""
 WITH {_TOKS},
@@ -4525,6 +4607,19 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY 1, 2
+""",
+        "rel_ship_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
 """,
         "rel_top_customers": """
 SELECT c_mktsegment,
