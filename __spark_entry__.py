@@ -222,6 +222,32 @@ def q_graph_pagerank2_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_pagerank2_incremental(spark, sf_dir):
+    """Crawl-refresh path: the blocked store is built on a STALE graph
+    (real edges with (src+dst)%7==0 held out, spurious reversed edges
+    mixed in), then update_blocked applies the delta — only touched db
+    partitions rewritten, out-degrees patched positionally — and two
+    supersteps run against the SAME full-graph SQL oracle as
+    graph_pagerank2: the incremental store must be indistinguishable
+    from a from-scratch build."""
+    from linkgraph.pagerank_csr import update_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    a = edges.where((F.col("src") + F.col("dst")) % 7 == 0)
+    r = edges.where(F.col("src") % 3 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    base = edges.join(a, ["src", "dst"], "left_anti").unionByName(r)
+    g = build_blocked(spark, base, verts.select("id"), n_blocks=8)
+    g2 = update_blocked(spark, g, added=a, removed=r)
+    res = pagerank_blocked(spark, g2, tol=0.0, max_iter=2)
+    out = res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+    out = out.localCheckpoint()  # materialize before the store is unpinned
+    g2.unpersist()
+    return out
+
+
 def q_graph_hits2(spark, sf_dir):
     """Two HITS rounds (hubs & authorities, L1-normalized per half-step)
     against the same unrolled-SQL oracle style as graph_pagerank2."""
@@ -2020,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank2": q_graph_pagerank2,
         "graph_ppr2": q_graph_ppr2,
         "graph_trustrank": q_graph_trustrank,
+        "graph_pagerank2_incremental": q_graph_pagerank2_incremental,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
         "graph_kcore": q_graph_kcore,
@@ -2593,6 +2620,19 @@ LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
 LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY 1) i ON v.id = i.dst
 """,
         "graph_pagerank2": f"""
+WITH {_EDGES},
+nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+outd AS (
+  SELECT v.id, coalesce(o.c, 0) AS od FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) o ON v.id = o.src
+),
+r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS r FROM outd)
+{',' + _pr_round('r0', 'r1') + ',' + _pr_round('r1', 'r2')}
+SELECT id, round(r, 9) AS rank9 FROM r2
+""",
+        # the incrementally-updated store must compute exactly what the
+        # full-graph SQL says — same oracle as graph_pagerank2
+        "graph_pagerank2_incremental": f"""
 WITH {_EDGES},
 nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
 outd AS (

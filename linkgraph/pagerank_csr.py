@@ -163,6 +163,11 @@ def build_blocked(
             else "/tmp/linkgraph-blocks"
         )
         store_path = f"{base}/{build_token}"
+    else:
+        # rebuilding a NAMED store in place: drop the previous build's
+        # decoded-edge sidecars (correctness rides the token-keyed dirs;
+        # this is garbage collection so dead builds don't accumulate)
+        shutil.rmtree(f"{store_path}/npy", ignore_errors=True)
 
     if blocking == "range":
         # block = id div ceil(span / B), clamped — long arithmetic (ids may
@@ -298,6 +303,264 @@ def build_blocked(
     )
 
 
+def update_blocked(
+    spark,
+    g: BlockedGraph,
+    added: DataFrame | None = None,
+    removed: DataFrame | None = None,
+    new_vertices: DataFrame | None = None,
+    fingerprint: dict | None = None,
+) -> BlockedGraph:
+    """Incremental store update: apply an edge delta (plus optional new
+    vertices) to a built block store WITHOUT re-compacting the full edge
+    set — the crawl-refresh path. A daily web delta touches a small
+    fraction of destination blocks; rebuilding a multi-billion-edge
+    store for it is the cost this avoids: only the db partitions that
+    the delta touches are rewritten (Spark dynamic partition overwrite),
+    block metadata is patched positionally (out-degree deltas ride a
+    sparse per-block map; new vertices append to their block's local
+    order), and everything else is untouched bytes.
+
+    Semantics (simple-graph): ``added``/``removed`` are (src, dst) sets;
+    removing an absent edge or adding a present one is a no-op (the
+    delta is normalized against the stored rows, so out-degrees stay
+    exact). New vertices get locals AFTER all existing ones in their
+    block — existing (block, local) coordinates never move, which is
+    what makes the positional od patch and the untouched partitions
+    sound. Hash blocking only for ``new_vertices`` (a range build does
+    not persist its bucket width; rebuild instead).
+
+    The returned graph has a FRESH build token: worker edge caches and
+    decoded .npy sidecars key on it, so no worker can serve the previous
+    build's bytes (the same isolation a full rebuild gets); the old
+    token's sidecar dir under the store is garbage-collected.
+
+    Invariant (tested): pagerank over the updated store == pagerank over
+    a from-scratch build of the post-delta graph.
+    """
+    store_path = g.store_path
+    with open(f"{store_path}/_info.json") as f:
+        info = json.load(f)
+    new_token = uuid.uuid4().hex
+
+    # --- vertex extension -------------------------------------------------
+    vmap = g.vmap
+    n_new = 0
+    if new_vertices is not None:
+        if info.get("blocking") != "hash":
+            raise ValueError(
+                "update_blocked supports new_vertices only for hash-blocked "
+                "stores (a range build's bucket width is not persisted)"
+            )
+        nv = new_vertices.select("id").distinct().join(
+            vmap.select("id"), "id", "left_anti"
+        )
+        sizes_old = vmap.groupBy("block").agg(F.count("*").alias("sz"))
+        wnew = Window.partitionBy("block").orderBy("id")
+        nv_map = (
+            nv.select(
+                "id", F.pmod(F.col("id"), F.lit(g.n_blocks)).cast("int").alias("block")
+            )
+            .withColumn("rn", F.row_number().over(wnew) - 1)
+            .join(sizes_old, "block", "left")
+            .select(
+                "id", "block",
+                (F.coalesce("sz", F.lit(0)) + F.col("rn")).cast("long").alias("local"),
+            )
+        )
+        vmap = vmap.unionByName(nv_map).persist()
+        n_new = vmap.count() - g.n  # materializes the union once
+    n2 = g.n + n_new
+
+    # --- normalize the delta against stored rows --------------------------
+    src_map = vmap.select(
+        F.col("id").alias("src"), F.col("block").alias("sb"),
+        F.col("local").alias("sl"),
+    )
+    dst_map = vmap.select(
+        F.col("id").alias("dst"), F.col("block").alias("db"),
+        F.col("local").alias("dl"),
+    )
+
+    def _mapped(delta: DataFrame | None, what: str) -> DataFrame | None:
+        if delta is None:
+            return None
+        d = delta.select("src", "dst").distinct()
+        m = d.join(src_map, "src").join(dst_map, "dst").select(
+            F.col("sb").cast("int").alias("sb"),
+            F.col("db").cast("int").alias("db"),
+            F.col("sl").cast("int").alias("sl"),
+            F.col("dl").cast("int").alias("dl"),
+        ).persist()
+        n_in, n_m = d.count(), m.count()
+        if n_in != n_m:
+            m.unpersist()
+            raise ValueError(
+                f"{what}: {n_in - n_m} of {n_in} delta edges reference ids "
+                "absent from the store's vertex map (pass new_vertices)"
+            )
+        return m
+
+    add_m = _mapped(added, "added")
+    rem_m = _mapped(removed, "removed")
+    if add_m is None and rem_m is None and n_new == 0:
+        raise ValueError("update_blocked: empty delta")
+
+    # --- rewrite only the touched db partitions ---------------------------
+    both = [x for x in (add_m, rem_m) if x is not None]
+    if both:
+        delta_all = (
+            both[0] if len(both) == 1 else both[0].unionByName(both[1])
+        )
+        touched = sorted(
+            r["db"] for r in delta_all.select("db").distinct().collect()
+        )
+    else:
+        touched = []
+    add_eff = rem_eff = None
+    if touched:
+        old_rows = spark.read.parquet(f"{store_path}/edges").where(
+            F.col("db").isin(touched)
+        ).select("db", "sb", "sl", "dl")
+        # normalize: drop removals of absent rows / additions of present
+        # rows so the od patch below matches what the partitions now hold
+        # localCheckpoint (NOT persist): the overwrite below triggers
+        # recacheByPath on the store, which would RECOMPUTE a merely
+        # persisted plan from the rewritten files — the normalized delta
+        # would silently evaluate empty. A checkpoint severs the lineage.
+        if rem_m is not None:
+            rem_eff = rem_m.join(
+                old_rows, ["db", "sb", "sl", "dl"], "left_semi"
+            ).localCheckpoint()
+            new_rows = old_rows.join(
+                rem_m, ["db", "sb", "sl", "dl"], "left_anti"
+            )
+        else:
+            new_rows = old_rows
+        if add_m is not None:
+            add_eff = add_m.join(
+                old_rows, ["db", "sb", "sl", "dl"], "left_anti"
+            ).localCheckpoint()
+            new_rows = new_rows.unionByName(add_eff)
+        # sever lineage from the files about to be overwritten: the write
+        # below replaces the very partitions new_rows reads
+        new_rows = new_rows.localCheckpoint()
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                new_rows.repartition("db")
+                .sortWithinPartitions("db", "sb", "sl")
+                .write.mode("overwrite")
+                .partitionBy("db")
+                .parquet(f"{store_path}/edges")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    # --- patch block metadata positionally --------------------------------
+    effs = [x for x in (add_eff, rem_eff) if x is not None]
+    if effs:
+        signed = [
+            e.select("sb", "sl", F.lit(s).alias("d"))
+            for e, s in ((add_eff, 1), (rem_eff, -1)) if e is not None
+        ]
+        sd = signed[0] if len(signed) == 1 else signed[0].unionByName(signed[1])
+        dmap = (
+            sd.groupBy("sb", "sl").agg(F.sum("d").cast("int").alias("d"))
+            .where(F.col("d") != 0)
+            .groupBy(F.col("sb").alias("block"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("sl").cast("int"), F.col("d")))
+                ).alias("dm")
+            )
+        )
+    else:
+        dmap = None
+
+    sizes_new = vmap.groupBy("block").agg(F.count("*").cast("int").alias("sz2"))
+    bm = g.block_meta.join(sizes_new, "block", "right").select(
+        "block", "sz2",
+        F.coalesce("od", F.array().cast("array<int>")).alias("od"),
+    )
+    # append zero out-degree slots for this update's new locals
+    bm = bm.select(
+        "block", "sz2",
+        F.concat(
+            "od",
+            F.array_repeat(F.lit(0).cast("int"), F.col("sz2") - F.size("od")),
+        ).alias("od"),
+    )
+    if dmap is not None:
+        bm = bm.join(dmap, "block", "left").select(
+            "block", "sz2",
+            F.when(F.col("dm").isNull(), F.col("od")).otherwise(
+                F.transform(
+                    "od",
+                    lambda x, i: x
+                    + F.coalesce(
+                        F.element_at(F.col("dm"), i.cast("int")), F.lit(0)
+                    ),
+                )
+            ).alias("od"),
+        )
+    # materialized now: the plan reads the OLD _meta sidecar, which the
+    # sidecar write below overwrites in place
+    block_meta = bm.select(
+        "block", F.col("sz2").alias("size"), "od"
+    ).localCheckpoint()
+    n_dangling = int(
+        block_meta.agg(
+            F.sum(F.size(F.filter("od", lambda x: x == 0)))
+        ).collect()[0][0]
+        or 0
+    )
+
+    # --- pair index: touched dbs re-derived, the rest carried over --------
+    dsizes = block_meta.select(
+        F.col("block").alias("db"), F.col("size").alias("dsize")
+    )
+    kept = g.pair_index.select("sb", "db").where(~F.col("db").isin(touched))
+    fresh = (
+        spark.read.parquet(f"{store_path}/edges")
+        .where(F.col("db").isin(touched))
+        .select("sb", "db")
+        .distinct()
+    ) if touched else None
+    pairs = kept if fresh is None else kept.unionByName(fresh)
+    # materialized for the same reason: kept reads the OLD _pairs sidecar
+    pair_index = pairs.join(dsizes, "db").localCheckpoint()
+
+    # --- persist sidecars + info ------------------------------------------
+    if info.get("sidecars", False):
+        vmap = vmap.localCheckpoint()  # plan may read the OLD _vmap
+        block_meta.write.mode("overwrite").parquet(f"{store_path}/_meta")
+        vmap.write.mode("overwrite").parquet(f"{store_path}/_vmap")
+        pair_index.write.mode("overwrite").parquet(f"{store_path}/_pairs")
+    info.update(
+        n=n2, n_dangling=n_dangling, build_token=new_token,
+        fingerprint=fingerprint or info.get("fingerprint") or {},
+    )
+    tmp = f"{store_path}/_info.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, f"{store_path}/_info.json")
+    # GC the previous build's decoded sidecars (correctness rides tokens)
+    shutil.rmtree(f"{store_path}/npy/{g.build_token}", ignore_errors=True)
+    for x in (add_m, rem_m, add_eff, rem_eff):
+        if x is not None:
+            x.unpersist()
+    return BlockedGraph(
+        store_path, new_token, pair_index, vmap, block_meta, n2, n_dangling,
+        g.n_blocks, info["fingerprint"],
+    )
+
+
 def load_blocked(spark, store_path: str) -> BlockedGraph:
     """Reopen a block store written by build_blocked (no recompute)."""
     with open(f"{store_path}/_info.json") as f:
@@ -341,7 +604,12 @@ def _npy_cache_dir(store_path: str, token: str) -> str:
         d = f"{env}/{token}"
         os.makedirs(d, exist_ok=True)
         return d
-    d = f"{store_path}/npy"
+    # token-keyed like the env path: a store REBUILT or UPDATED in place
+    # (main.py fingerprint-mismatch rebuild, update_blocked) must never
+    # serve the previous build's decoded edges — the offs/e sidecar file
+    # check in _load_block is presence-based, so a shared un-keyed dir
+    # would silently hand back the stale graph
+    d = f"{store_path}/npy/{token}"
     try:
         os.makedirs(d, exist_ok=True)
         return d
