@@ -262,6 +262,17 @@ def q_graph_hits2(spark, sf_dir):
     )
 
 
+def q_graph_katz2(spark, sf_dir):
+    """Two unrolled Katz-centrality rounds (alpha=0.05, beta=1): the
+    attenuated-walk-count centrality, same join+sum superstep shape as
+    PageRank, against round-for-round SQL."""
+    from linkgraph.hits import katz
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    out = katz(spark, edges, tpcgraph.vertices_of(edges), iterations=2)
+    return out.select("id", F.round("katz", 9).alias("katz9"))
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity over the customer->supplier edges plus a deterministic
     reversed slice (the pure bipartite graph has none, so the fixture
@@ -2049,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank2_incremental": q_graph_pagerank2_incremental,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
+        "graph_katz2": q_graph_katz2,
         "graph_kcore": q_graph_kcore,
         "graph_bfs3": q_graph_bfs3,
         "graph_cocitation": q_graph_cocitation,
@@ -2706,6 +2718,27 @@ h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts)
 ,{_hits_half('a2', 'h2', 'hub')}
 SELECT h2.id, round(h2.hub, 9) AS hub9, round(a2.authority, 9) AS auth9
 FROM h2 JOIN a2 ON h2.id = a2.id
+""",
+        "graph_katz2": f"""
+WITH {_EDGES},
+k0 AS (SELECT id, 1.0 AS katz FROM verts),
+c1 AS (
+  SELECT e.dst AS id, sum(p.katz) AS c FROM edges e
+  JOIN k0 p ON e.src = p.id GROUP BY 1
+),
+k1 AS (
+  SELECT v.id, 1.0 + 0.05 * coalesce(c1.c, 0.0) AS katz
+  FROM verts v LEFT JOIN c1 ON v.id = c1.id
+),
+c2 AS (
+  SELECT e.dst AS id, sum(p.katz) AS c FROM edges e
+  JOIN k1 p ON e.src = p.id GROUP BY 1
+),
+k2 AS (
+  SELECT v.id, 1.0 + 0.05 * coalesce(c2.c, 0.0) AS katz
+  FROM verts v LEFT JOIN c2 ON v.id = c2.id
+)
+SELECT id, round(katz, 9) AS katz9 FROM k2
 """,
         "graph_cocitation": f"""
 WITH {_SEDGES},

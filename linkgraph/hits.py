@@ -101,3 +101,48 @@ def hits_oracle(
         s = sum(h.values())
         h = {v: (x / s if s > 0 else 0.0) for v, x in h.items()}
     return {v: (h[v], a[v]) for v in nodes}
+
+
+def katz(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 2,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+) -> DataFrame:
+    """Katz centrality, fixed unrolled iterations (Katz '53): x0 = beta;
+    x_{k+1}(v) = beta + alpha * sum over in-edges (u,v) of x_k(u) — the
+    attenuated count of walks of every length ending at v. The damped
+    cousin of eigenvector centrality that stays finite on DAG-ish crawl
+    graphs (alpha below 1/lambda_max converges; a FIXED iteration count
+    keeps it SQL-replicable round for round, like graph_pagerank2).
+
+    Each round is one join + one sum keyed on dst — a PageRank-superstep
+    shuffle signature; the whole run is one lazy plan (truncate_plan per
+    round, no driver actions).
+
+    -> (id, katz) UNNORMALIZED (beta sets the scale), so the oracle
+    needs no global normalizer.
+    """
+    x = vertices.select("id", F.lit(float(beta)).alias("katz"))
+    e = edges.select("src", "dst")
+    for _ in range(iterations):
+        contrib = (
+            e.join(x.select(F.col("id").alias("src"), "katz"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("katz").alias("c"))
+        )
+        x = truncate_plan(
+            vertices.select("id")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(float(beta))
+                    + F.lit(float(alpha)) * F.coalesce("c", F.lit(0.0))
+                ).alias("katz"),
+            ),
+            eager=False,
+        )
+    return x

@@ -75,3 +75,37 @@ def test_hits_dangling_rows(spark):
     assert got[2]["hub"] == 0.0 and got[2]["authority"] == 0.0
     assert math.isclose(sum(r["hub"] for r in got.values()), 1.0)
     assert math.isclose(sum(r["authority"] for r in got.values()), 1.0)
+
+
+def test_katz_matches_python_replica(spark):
+    """katz == beta + alpha*A^T x unrolled, on a random digraph, at a
+    deeper iteration count than the oracle row exercises."""
+    import random
+
+    from linkgraph.hits import katz
+
+    rng = random.Random(21)
+    n = 30
+    pairs = set()
+    while len(pairs) < 90:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            pairs.add((u, v))
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+    alpha, beta, iters = 0.05, 1.0, 5
+    x = {i: beta for i in range(n)}
+    for _ in range(iters):
+        nxt = {i: beta for i in range(n)}
+        for u, v in pairs:
+            nxt[v] += alpha * x[u]
+        x = nxt
+
+    got = {
+        r["id"]: r["katz"]
+        for r in katz(spark, edges, verts, iterations=iters).collect()
+    }
+    assert set(got) == set(x)
+    for v in x:
+        assert abs(got[v] - x[v]) < 1e-9, v
