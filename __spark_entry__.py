@@ -36,6 +36,7 @@ from linkgraph.pagerank import pagerank  # noqa: E402
 from linkgraph.pagerank_csr import build_blocked, pagerank_blocked  # noqa: E402
 from linkgraph.quotient import node_induced_subgraph, quotient_edges  # noqa: E402
 from linkgraph.scc import strongly_connected_components  # noqa: E402
+from linkgraph.sketches import hll_sql as _hll_sql  # noqa: E402
 from linkgraph.triangles import triangle_counts  # noqa: E402
 
 SPARSE_MIN_TOTAL = 490_000.0  # keeps the CC/LP/complexity oracle closures small
@@ -1396,6 +1397,36 @@ def q_text_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), width=12)
 
 
+def q_sketch_hll_vocab(spark, sf_dir):
+    """Per-language distinct-bigram count via a PORTABLE HyperLogLog (md5-bit
+    registers identical in Spark and DuckDB — unlike the engines' own
+    approx_count_distinct sketches, this estimate is oracle-checkable to
+    the rounded digit), reported against the exact distinct with its
+    relative error."""
+    from linkgraph.sketches import hll_distinct
+
+    docs = _docs(spark, sf_dir)
+    t = textops.tokens_col(F.col("text"))
+    m = F.size(t) - 1
+    grams = F.zip_with(
+        F.slice(t, 1, m), F.slice(t, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    toks = docs.where(F.size(t) >= 2).select(
+        "lang", F.explode(grams).alias("tok")
+    )
+    est = hll_distinct(toks, ["lang"], F.col("tok"), b=8)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "lang").select(
+        "lang", "nonempty_buckets", "hll_estimate4", "n_exact",
+        F.round(
+            (F.col("hll_estimate4") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err6"),
+    )
+
+
 def q_text_winnowing(spark, sf_dir):
     """Winnowing fingerprint selection (MOSS, Schleimer et al. SIGMOD'03):
     per-window min k-gram hash, rightmost tie — the deterministic
@@ -2135,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "text_repeated_spans": q_text_repeated_spans,
         "text_winnowing": q_text_winnowing,
+        "sketch_hll_vocab": q_sketch_hll_vocab,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "extract_anchor_corpus": q_extract_anchor_corpus,
         "sample_mixture": q_sample_mixture,
@@ -3856,6 +3888,24 @@ FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         "text_winnowing": f"""
 WITH {_TOKS},{_winnow_sel(4, 5)}
 SELECT doc_id, pos, fp FROM wsel
+""",
+        # the oracle's register math is GENERATED from the same constants
+        # as the engine's (linkgraph.sketches.hll_sql) — no drift possible
+        "sketch_hll_vocab": f"""
+WITH {_TOKS},
+tok AS (
+  SELECT d.lang AS lang,
+         unnest(list_transform(range(1, len(tk.t)),
+                               i -> tk.t[i] || ' ' || tk.t[i + 1])) AS tok
+  FROM toks tk JOIN documents d ON tk.doc_id = d.doc_id
+  WHERE len(tk.t) >= 2
+),
+{_hll_sql("lang", "tok", "FROM tok")},
+ex AS (SELECT lang AS k, count(DISTINCT tok) AS n_exact FROM tok GROUP BY 1)
+SELECT e.k AS lang, e.nonempty AS nonempty_buckets,
+       round(e.est, 4) AS hll_estimate4, ex.n_exact::BIGINT AS n_exact,
+       round((round(e.est, 4) - ex.n_exact) / ex.n_exact, 6) AS rel_err6
+FROM hll_est e JOIN ex ON e.k = ex.k
 """,
         "dedup_winnow_pairs": f"""
 WITH {_TOKS},{_winnow_sel(4, 5)},

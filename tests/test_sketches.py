@@ -1,0 +1,69 @@
+"""Portable HLL: register-exact vs a literal python replica; estimate
+within the published error bound (1.04/sqrt(m)) across cardinalities."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from linkgraph.sketches import hll_alpha, hll_distinct
+
+
+def hll_py(items, b=8):
+    """Flajolet et al. 2007, literally."""
+    m = 1 << b
+    width = 60 - b
+    regs = [0] * m
+    for it in items:
+        h = int(hashlib.md5(str(it).encode()).hexdigest()[:15], 16)
+        j = h & (m - 1)
+        w = h >> b
+        rho = (width + 1) if w == 0 else (width + 1 - w.bit_length())
+        regs[j] = max(regs[j], rho)
+    s = sum(1.0 / (1 << r) for r in regs)
+    e = hll_alpha(m) * m * m / s
+    v = regs.count(0)
+    if e <= 2.5 * m and v > 0:
+        e = float(m) * math.log(float(m) / v)
+    return sum(1 for r in regs if r > 0), e
+
+
+@pytest.mark.parametrize("n", [40, 500, 5000])
+def test_hll_matches_python_replica(spark, n):
+    items = [f"item-{i}" for i in range(n)] * 2  # duplicates: no effect
+    df = spark.createDataFrame([(x,) for x in items], "tok string")
+    row = hll_distinct(df, [], F.col("tok"), b=8).collect()
+    # keyless groupBy: one global row
+    assert len(row) == 1
+    nonempty, est = hll_py(items)
+    assert row[0]["nonempty_buckets"] == nonempty
+    assert abs(row[0]["hll_estimate4"] - round(est, 4)) < 1e-9
+
+
+@pytest.mark.parametrize("n", [100, 1000, 8000])
+def test_hll_error_bound(spark, n):
+    """|est - n| within 4 sigma, sigma = 1.04/sqrt(256) = 6.5%."""
+    df = spark.createDataFrame(
+        [(f"x{i}",) for i in range(n)], "tok string"
+    )
+    est = hll_distinct(df, [], F.col("tok"), b=8).collect()[0]["hll_estimate4"]
+    assert abs(est - n) / n < 4 * 1.04 / 16
+
+
+def test_hll_keyed_independence(spark):
+    """Per-key sketches equal the same sketch run on each key alone."""
+    rows = [("a", f"w{i}") for i in range(300)] + [
+        ("b", f"w{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, tok string")
+    both = {
+        r["k"]: r["hll_estimate4"]
+        for r in hll_distinct(df, ["k"], F.col("tok")).collect()
+    }
+    for k in ("a", "b"):
+        alone = hll_distinct(
+            df.where(F.col("k") == k), ["k"], F.col("tok")
+        ).collect()[0]["hll_estimate4"]
+        assert both[k] == alone
