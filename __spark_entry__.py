@@ -36,7 +36,10 @@ from linkgraph.pagerank import pagerank  # noqa: E402
 from linkgraph.pagerank_csr import build_blocked, pagerank_blocked  # noqa: E402
 from linkgraph.quotient import node_induced_subgraph, quotient_edges  # noqa: E402
 from linkgraph.scc import strongly_connected_components  # noqa: E402
-from linkgraph.sketches import hll_sql as _hll_sql  # noqa: E402
+from linkgraph.sketches import (  # noqa: E402
+    cms_sql as _cms_sql,
+    hll_sql as _hll_sql,
+)
 from linkgraph.triangles import triangle_counts  # noqa: E402
 
 SPARSE_MIN_TOTAL = 490_000.0  # keeps the CC/LP/complexity oracle closures small
@@ -1427,6 +1430,32 @@ def q_sketch_hll_vocab(spark, sf_dir):
     )
 
 
+def q_sketch_cms_tokens(spark, sf_dir):
+    """Heavy-hitter audit via a PORTABLE Count-Min sketch (d=4 x w=512,
+    md5 rows — same cross-engine determinism as the HLL): the exact
+    top-20 tokens point-queried against the sketch, with the
+    overestimate (CMS never undercounts; the oracle computes the same
+    cells, so the estimates match exactly)."""
+    from linkgraph.sketches import cms_estimate, cms_table
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(textops.tokens_col(F.col("text"))).alias("tok")
+    )
+    sk = cms_table(toks, F.col("tok"), d=4, w=512)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(sk, top.select("tok"), "tok", d=4, w=512)
+    return top.join(est, "tok").select(
+        "tok", "n_exact", "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).cast("long").alias("overestimate"),
+    )
+
+
 def q_text_winnowing(spark, sf_dir):
     """Winnowing fingerprint selection (MOSS, Schleimer et al. SIGMOD'03):
     per-window min k-gram hash, rightmost tie — the deterministic
@@ -2167,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repeated_spans": q_text_repeated_spans,
         "text_winnowing": q_text_winnowing,
         "sketch_hll_vocab": q_sketch_hll_vocab,
+        "sketch_cms_tokens": q_sketch_cms_tokens,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "extract_anchor_corpus": q_extract_anchor_corpus,
         "sample_mixture": q_sample_mixture,
@@ -3888,6 +3918,25 @@ FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         "text_winnowing": f"""
 WITH {_TOKS},{_winnow_sel(4, 5)}
 SELECT doc_id, pos, fp FROM wsel
+""",
+        "sketch_cms_tokens": f"""
+WITH {_TOKS},
+tok AS (SELECT unnest(t) AS tok FROM toks),
+{_cms_sql("tok", "FROM tok")},
+top AS (
+  SELECT tok, count(*)::BIGINT AS n_exact FROM tok
+  GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT 20
+),
+addr AS (
+  SELECT t.tok, t.n_exact, i.i AS rw,
+         (CAST('0x' || substr(md5(i.i::VARCHAR || ':' || t.tok), 1, 15)
+               AS BIGINT) % 512)::INT AS cl
+  FROM top t, (SELECT unnest(range(0, 4)) AS i) i
+)
+SELECT a.tok, a.n_exact, min(coalesce(cms.c, 0))::BIGINT AS cms_est,
+       (min(coalesce(cms.c, 0)) - a.n_exact)::BIGINT AS overestimate
+FROM addr a LEFT JOIN cms ON a.rw = cms.rw AND a.cl = cms.cl
+GROUP BY 1, 2
 """,
         # the oracle's register math is GENERATED from the same constants
         # as the engine's (linkgraph.sketches.hll_sql) — no drift possible

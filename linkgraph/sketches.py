@@ -130,3 +130,85 @@ hll_est AS (
          END AS est
   FROM hll_key
 )"""
+
+
+def cms_table(
+    df: DataFrame, item: Column, d: int = 4, w: int = 512
+) -> DataFrame:
+    """-> (row, col, c): a Count-Min sketch (Cormode & Muthukrishnan '05)
+    of the item multiset — d independent md5 hash rows, w counters each.
+    One projection exploding each occurrence into its d cells + one
+    groupBy: the sketch is d*w rows however large the input, and the
+    aggregation is map-side combinable (the classic mergeable-summary
+    shape — per-partition sketches union by cell addition).
+    """
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), item)), 1, 15),
+                    16, 10,
+                ).cast("long") % w
+            ).cast("int").alias("col"),
+        )
+        for i in range(d)
+    ])
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .select("cell.row", "cell.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """-> items + (cms_est): point-query the sketch for each item —
+    min over the d rows of the addressed counters. CMS NEVER
+    underestimates (each cell >= the item's true count), a property the
+    tests pin. The items side is small by use-case (candidate heavy
+    hitters), so the join broadcasts it against the d*w-row sketch.
+    """
+    addressed = items.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(F.lit(f"{i}:"), F.col(item_col))
+                                ),
+                                1, 15,
+                            ),
+                            16, 10,
+                        ).cast("long") % w
+                    ).cast("int").alias("col"),
+                )
+                for i in range(d)
+            ])
+        ).alias("cell"),
+    ).select("*", "cell.row", "cell.col").drop("cell")
+    return (
+        addressed.join(sketch, ["row", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
+def cms_sql(item_expr: str, from_clause: str, d: int = 4, w: int = 512) -> str:
+    """DuckDB twin of cms_table — generated from the same constants.
+    (Cell coordinates are named rw/cl: ROW is a DuckDB keyword.)"""
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS rw, "
+        f"(CAST('0x' || substr(md5('{i}:' || {item_expr}), 1, 15) AS BIGINT)"
+        f" % {w})::INT AS cl {from_clause}"
+        for i in range(d)
+    )
+    return f"""
+cms_cells AS ({rows}),
+cms AS (SELECT rw, cl, count(*)::BIGINT AS c FROM cms_cells GROUP BY 1, 2)"""

@@ -67,3 +67,51 @@ def test_hll_keyed_independence(spark):
             df.where(F.col("k") == k), ["k"], F.col("tok")
         ).collect()[0]["hll_estimate4"]
         assert both[k] == alone
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy(spark):
+    """CMS point estimates >= exact always; with n_items << d*w the
+    top item is exact (no collisions in at least one row, whp for this
+    fixed fixture)."""
+    from linkgraph.sketches import cms_estimate, cms_table
+
+    rows = (
+        [("hot",)] * 500
+        + [(f"warm{i}",) for i in range(10) for _ in range(20)]
+        + [(f"cold{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "tok string")
+    sk = cms_table(df, F.col("tok"), d=4, w=512)
+    exact = {r["tok"]: r["n"] for r in
+             df.groupBy("tok").agg(F.count("*").alias("n")).collect()}
+    items = df.select("tok").distinct()
+    est = {r["tok"]: r["cms_est"] for r in
+           cms_estimate(sk, items, "tok", d=4, w=512).collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert est[k] >= exact[k], k
+    assert est["hot"] == exact["hot"]
+
+
+def test_cms_matches_python_replica(spark):
+    from linkgraph.sketches import cms_estimate, cms_table
+
+    items = [f"t{i % 37}" for i in range(400)]
+    d, w = 4, 64  # small w: force collisions, exercise the min
+    df = spark.createDataFrame([(x,) for x in items], "tok string")
+    sk = cms_table(df, F.col("tok"), d=d, w=w)
+    est = {r["tok"]: r["cms_est"] for r in cms_estimate(
+        sk, df.select("tok").distinct(), "tok", d=d, w=w).collect()}
+
+    cells = {}
+    for it in items:
+        for i in range(d):
+            c = int(hashlib.md5(f"{i}:{it}".encode()).hexdigest()[:15], 16) % w
+            cells[(i, c)] = cells.get((i, c), 0) + 1
+    for it in set(items):
+        want = min(
+            cells[(i, int(hashlib.md5(f"{i}:{it}".encode())
+                          .hexdigest()[:15], 16) % w)]
+            for i in range(d)
+        )
+        assert est[it] == want, it
