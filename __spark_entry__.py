@@ -768,6 +768,30 @@ def q_stream_first_seen(spark, sf_dir):
     return spark.read.parquet(out).select("dst_url")
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState): the
+    events table replayed as a stream, per-user open-session state, and
+    every CLOSED session emitted (a later event proves it ended). Output
+    == batch gap-sessionization minus each user's final open session —
+    exactly what the SQL oracle computes."""
+    import tempfile
+
+    from linkgraph.streaming import run_available_now, stream_sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="lg-sess-q-")
+    src, out, ckpt = f"{tmp}/events", f"{tmp}/out", f"{tmp}/ckpt"
+    ev.select("event_id", "ts", "user_id").write.mode("overwrite").parquet(src)
+    sessions = stream_sessions(
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src),
+        gap_minutes=30,
+    )
+    run_available_now(sessions, out, ckpt)
+    return spark.read.parquet(out)
+
+
 STREAM_TS_BASE = "2024-01-01 00:00:00"
 
 
@@ -2156,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_links": q_stream_links,
         "stream_host_rates": q_stream_host_rates,
         "stream_first_seen": q_stream_first_seen,
+        "stream_sessions": q_stream_sessions,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -3444,6 +3469,31 @@ SELECT src_doc, j::INT AS pos,
 FROM l
 """,
         # stateful first-seen dedup == distinct link targets
+        # closed sessions = all gap-split sessions except each user's last
+        "stream_sessions": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+g AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*)::BIGINT AS n_events
+  FROM s GROUP BY 1, 2
+),
+lastsid AS (SELECT user_id, max(sid) AS m FROM g GROUP BY 1)
+SELECT g.user_id, g.session_start, g.session_end, g.n_events
+FROM g JOIN lastsid USING (user_id) WHERE g.sid < lastsid.m
+""",
         "stream_first_seen": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 l AS (

@@ -90,6 +90,82 @@ def stream_first_seen(links: DataFrame, key_col: str = "dst_url") -> DataFrame:
     )
 
 
+def stream_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CLOSED-session emission over an event stream — the second custom
+    stateful operator (``applyInPandasWithState``): per-user state is the
+    one OPEN session (start, last, count); a batch's events merge into it
+    in (ts, event_id) order, and every session that a later event proves
+    finished (next event > ``gap_minutes`` after its end) is emitted.
+    The open tail stays in state across micro-batches and is never
+    emitted — so the stream's output is exactly the batch sessionization
+    MINUS each user's final session, which is what the SQL oracle
+    computes (a stream cannot know the last session ended).
+
+    State is 3 int64s per active user — the bounded-state analogue of
+    events_sessions; timestamps ride as epoch micros in state (portable,
+    no tz ambiguity). Within a batch the merge is vectorized (numpy gap
+    split); cross-batch ordering follows arrival, the standard
+    at-the-watermark simplification.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def emit_closed(key, pdfs, state):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col]
+        )
+        ts_us = rows[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        bounds = np.where(np.diff(ts_us) > gap_us)[0] + 1
+        groups = np.split(ts_us, bounds)
+        sessions = []
+        if state.exists:
+            sessions.append(tuple(state.get))
+        sessions += [(int(g[0]), int(g[-1]), len(g)) for g in groups]
+        merged = [sessions[0]]
+        for s in sessions[1:]:
+            p = merged[-1]
+            if s[0] - p[1] <= gap_us:
+                merged[-1] = (p[0], max(p[1], s[1]), p[2] + s[2])
+            else:
+                merged.append(s)
+        closed, open_ = merged[:-1], merged[-1]
+        state.update(open_)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [c[0] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        emit_closed,
+        f"{user_col} long, session_start timestamp, "
+        "session_end timestamp, n_events long",
+        "start_us long, last_us long, n long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_into_iceberg(
     stream_df: DataFrame,
     table_location: str,

@@ -127,3 +127,73 @@ def test_stream_first_seen_incremental(spark, tmp_path):
         f"https://u.example/r{i}" for i in range(12)
     }
     assert set(got2) == want2
+
+
+def test_stream_sessions_across_batches(spark, tmp_path):
+    """Sessionization state spans micro-batches: a session continuing in
+    a later drain is NOT split, and a session the later drain proves
+    finished IS emitted then; open tails are never emitted."""
+    import datetime as dt
+
+    from linkgraph.streaming import stream_sessions
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10, minute)
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    # batch 1: u1 has two sessions (gap 40 > 30 min) — first closes NOW;
+    # second is the open tail. u2 has one open session.
+    b1 = [(1, t(0), 1), (2, t(5), 1), (3, t(45), 1), (4, t(0), 2)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    sess = stream_sessions(
+        spark.readStream.schema(schema).parquet(src), gap_minutes=30
+    )
+    run_available_now(sess, out, ckpt)
+    got1 = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {(1, t(0), t(5), 2)}
+
+    # batch 2: u1's 10:50 event EXTENDS the open session (45 -> 50, no
+    # split across the batch boundary); u2's 12:00 event closes u2's
+    # 10:00 one-event session.
+    b2 = [(5, t(50), 1), (6, dt.datetime(2026, 1, 1, 12, 0), 2)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    sess2 = stream_sessions(
+        spark.readStream.schema(schema).parquet(src), gap_minutes=30
+    )
+    run_available_now(sess2, out, ckpt)
+    got2 = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {(1, t(0), t(5), 2), (2, t(0), t(0), 1)}
+
+    # batch 3: u1 two hours later — the (10:45,10:50) session closes as
+    # ONE session of 2 events (proves the boundary-spanning merge).
+    b3 = [(7, dt.datetime(2026, 1, 1, 13, 0), 1)]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    sess3 = stream_sessions(
+        spark.readStream.schema(schema).parquet(src), gap_minutes=30
+    )
+    run_available_now(sess3, out, ckpt)
+    got3 = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got3 == {
+        (1, t(0), t(5), 2),
+        (2, t(0), t(0), 1),
+        (1, t(45), t(50), 2),
+    }
