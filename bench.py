@@ -87,6 +87,21 @@ def main() -> None:
     )
     res.ranks.count()
     timings["pagerank"] = round(time.perf_counter() - t0, 3)
+
+    # -- incremental store refresh (the crawl-delta path): remove a ~1%
+    # slice, mix in spurious reversed edges, one update_blocked call —
+    # only touched db partitions rewritten, out-degrees patched in place
+    from linkgraph.pagerank_csr import update_blocked
+
+    delta_add = edges.where(F.col("src") % 97 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    delta_rem = edges.where(F.col("src") % 101 == 0)
+    t0 = time.perf_counter()
+    g2 = update_blocked(spark, g, added=delta_add, removed=delta_rem)
+    timings["store_update"] = round(time.perf_counter() - t0, 3)
+    print(f"store_update: {timings['store_update']}s", file=sys.stderr)
+    g2.unpersist()
     g.unpersist()
     iters = max(res.iterations, 1)
     superstep_secs = sorted(s.seconds for s in res.supersteps)
@@ -151,6 +166,7 @@ def main() -> None:
             embs, threshold=0.3, method="lsh", lsh_tables=4, lsh_bits=8
         ).count(),
     )
+    timed("text_winnow", lambda: dedup.winnow_fingerprints(docs).count())
     timed("text_quality", lambda: textops.quality(docs).count())
     timed("text_langid", lambda: textops.langid(docs).count())
     timed("text_fingerprint", lambda: textops.fingerprint(docs).count())

@@ -191,6 +191,17 @@ def main() -> None:
             .adaptive_quality_filter(docs, key_col="lang"),
         "iceberg scan (metadata-resolved file list; pushdown + pruning "
         "still reach the parquet scan)": _iceberg_plan(spark, docs),
+        "winnowing fingerprints (positional k-grams + ONE window min, "
+        "no self-join)": dedup.winnow_fingerprints(docs),
+        "ordered funnel (map-side type filter + one groupBy + JVM fold)":
+            __import__("linkgraph.events", fromlist=["funnel"]).funnel(
+                spark.read.parquet(f"{SF_DIR}/events.parquet"),
+                ["view", "click", "signup", "purchase"],
+            ),
+        "weighted sample (A-Res: hash projection + per-stratum window "
+        "top-k)": __import__(
+            "linkgraph.sampling", fromlist=["weighted_sample"]
+        ).weighted_sample(docs, k=20, strata_col="lang"),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
