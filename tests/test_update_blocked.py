@@ -141,3 +141,30 @@ def test_rebuild_in_place_serves_new_graph(spark, tmp_path):
     fresh = build_blocked(spark, _edf(spark, b), verts, n_blocks=4,
                           store_path=str(tmp_path / "fresh"))
     _assert_same(_ranks(spark, g2), _ranks(spark, fresh))
+
+
+def test_warm_start_after_update(spark, tmp_path):
+    """update_blocked + init_ranks: re-ranking from the previous fixpoint
+    converges in fewer supersteps than from uniform, to the same ranks."""
+    base = _digraph(9, N, 220)
+    added = set(list(base)[:12])
+    stale = base - added
+    verts = _vdf(spark, range(N))
+    g = build_blocked(spark, _edf(spark, stale), verts, n_blocks=4,
+                      store_path=str(tmp_path / "store"))
+    prev = pagerank_blocked(spark, g, tol=1e-10, max_iter=200)
+    assert prev.converged
+    prev_ranks = prev.ranks.localCheckpoint()
+
+    g2 = update_blocked(spark, g, added=_edf(spark, added))
+    cold = pagerank_blocked(spark, g2, tol=1e-10, max_iter=200)
+    warm = pagerank_blocked(
+        spark, g2, tol=1e-10, max_iter=200, init_ranks=prev_ranks
+    )
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations
+    a = collect_map(cold.ranks, "id", "rank")
+    b = collect_map(warm.ranks, "id", "rank")
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-6, abs_tol=1e-9), k
