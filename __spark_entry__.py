@@ -1424,6 +1424,15 @@ def q_text_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), width=12)
 
 
+def q_emb_quantize(spark, sf_dir):
+    """Int8 symmetric quantization audit over the embeddings table:
+    per-vector scale, integer q checksums (exact), reconstruction SSE —
+    the vector-compression step of a scale ANN index, oracle-checked."""
+    from linkgraph.simsearch import quantize_int8
+
+    return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_sketch_hll_vocab(spark, sf_dir):
     """Per-language distinct-bigram count via a PORTABLE HyperLogLog (md5-bit
     registers identical in Spark and DuckDB — unlike the engines' own
@@ -2221,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repeated_spans": q_text_repeated_spans,
         "text_winnowing": q_text_winnowing,
         "sketch_hll_vocab": q_sketch_hll_vocab,
+        "emb_quantize": q_emb_quantize,
         "sketch_cms_tokens": q_sketch_cms_tokens,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "extract_anchor_corpus": q_extract_anchor_corpus,
@@ -3968,6 +3978,31 @@ FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         "text_winnowing": f"""
 WITH {_TOKS},{_winnow_sel(4, 5)}
 SELECT doc_id, pos, fp FROM wsel
+""",
+        "emb_quantize": """
+WITH xs AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) / 127.0::DOUBLE AS scale
+  FROM xs
+),
+qq AS (
+  SELECT vec_id, x, scale,
+         CASE WHEN scale = 0 THEN list_transform(x, v -> 0::BIGINT)
+              ELSE list_transform(x, v -> round(v / scale)::BIGINT) END AS q
+  FROM sc
+)
+SELECT vec_id, round(scale, 9) AS scale9,
+       list_sum(q)::BIGINT AS q_sum,
+       list_sum(list_transform(q, v -> abs(v)))::BIGINT AS q_abs_sum,
+       round(list_sum(list_transform(
+         list_zip(x, q),
+         p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)
+       )), 9) AS sse9
+FROM qq
 """,
         "sketch_cms_tokens": f"""
 WITH {_TOKS},

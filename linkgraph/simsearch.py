@@ -317,3 +317,41 @@ def bucket_histogram(
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"))
     )
+
+
+def quantize_int8(
+    embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit — the compression
+    step an ANN index at 100 TB applies before storing vectors (4x
+    smaller, SIMD-friendly): scale = amax/127, q_i = round(x_i/scale)
+    in [-127, 127], reported with integer checksums (q_sum, q_abs_sum —
+    exact, hash-strong) and the reconstruction SSE.
+
+    -> (vec_id, scale9, q_sum, q_abs_sum, sse9). Pure JVM array lambdas,
+    zero shuffle at any corpus size; every float op is written so the
+    DuckDB oracle evaluates the identical IEEE expression (float32 ->
+    float64 widening is exact; the q fold is a sequential left fold in
+    both engines). All-zero vectors quantize to q = 0 with scale 0.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(x, lambda v: F.lit(0).cast("long"))).otherwise(
+        F.transform(x, lambda v: F.round(v / scale).cast("long"))
+    )
+    err = F.zip_with(x, q, lambda xv, qv: xv - qv * scale)
+    return embs.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale9"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, v: a + F.abs(v)
+        ).alias("q_abs_sum"),
+        F.round(
+            F.aggregate(
+                err, F.lit(0.0), lambda a, v: a + v * v
+            ),
+            9,
+        ).alias("sse9"),
+    )

@@ -107,3 +107,35 @@ def test_label_centroids(spark):
     got = {r["label"]: r for r in label_centroids(df, dim=3).collect()}
     assert got[1]["n"] == 2 and got[1]["centroid"] == [2.0, 1.0, 2.0]
     assert got[2]["n"] == 1 and got[2]["centroid"] == [-1.0, -1.0, -1.0]
+
+
+def test_quantize_int8_roundtrip_properties(spark):
+    """q in [-127,127]; amax dim hits exactly +/-127; reconstruction
+    error bounded by scale/2 per dim; zero vector -> scale 0, q = 0."""
+    import numpy as np
+
+    from linkgraph.simsearch import quantize_int8
+
+    rng = np.random.default_rng(5)
+    vecs = [rng.standard_normal(16).astype("float32") for _ in range(20)]
+    vecs.append(np.zeros(16, dtype="float32"))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i, v in enumerate(vecs):
+        x = v.astype("float64")
+        amax = float(np.abs(x).max())
+        r = rows[i]
+        if amax == 0.0:
+            assert r["scale9"] == 0.0 and r["q_sum"] == 0 and r["sse9"] == 0.0
+            continue
+        scale = amax / 127.0
+        q = np.round(x / scale)
+        assert np.abs(q).max() == 127
+        assert r["q_sum"] == int(q.sum())
+        assert r["q_abs_sum"] == int(np.abs(q).sum())
+        sse = float(((x - q * scale) ** 2).sum())
+        assert abs(r["sse9"] - round(sse, 9)) < 1e-8
+        assert sse <= 16 * (scale / 2) ** 2 + 1e-12
