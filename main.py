@@ -22,6 +22,10 @@ Jobs:
               (--transport jobs|barrier, --blocking hash|range,
               --n-blocks); --resume continues the run_id mid-iteration
               from the per-step checkpoint files
+  store-update  apply a crawl delta to the existing blocked store IN
+              PLACE (--update-added/--update-removed/--update-vertices
+              parquet paths; only touched partitions rewritten); with
+              --warm-rank, re-rank warm-started from ranks_blocked
   components  connected components (small-star/large-star)
   labelprop   synchronous label propagation (--iterations)
   triangles   per-vertex triangle counts
@@ -78,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="output root directory")
     p.add_argument("--job", default="all",
                    choices=["extract", "pagerank", "pagerank-blocked",
-                            "components", "labelprop",
+                            "store-update", "components", "labelprop",
                             "triangles", "complexity", "all"])
     p.add_argument("--checkpoint-dir", default=None,
                    help="parquet dir, or iceberg://catalog.namespace to "
@@ -98,6 +102,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--blocking", default="hash", choices=["hash", "range"],
                    help="pagerank-blocked vertex blocking (range = "
                         "host-locality layout for dense host-sorted ids)")
+    p.add_argument("--update-added", default=None,
+                   help="store-update: parquet of (src,dst) edges to add")
+    p.add_argument("--update-removed", default=None,
+                   help="store-update: parquet of (src,dst) edges to remove")
+    p.add_argument("--update-vertices", default=None,
+                   help="store-update: parquet of (id) new vertices")
+    p.add_argument("--warm-rank", action="store_true",
+                   help="store-update: re-rank warm-started from the "
+                        "previous ranks_blocked output")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--local-cores", type=int, default=None)
     args = p.parse_args(argv)
@@ -204,6 +217,47 @@ def main(argv: list[str] | None = None) -> int:
                               {"step": s.superstep, "l1": s.l1_delta,
                                "sec": round(s.seconds, 3)}
                               for s in res.supersteps]}))
+
+    if "store-update" in jobs:
+        from linkgraph.pagerank_csr import (
+            load_blocked, pagerank_blocked, update_blocked,
+        )
+
+        store = f"{out}/blocked_store"
+        g = load_blocked(spark, store)
+        rd = spark.read
+        g2 = update_blocked(
+            spark, g,
+            added=rd.parquet(args.update_added) if args.update_added else None,
+            removed=(
+                rd.parquet(args.update_removed) if args.update_removed else None
+            ),
+            new_vertices=(
+                rd.parquet(args.update_vertices)
+                if args.update_vertices else None
+            ),
+            fingerprint={
+                **(g.fingerprint or {}),
+                "deltas_applied": int(
+                    (g.fingerprint or {}).get("deltas_applied", 0)
+                ) + 1,
+            },
+        )
+        print(json.dumps({
+            "job": "store-update", "n": g2.n, "n_dangling": g2.n_dangling,
+            "build_token": g2.build_token,
+        }))
+        if args.warm_rank:
+            init = spark.read.parquet(f"{out}/ranks_blocked")
+            res = pagerank_blocked(
+                spark, g2, tol=args.tol * g2.n, max_iter=args.max_iter,
+                transport=args.transport, init_ranks=init,
+            )
+            res.ranks.write.mode("overwrite").parquet(f"{out}/ranks_blocked")
+            print(json.dumps({
+                "job": "store-update-warm-rank",
+                "iterations": res.iterations, "converged": res.converged,
+            }))
 
     if "components" in jobs or "complexity" in jobs:
         comps = connected_components(spark, edges, vertices, checkpoint=ckpt)
