@@ -522,6 +522,30 @@ def q_graph_condensation(spark, sf_dir):
     )
 
 
+def q_graph_simrank2(spark, sf_dir):
+    """Seed-bounded two-round SimRank (Jeh & Widom) on the doc-link
+    digraph: top-10 structurally-similar pages per seed (doc_id % 100
+    == 0), round-1 state materialized only for the seeds' in-neighbor
+    frontier — never O(V^2)."""
+    from linkgraph.simrank import simrank2_topk
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 3),
+                lambda j: (F.col("doc_id") * 7 + j * 13) % n,
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    seeds = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return simrank2_topk(spark, e, seeds, c=0.8, k=10)
+
+
 def _bowtie_fixture_edges(spark, sf_dir):
     """Deterministic digraph over documents with a full bow-tie shape.
 
@@ -2175,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_quotient": q_graph_quotient,
         "graph_scc": q_graph_scc,
         "graph_condensation": q_graph_condensation,
+        "graph_simrank2": q_graph_simrank2,
         "graph_bowtie": q_graph_bowtie,
         "graph_subgraph": q_graph_subgraph,
         "graph_rollup": q_graph_rollup,
@@ -3295,6 +3320,51 @@ SELECT c.comp_src, c.comp_dst, c.n_edges::BIGINT AS n_edges,
 FROM cond c
 JOIN sz s1 ON c.comp_src = s1.component
 JOIN sz s2 ON c.comp_dst = s2.component
+""",
+        "graph_simrank2": """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * 7 + j * 13) % (SELECT n FROM nn) AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents)
+),
+dedge AS (SELECT src, dst FROM de WHERE src <> dst),
+ine AS (SELECT dst AS v, src AS i FROM dedge),
+indeg AS (SELECT v, count(*) AS d FROM ine GROUP BY 1),
+seeds AS (SELECT doc_id AS q FROM documents WHERE doc_id % 100 = 0),
+qin AS (SELECT s.q, ine.i FROM seeds s JOIN ine ON ine.v = s.q),
+frontier AS (SELECT DISTINCT i FROM qin),
+aa AS (SELECT ine.v AS i, ine.i AS w FROM ine JOIN frontier f ON ine.v = f.i),
+com AS (
+  SELECT aa.i, b.v AS j, count(*) AS n_common
+  FROM aa JOIN ine b ON aa.w = b.i AND aa.i <> b.v GROUP BY 1, 2
+),
+s1 AS (
+  SELECT c.i, c.j, 0.8::DOUBLE * c.n_common / (di.d * dj.d) AS s1
+  FROM com c JOIN indeg di ON c.i = di.v JOIN indeg dj ON c.j = dj.v
+),
+crossq AS (
+  SELECT q.q, ine.v, sum(s1.s1) AS t_cross
+  FROM qin q JOIN s1 ON q.i = s1.i JOIN ine ON ine.i = s1.j GROUP BY 1, 2
+),
+diagq AS (
+  SELECT q.q, ine.v, count(*)::DOUBLE AS t_diag
+  FROM qin q JOIN ine ON ine.i = q.i GROUP BY 1, 2
+),
+s2 AS (
+  SELECT coalesce(c.q, d.q) AS q, coalesce(c.v, d.v) AS v,
+         round(0.8::DOUBLE * (coalesce(c.t_cross, 0) + coalesce(d.t_diag, 0))
+               / (dq.d * dv.d), 6) AS s2_6
+  FROM crossq c FULL JOIN diagq d ON c.q = d.q AND c.v = d.v
+  JOIN indeg dq ON coalesce(c.q, d.q) = dq.v
+  JOIN indeg dv ON coalesce(c.v, d.v) = dv.v
+  WHERE coalesce(c.q, d.q) <> coalesce(c.v, d.v)
+)
+SELECT q, v, s2_6, rk FROM (
+  SELECT q, v, s2_6,
+         row_number() OVER (PARTITION BY q ORDER BY s2_6 DESC, v) AS rk
+  FROM s2 WHERE s2_6 > 0
+) WHERE rk <= 10
 """,
         "graph_bowtie": """
 WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
