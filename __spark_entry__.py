@@ -522,6 +522,37 @@ def q_graph_condensation(spark, sf_dir):
     )
 
 
+def q_graph_host_linkage(spark, sf_dir):
+    """Nepotistic-linking report: per source host, how many of its
+    outlinks stay inside the host (intra ratio) — the link-spam /
+    boilerplate-navigation signal that feeds host-level demotion. Two
+    dictionary joins + one groupBy on the host key."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 3),
+                lambda j: (F.col("doc_id") * 7 + j * 13) % n,
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    hs = docs.select(F.col("doc_id").alias("src"), F.col("source").alias("h_src"))
+    hd = docs.select(F.col("doc_id").alias("dst"), F.col("source").alias("h_dst"))
+    t = e.join(hs, "src").join(hd, "dst")
+    return t.groupBy(F.col("h_src").alias("host")).agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.sum((F.col("h_src") == F.col("h_dst")).cast("long"))
+        .cast("long").alias("n_intra"),
+        F.round(
+            F.sum((F.col("h_src") == F.col("h_dst")).cast("long"))
+            .cast("double") / F.count("*"),
+            6,
+        ).alias("intra_ratio6"),
+    )
+
+
 def q_graph_simrank2(spark, sf_dir):
     """Seed-bounded two-round SimRank (Jeh & Widom) on the doc-link
     digraph: top-10 structurally-similar pages per seed (doc_id % 100
@@ -1640,6 +1671,37 @@ def q_text_gopher(spark, sf_dir):
     return textops.gopher_filter(_docs(spark, sf_dir))
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Filter-calibration report: LM-surprisal deciles x Gopher keep
+    rate — the eval table that tells you whether the cheap statistical
+    score agrees with the rules filter before trusting either at 100 TB
+    (global ntile is fine for a report of 10 rows; at scale the same
+    query rides approx-quantile cutpoints)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    lm = textops.lm_score(docs).select(
+        "doc_id", F.round("avg_neg_logp", 6).alias("s6")
+    )
+    gf = textops.gopher_filter(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("kept")
+    )
+    d = lm.join(gf, "doc_id").select(
+        "s6", "kept",
+        F.ntile(10).over(Window.orderBy("s6", "doc_id")).alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_keep"),
+        F.round(F.avg(F.col("kept").cast("double")), 6).alias("keep_rate6"),
+        F.min("s6").alias("min_s6"),
+        F.max("s6").alias("max_s6"),
+    ).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs", "n_keep", "keep_rate6", "min_s6", "max_s6",
+    )
+
+
 def q_text_lm_score(spark, sf_dir):
     """Unigram-LM quality proxy: per-doc mean -ln p(token) under the
     corpus's own unigram distribution (KenLM-filter stand-in)."""
@@ -2200,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "graph_condensation": q_graph_condensation,
         "graph_simrank2": q_graph_simrank2,
+        "graph_host_linkage": q_graph_host_linkage,
         "graph_bowtie": q_graph_bowtie,
         "graph_subgraph": q_graph_subgraph,
         "graph_rollup": q_graph_rollup,
@@ -2246,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score2": q_text_lm_score2,
         "text_curriculum": q_text_curriculum,
         "text_gopher": q_text_gopher,
+        "quality_calibration": q_quality_calibration,
         "text_langid_scores": q_text_langid_scores,
         "pipeline_curate": q_pipeline_curate,
         "corpus_mi": q_corpus_mi,
@@ -3321,6 +3385,26 @@ FROM cond c
 JOIN sz s1 ON c.comp_src = s1.component
 JOIN sz s2 ON c.comp_dst = s2.component
 """,
+        "graph_host_linkage": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * 7 + j * 13) % (SELECT n FROM nn) AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents)
+),
+dedge AS (SELECT src, dst FROM de WHERE src <> dst),
+t AS (
+  SELECT s.source AS h_src, d.source AS h_dst
+  FROM dedge e
+  JOIN documents s ON e.src = s.doc_id
+  JOIN documents d ON e.dst = d.doc_id
+)
+SELECT h_src AS host, count(*)::BIGINT AS n_links,
+       sum(CASE WHEN h_src = h_dst THEN 1 ELSE 0 END)::BIGINT AS n_intra,
+       round(sum(CASE WHEN h_src = h_dst THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS intra_ratio6
+FROM t GROUP BY 1
+""",
         "graph_simrank2": """
 WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
 de AS (
@@ -4307,6 +4391,56 @@ FROM wk a JOIN wk b
 GROUP BY a.v, b.v
 """,
         # per-doc mean -ln p(token) under the corpus unigram distribution
+        "quality_calibration": f"""
+WITH {_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+fr AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tt AS (SELECT count(*) AS total FROM ex),
+lm AS (
+  SELECT e.doc_id,
+         round(avg(-ln(fr.c::DOUBLE / (SELECT total FROM tt))), 6) AS s6
+  FROM ex e JOIN fr USING (tok) GROUP BY e.doc_id
+),
+lx AS (
+  SELECT t.doc_id, t.t, d.text,
+    list_filter(list_transform(string_split(d.text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+),
+m AS (
+  SELECT doc_id, len(t) AS n,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) END AS mean_len,
+    len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with'))) AS stop_hits,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ')))::DOUBLE / len(lines) END AS bullet_frac,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE len(list_filter(lines, x -> ends_with(x, '...')))::DOUBLE / len(lines) END AS ellipsis_frac,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(text, '[#%]'))::DOUBLE / len(t) END AS sym_ratio
+  FROM lx
+),
+r AS (
+  SELECT doc_id, n,
+    CASE WHEN n < 50 OR n > 100000 THEN 'n_tokens'
+         WHEN mean_len < 3 OR mean_len > 10 THEN 'mean_tok_len'
+         WHEN stop_hits < 2 THEN 'stopwords'
+         WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+         WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+         WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+         ELSE NULL END AS reason
+  FROM m
+),
+dd AS (
+  SELECT lm.s6, CASE WHEN r.reason IS NULL THEN 1 ELSE 0 END AS kept,
+         ntile(10) OVER (ORDER BY lm.s6, lm.doc_id) AS decile
+  FROM lm JOIN r ON lm.doc_id = r.doc_id
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+       sum(kept)::BIGINT AS n_keep, round(avg(kept::DOUBLE), 6) AS keep_rate6,
+       min(s6) AS min_s6, max(s6) AS max_s6
+FROM dd GROUP BY 1
+""",
         "text_lm_score": f"""
 WITH {_TOKS},
 ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
