@@ -1045,6 +1045,42 @@ def q_text_decontam(spark, sf_dir):
     return dedup.decontaminate(docs, bench, n=8)
 
 
+def q_sketch_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination pre-filter (the broadcastable first
+    pass a 100 TB pipeline runs before the exact shingle join): k=3 md5
+    bits over the benchmark's 8-gram shingles, corpus probes counted per
+    doc next to the EXACT hits — zero false negatives structurally, the
+    false-positive surplus audited by the same oracle row."""
+    from linkgraph.sketches import bloom_bits, bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corp = docs.where(F.col("doc_id") % 37 != 0)
+    bsh = dedup.shingle_table(bench, n=8).select("shingle").distinct()
+    bits = bloom_bits(bsh, F.col("shingle"))
+    csh = dedup.shingle_table(corp, n=8)
+    probed = bloom_probe(bits, csh, F.col("shingle"))
+    exact = (
+        csh.join(bsh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_true"))
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long").alias("n_bloom"),
+    )
+    return (
+        agg.join(exact, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles", "n_bloom",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            (F.col("n_bloom") - F.coalesce("n_true", F.lit(0)))
+            .cast("long").alias("n_false_pos"),
+        )
+        .where((F.col("n_bloom") > 0) | (F.col("n_true") > 0))
+    )
+
+
 def q_text_line_dedup(spark, sf_dir):
     """Global exact line-level dedup (C4's corpus-wide boilerplate pass):
     first occurrence in (doc_id, pos) order survives corpus-wide."""
@@ -2321,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_vocab": q_sketch_hll_vocab,
         "emb_quantize": q_emb_quantize,
         "sketch_cms_tokens": q_sketch_cms_tokens,
+        "sketch_bloom_decontam": q_sketch_bloom_decontam,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "extract_anchor_corpus": q_extract_anchor_corpus,
         "sample_mixture": q_sample_mixture,
@@ -3996,6 +4033,50 @@ WHERE substr(md5(doc_id || ':s1'), 1, 6) <
             WHEN 'fr' THEN '{hash_threshold(0.1)}' END
 """,
         # corpus docs sharing any word 8-gram with the benchmark slice
+        "sketch_bloom_decontam": f"""
+WITH {_TOKS},
+sh8 AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS shingle
+  FROM toks WHERE len(t) >= 8
+),
+bsh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 37 = 0),
+csh AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 37 <> 0),
+bits AS (
+  SELECT DISTINCT
+    (CAST('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15) AS BIGINT)
+     % 8192)::INT AS bit
+  FROM bsh, (SELECT unnest(range(0, 3)) AS i) ii
+),
+probe AS (
+  SELECT c.doc_id, c.shingle,
+    (CAST('0x' || substr(md5(ii.i::VARCHAR || ':' || c.shingle), 1, 15)
+          AS BIGINT) % 8192)::INT AS bit
+  FROM csh c, (SELECT unnest(range(0, 3)) AS i) ii
+),
+hits AS (
+  SELECT doc_id, shingle,
+         (sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 3) AS bloom_hit
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT AS n_bloom
+  FROM hits GROUP BY 1
+),
+ex AS (
+  SELECT c.doc_id, count(*)::BIGINT AS n_true
+  FROM csh c JOIN bsh USING (shingle) GROUP BY 1
+)
+SELECT a.doc_id, a.n_shingles, a.n_bloom,
+       coalesce(ex.n_true, 0)::BIGINT AS n_true,
+       (a.n_bloom - coalesce(ex.n_true, 0))::BIGINT AS n_false_pos
+FROM agg a LEFT JOIN ex ON a.doc_id = ex.doc_id
+WHERE a.n_bloom > 0 OR coalesce(ex.n_true, 0) > 0
+""",
         "text_decontam": f"""
 WITH {_TOKS},
 sh8 AS (

@@ -212,3 +212,56 @@ def cms_sql(item_expr: str, from_clause: str, d: int = 4, w: int = 512) -> str:
     return f"""
 cms_cells AS ({rows}),
 cms AS (SELECT rw, cl, count(*)::BIGINT AS c FROM cms_cells GROUP BY 1, 2)"""
+
+
+def bloom_bits(
+    df: DataFrame, item: Column, k: int = 3, m: int = 8192
+) -> DataFrame:
+    """-> (bit): the set bit positions of a Bloom filter over the item
+    set — k md5 hash rows (same '{i}:' row-salt as the CMS), m bits.
+    The filter is the DISTINCT of at most m integers however large the
+    input: the classic broadcastable pre-filter (Bloom '70).
+    """
+    bits = F.array(*[
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), item)), 1, 15),
+                16, 10,
+            ).cast("long") % m
+        ).cast("int")
+        for i in range(k)
+    ])
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(
+    bits: DataFrame, df: DataFrame, item: Column, k: int = 3, m: int = 8192
+) -> DataFrame:
+    """-> df columns + (bloom_hit): TRUE iff all k of the item's bit
+    positions are set — no false negatives ever (a contained item's bits
+    are all set by construction), false positives at the standard
+    (1 - e^{-kn/m})^k rate, audited by the oracle row against the exact
+    join. The bits side is <= m rows and broadcast.
+    """
+    probed = df.select(
+        "*",
+        F.posexplode(
+            F.array(*[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), item)), 1, 15
+                        ),
+                        16, 10,
+                    ).cast("long") % m
+                ).cast("int")
+                for i in range(k)
+            ])
+        ).alias("hx", "bit"),
+    )
+    hit = (
+        probed.join(F.broadcast(bits.withColumn("set", F.lit(1))), "bit", "left")
+        .groupBy(*df.columns)
+        .agg((F.sum(F.coalesce("set", F.lit(0))) == k).alias("bloom_hit"))
+    )
+    return hit

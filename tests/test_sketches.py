@@ -115,3 +115,35 @@ def test_cms_matches_python_replica(spark):
             for i in range(d)
         )
         assert est[it] == want, it
+
+
+def test_bloom_no_false_negatives_and_matches_replica(spark):
+    from linkgraph.sketches import bloom_bits, bloom_probe
+
+    members = [f"m{i}" for i in range(150)]
+    probes = members[:40] + [f"p{i}" for i in range(300)]
+    K, M = 3, 1024  # small m: force some false positives
+
+    mdf = spark.createDataFrame([(x,) for x in members], "item string")
+    pdf = spark.createDataFrame([(x,) for x in probes], "item string")
+    bits = bloom_bits(mdf, F.col("item"), k=K, m=M)
+    got = {
+        r["item"]: r["bloom_hit"]
+        for r in bloom_probe(bits, pdf, F.col("item"), k=K, m=M).collect()
+    }
+
+    def positions(x):
+        return {
+            int(hashlib.md5(f"{i}:{x}".encode()).hexdigest()[:15], 16) % M
+            for i in range(K)
+        }
+
+    setbits = set()
+    for x in members:
+        setbits |= positions(x)
+    want = {x: positions(x) <= setbits for x in probes}
+    assert got == want
+    for x in members[:40]:
+        assert got[x]  # structural: never a false negative
+    fps = sum(1 for x in probes[40:] if got[x])
+    assert fps >= 1  # small m chosen so the FP path is exercised
