@@ -522,6 +522,30 @@ def q_graph_condensation(spark, sf_dir):
     )
 
 
+def q_graph_betweenness3(spark, sf_dir):
+    """Depth-3 Brandes betweenness from the doc_id%100 seed set: the
+    bounded-horizon centrality a web pipeline can actually afford —
+    forward sigma levels + backward dependency sweep, all unrolled so
+    the SQL oracle replays it level for level."""
+    from linkgraph.betweenness import seeded_betweenness
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 3),
+                lambda j: (F.col("doc_id") * 7 + j * 13) % n,
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    seeds = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return seeded_betweenness(spark, e, seeds, depth=3)
+
+
 def q_graph_host_linkage(spark, sf_dir):
     """Nepotistic-linking report: per source host, how many of its
     outlinks stay inside the host (intra ratio) — the link-spam /
@@ -2299,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_condensation": q_graph_condensation,
         "graph_simrank2": q_graph_simrank2,
         "graph_host_linkage": q_graph_host_linkage,
+        "graph_betweenness3": q_graph_betweenness3,
         "graph_bowtie": q_graph_bowtie,
         "graph_subgraph": q_graph_subgraph,
         "graph_rollup": q_graph_rollup,
@@ -3421,6 +3446,70 @@ SELECT c.comp_src, c.comp_dst, c.n_edges::BIGINT AS n_edges,
 FROM cond c
 JOIN sz s1 ON c.comp_src = s1.component
 JOIN sz s2 ON c.comp_dst = s2.component
+""",
+        "graph_betweenness3": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * 7 + j * 13) % (SELECT n FROM nn) AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents)
+),
+e2 AS (SELECT src, dst FROM de WHERE src <> dst),
+sd AS (SELECT doc_id AS s FROM documents WHERE doc_id % 100 = 0),
+f0 AS (SELECT s, s AS v, 1.0::DOUBLE AS sigma FROM sd),
+n1 AS (
+  SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+  FROM f0 f JOIN e2 e ON f.v = e.src GROUP BY 1, 2
+),
+f1 AS (
+  SELECT n.s, n.v, n.sigma FROM n1 n
+  LEFT JOIN f0 b ON n.s = b.s AND n.v = b.v WHERE b.v IS NULL
+),
+n2 AS (
+  SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+  FROM f1 f JOIN e2 e ON f.v = e.src GROUP BY 1, 2
+),
+f2 AS (
+  SELECT n.s, n.v, n.sigma FROM n2 n
+  LEFT JOIN (SELECT s, v FROM f0 UNION ALL SELECT s, v FROM f1) b
+    ON n.s = b.s AND n.v = b.v
+  WHERE b.v IS NULL
+),
+n3 AS (
+  SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+  FROM f2 f JOIN e2 e ON f.v = e.src GROUP BY 1, 2
+),
+f3 AS (
+  SELECT n.s, n.v, n.sigma FROM n3 n
+  LEFT JOIN (SELECT s, v FROM f0 UNION ALL SELECT s, v FROM f1
+             UNION ALL SELECT s, v FROM f2) b
+    ON n.s = b.s AND n.v = b.v
+  WHERE b.v IS NULL
+),
+d2 AS (
+  SELECT f.s, f.v, sum(f.sigma / u.sigma * 1.0) AS delta
+  FROM f2 f JOIN e2 e ON f.v = e.src
+  JOIN f3 u ON u.s = f.s AND u.v = e.dst GROUP BY 1, 2
+),
+d1 AS (
+  SELECT f.s, f.v,
+         sum(f.sigma / u.sigma * (1.0 + coalesce(dd.delta, 0))) AS delta
+  FROM f1 f JOIN e2 e ON f.v = e.src
+  JOIN f2 u ON u.s = f.s AND u.v = e.dst
+  LEFT JOIN d2 dd ON dd.s = f.s AND dd.v = u.v GROUP BY 1, 2
+),
+d0 AS (
+  SELECT f.s, f.v,
+         sum(f.sigma / u.sigma * (1.0 + coalesce(dd.delta, 0))) AS delta
+  FROM f0 f JOIN e2 e ON f.v = e.src
+  JOIN f1 u ON u.s = f.s AND u.v = e.dst
+  LEFT JOIN d1 dd ON dd.s = f.s AND dd.v = u.v GROUP BY 1, 2
+),
+alld AS (
+  SELECT * FROM d2 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d0
+)
+SELECT v, round(sum(delta), 6) AS bc6
+FROM alld WHERE v <> s GROUP BY v HAVING round(sum(delta), 6) > 0
 """,
         "graph_host_linkage": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
