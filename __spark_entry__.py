@@ -1374,6 +1374,28 @@ def q_events_funnel(spark, sf_dir):
     return funnel(ev, ["view", "click", "signup", "purchase"])
 
 
+def q_events_range_attrib(spark, sf_dir):
+    """Range-join attribution: per purchase, the same user's clicks in
+    the preceding hour (inclusive window). The bucketed equi-join plan —
+    never the nested-loop inequality join Spark would otherwise pick."""
+    from linkgraph.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    j = range_join(
+        pur, clk, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=-3600, upper_s=0,
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("*").cast("long").alias("n_clicks_1h")
+    )
+
+
 def q_events_conversion(spark, sf_dir):
     """Conversion analytics composed on the as-of join: per user, how
     many purchases and how many attributed to a signup within 24h."""
@@ -2395,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "events_conversion": q_events_conversion,
         "events_funnel": q_events_funnel,
+        "events_range_attrib": q_events_range_attrib,
         "text_top_terms": q_text_top_terms,
         "text_adaptive_filter": q_text_adaptive_filter,
         "sample_fill_report": q_sample_fill_report,
@@ -4847,6 +4870,14 @@ SELECT strftime(act.wk, '%Y-%m-%d') AS week_start,
 FROM act LEFT JOIN ret USING (wk)
 """,
         # asof-attributed purchases, 24h conversion window, per user
+        "events_range_attrib": """
+SELECT p.event_id, p.user_id, count(*)::BIGINT AS n_clicks_1h
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY 1, 2
+""",
         "events_funnel": """
 WITH ev AS (
   SELECT user_id, event_type,

@@ -94,6 +94,24 @@ def _iceberg_plan(spark, docs):
             .select("doc_id", "n_chars"))
 
 
+def _range_join_plan(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return range_join(
+        pur, clk, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=-3600, upper_s=0,
+    )
+
+
 def main() -> None:
     spark = get_spark("plan-audit", cores=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
@@ -202,6 +220,8 @@ def main() -> None:
         "top-k)": __import__(
             "linkgraph.sampling", fromlist=["weighted_sample"]
         ).weighted_sample(docs, k=20, strata_col="lang"),
+        "range join (bucketed equi-join, NOT BroadcastNestedLoop)":
+            _range_join_plan(spark),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
