@@ -225,3 +225,118 @@ def test_avro_container_roundtrip_property(tmp_path_factory, rows, codec):
     avro.write_container(path, schema, rows, codec=codec)
     _, _, out = avro.read_container(path)
     assert out == rows
+
+
+@given(
+    toks=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=25),
+        min_size=1, max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    w=st.integers(min_value=1, max_value=5),
+)
+@SET
+def test_winnowing_matches_replica(spark, toks, k, w):
+    """Winnowing selection == the paper replica for ANY (k, w) and tiny
+    alphabets (maximal hash ties exercise the rightmost rule)."""
+    from linkgraph.dedup import winnow_fingerprints
+    from test_winnow import winnow_py
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(toks)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    want = {
+        i: winnow_py(t, k, w) for i, t in enumerate(toks) if len(t) >= k
+    }
+    want = {i: s for i, s in want.items() if s}
+    assert got == want
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # user
+            st.sampled_from(["view", "click", "buy", "x"]),  # type
+            _ts,
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+@SET
+def test_funnel_matches_fold_replica(spark, evs):
+    """funnel_reached == a literal fold over (ts, event_id)-sorted
+    events for arbitrary interleavings, ties, and repeats."""
+    import datetime as dt
+
+    from linkgraph.events import funnel_reached
+
+    steps = ["view", "click", "buy"]
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), u, t)
+        for i, (u, t, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: r["reached"]
+        for r in funnel_reached(df, steps).collect()
+    }
+    want = {}
+    for u in {r[2] for r in rows}:
+        seq = sorted(
+            (ts, eid, et) for eid, ts, uu, et in rows
+            if uu == u and et in steps
+        )
+        if not seq:
+            continue
+        acc = 0
+        for _, _, et in seq:
+            if acc < len(steps) and et == steps[acc]:
+                acc += 1
+        want[u] = acc
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(_keys, _ts), min_size=1, max_size=15),
+    right=st.lists(st.tuples(_keys, _ts), min_size=0, max_size=15),
+    lo=st.integers(min_value=-20, max_value=10),
+    span=st.integers(min_value=1, max_value=30),
+)
+@SET
+def test_range_join_matches_bruteforce(spark, left, right, lo, span):
+    import datetime as dt
+
+    from linkgraph.rangejoin import range_join
+
+    base = dt.datetime(2026, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s) in enumerate(left)],
+        "lid long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, k, t(s)) for i, (k, s) in enumerate(right)],
+        "rid long, user_id long, ts timestamp",
+    )
+    hi = lo + span
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            ldf, rdf, on=["user_id"], left_ts="ts", right_ts="ts",
+            lower_s=lo, upper_s=hi,
+        ).collect()
+    }
+    want = {
+        (i, 100 + j)
+        for i, (k, s) in enumerate(left)
+        for j, (k2, s2) in enumerate(right)
+        if k == k2 and s + lo <= s2 <= s + hi
+    }
+    assert got == want
