@@ -1463,18 +1463,15 @@ def q_sample_shards(spark, sf_dir):
     return shard_balance_report(_docs(spark, sf_dir), n_shards=16)
 
 
-def q_mm_real_codecs(spark, sf_dir):
-    """REAL BMP/WAV payloads (formula pixels/samples, so DuckDB can
-    recompute the exact means) decoded through the mapInPandas codec
-    stage. Even ids: 6x4 24-bpp BMP with pixel byte j = (id*31+j*7)%256;
-    odd ids: 24-sample PCM WAV with sample j = (id*13+j*5)%65536-32768.
-    Payloads are a driver-built fixture (bounded, 500 rows) — the
-    operator under test is the distributed decode, not the generator."""
+def _real_media_fixture(spark, sf_dir):
+    """Formula-pixel BMP / formula-sample WAV rows (closed form, so
+    DuckDB recomputes any derived stat exactly). Even ids: 6x4 24-bpp
+    BMP with pixel byte j = (id*31+j*7)%256; odd ids: 24-sample PCM WAV
+    with sample j = (id*13+j*5)%65536-32768. Driver-built (bounded, 500
+    rows) — the operators under test are the distributed stages."""
     import struct
 
     import numpy as np
-
-    from linkgraph.multimodal import extract_features
 
     n_docs = _docs(spark, sf_dir).count()
     rows = []
@@ -1508,15 +1505,34 @@ def q_mm_real_codecs(spark, sf_dir):
             rows.append(
                 (mid, "audio", bytearray(b"RIFF" + struct.pack("<I", len(body)) + body))
             )
-    media = spark.createDataFrame(
+    return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     )
-    return extract_features(media).select(
+
+
+def q_mm_real_codecs(spark, sf_dir):
+    """REAL BMP/WAV decode through the mapInPandas codec stage over the
+    formula-payload fixture (see _real_media_fixture)."""
+    from linkgraph.multimodal import extract_features
+
+    return extract_features(_real_media_fixture(spark, sf_dir)).select(
         "media_id",
         "width",
         "height",
         "n_samples",
         F.round("mean_value", 6).alias("mean6"),
+    )
+
+
+def q_mm_transform(spark, sf_dir):
+    """Multimodal TRANSFORM stage: nearest-neighbor image resize to 2x3
+    and audio frame sampling (every 4th sample) over the same real-codec
+    fixture — integer checksums of the transformed units make the oracle
+    hash-strong."""
+    from linkgraph.multimodal import transform_features
+
+    return transform_features(
+        _real_media_fixture(spark, sf_dir), img_grid=(2, 3), audio_stride=4
     )
 
 
@@ -2411,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_stats": q_source_length_stats,
         "graph_negsample": q_graph_negsample,
         "mm_real_codecs": q_mm_real_codecs,
+        "mm_transform": q_mm_transform,
         "sample_shards": q_sample_shards,
         "events_attrib": q_events_attrib,
         "events_retention": q_events_retention,
@@ -4964,6 +4981,34 @@ SELECT media_id,
           j -> (media_id * 13 + j * 5) % 65536 - 32768)) / 24.0, 6)
   END AS mean6
 FROM ids
+""",
+        # nearest-neighbor 2x3 resize / stride-4 frame sample of the same
+        # formula payloads: selected byte j = ty*36 + tx*6 + ch (sy=2ty,
+        # sx=2tx over the 6x4 image), sampled frame j = 4u
+        "mm_transform": """
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+img AS (
+  SELECT media_id, 'image' AS kind, 18::BIGINT AS n_units,
+    list_sum(list_transform(range(0, 18),
+      u -> (media_id * 31
+            + ((u // 9) * 36 + ((u % 9) // 3) * 6 + (u % 3)) * 7) % 256
+    ))::BIGINT AS checksum
+  FROM ids WHERE media_id % 2 = 0
+),
+aud AS (
+  SELECT media_id, 'audio' AS kind, 6::BIGINT AS n_units,
+    list_sum(list_transform(range(0, 6),
+      u -> abs((media_id * 13 + u * 20) % 65536 - 32768)))::BIGINT
+      AS checksum,
+    round(list_sum(list_transform(range(0, 6),
+      u -> (media_id * 13 + u * 20) % 65536 - 32768)) / 6.0, 6) AS mean6
+  FROM ids WHERE media_id % 2 = 1
+)
+SELECT media_id, kind, n_units, checksum,
+       round(checksum / 18.0, 6) AS mean6
+FROM img
+UNION ALL
+SELECT media_id, kind, n_units, checksum, mean6 FROM aud
 """,
         # out-degree^0.75 normalized — the word2vec negative table
         "graph_negsample": f"""

@@ -265,3 +265,105 @@ def synth_media_df(spark, n: int = 20):
         else:
             rows.append((i, "audio", fake_audio(i), ("synth", base + timedelta(seconds=i))))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 pixel array of an uncompressed 24-bpp BMP, in
+    STORED row order (bottom-up per spec; transforms are defined over
+    the stored array and the oracle mirrors the same indexing)."""
+    import struct
+
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    h_abs = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h_abs, offset=pix_off
+    ).reshape(h_abs, stride)[:, :row_bytes]
+    return raw.reshape(h_abs, w, 3)
+
+
+def _wav_samples(payload: bytes) -> np.ndarray:
+    """int16 sample array of a 16-bit PCM WAV (RIFF chunk walk)."""
+    import struct
+
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return np.frombuffer(data or b"", dtype="<i2")
+
+
+def transform_features(
+    media: DataFrame,
+    img_grid: tuple[int, int] = (2, 3),
+    audio_stride: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """The TRANSFORM stage of the multimodal pipeline (the brief's
+    resize / frame-sample): nearest-neighbor image resize to
+    ``img_grid`` (th, tw) and audio frame sampling (every
+    ``audio_stride``-th 16-bit sample), batched through ``mapInPandas``
+    like the decode stage — no per-row Python at the Spark boundary,
+    numpy kernels per Arrow batch.
+
+    -> (media_id, kind, n_units, checksum, mean6): n_units = resized
+    bytes / sampled frames, checksum = exact integer sum of resized
+    pixel bytes (images) or |samples| (audio) — hash-strong — and the
+    rounded mean of the transformed units. Compressed formats raise the
+    same documented NotImplementedError seam as the decoder.
+    """
+    th, tw = img_grid
+    assert th >= 1 and tw >= 1 and audio_stride >= 1
+
+    def _round6(x: float) -> float:
+        # half AWAY FROM ZERO, matching Spark round()/DuckDB round() —
+        # python's built-in round is banker's and would flip exact .5s
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for mid, kind, payload in zip(
+                pdf[id_col], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                if payload[:2] == b"BM":
+                    pix = _bmp_pixels(payload)
+                    h, w = pix.shape[0], pix.shape[1]
+                    sy = (np.arange(th) * h) // th
+                    sx = (np.arange(tw) * w) // tw
+                    rs = pix[sy][:, sx, :].astype(np.int64)
+                    out.append(
+                        (int(mid), "image", int(rs.size), int(rs.sum()),
+                         _round6(float(rs.mean())))
+                    )
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    sub = _wav_samples(payload)[::audio_stride].astype(
+                        np.int64
+                    )
+                    out.append(
+                        (int(mid), "audio", int(len(sub)),
+                         int(np.abs(sub).sum()),
+                         _round6(float(sub.mean())) if len(sub) else 0.0)
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"transform for {kind} payloads needs a real codec "
+                        "(PIL/ffmpeg) — same swap-in seam as the decoder"
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "kind", "n_units", "checksum", "mean6"],
+            )
+
+    return media.select(id_col, "kind", "payload").mapInPandas(
+        batches,
+        f"{id_col} long, kind string, n_units long, checksum long, "
+        "mean6 double",
+    )

@@ -107,3 +107,41 @@ def test_real_codecs_through_spark_batch_path(spark):
     s = rng.integers(-32768, 32768, size=16, dtype=np.int64).astype("<i2")
     assert abs(got[1]["mean_value"] - s.mean()) < 1e-9
     assert got[2]["width"] == 8  # fake path still vectorized alongside
+
+
+def test_transform_resize_and_frame_sample(spark):
+    """Nearest-neighbor resize / frame sampling vs a direct numpy replica
+    on spec-valid generated payloads (odd grids exercise the floor
+    index math)."""
+    import numpy as np
+
+    from linkgraph.multimodal import (
+        _bmp_pixels, _wav_samples, make_bmp, make_wav, transform_features,
+    )
+
+    rows = [
+        (0, "image", bytearray(make_bmp(7, w=5, h=3))),
+        (1, "audio", bytearray(make_wav(8, n=17))),
+        (2, "image", bytearray(make_bmp(9, w=6, h=4))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in transform_features(df, img_grid=(2, 3), audio_stride=4).collect()
+    }
+    for mid, kind, payload in rows:
+        payload = bytes(payload)
+        if kind == "image":
+            pix = _bmp_pixels(payload).astype(np.int64)
+            h, w = pix.shape[0], pix.shape[1]
+            sy = (np.arange(2) * h) // 2
+            sx = (np.arange(3) * w) // 3
+            rs = pix[sy][:, sx, :]
+            assert got[mid]["n_units"] == rs.size
+            assert got[mid]["checksum"] == int(rs.sum())
+            assert abs(got[mid]["mean6"] - rs.mean()) < 1e-5
+        else:
+            sub = _wav_samples(payload)[::4].astype(np.int64)
+            assert got[mid]["n_units"] == len(sub)
+            assert got[mid]["checksum"] == int(np.abs(sub).sum())
+            assert abs(got[mid]["mean6"] - sub.mean()) < 1e-5
