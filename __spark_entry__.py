@@ -1550,6 +1550,26 @@ def q_source_length_stats(spark, sf_dir):
     return sampling.source_length_stats(_docs(spark, sf_dir))
 
 
+def q_graph_node2vec(spark, sf_dir):
+    """node2vec-biased deterministic walks (p=4 discourages returning,
+    q=0.5 favors exploration) over the doc-link digraph: the 2nd-order
+    weighted draw replayed exactly by the unrolled SQL."""
+    from linkgraph.walks import node2vec_walks
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    j = F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j")
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), j)
+        .select("src", ((F.col("src") * 7 + F.col("j") * 13) % n).alias("dst"))
+        .distinct()
+    )
+    starts = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return node2vec_walks(edges, starts, steps=3, p=4.0, q=0.5)
+
+
 def q_graph_walks(spark, sf_dir):
     """Deterministic hash-argmin random walks (DeepWalk corpus
     generation) over the closed-form doc-link graph: walks start at every
@@ -2403,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pack_chunks": q_sample_pack_chunks,
         "extract_source_lines": q_extract_source_lines,
         "graph_walks": q_graph_walks,
+        "graph_node2vec": q_graph_node2vec,
         "graph_skipgrams": q_graph_skipgrams,
         "text_lm_score": q_text_lm_score,
         "text_lm_score2": q_text_lm_score2,
@@ -2544,6 +2565,34 @@ _COS64 = (
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
     " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i])))), 6)"
 )
+
+
+def _n2v_steps_sql(steps: int, inv_p: float, inv_q: float) -> str:
+    """Unrolled node2vec-biased walk steps over ``dedges`` — weighted
+    A-Res draw: argmax of ln(u)/w, w = inv_p on return, 1 on a
+    neighbor-of-previous, else inv_q (w0 provides walk_id, prev, v)."""
+    parts = []
+    for s in range(1, steps + 1):
+        parts.append(f"""
+c{s} AS (
+  SELECT w.walk_id, w.prev, w.v, e.dst,
+         CASE WHEN e.dst = w.prev THEN {inv_p!r}::DOUBLE
+              WHEN nb.src IS NOT NULL THEN 1.0::DOUBLE
+              ELSE {inv_q!r}::DOUBLE END AS wt
+  FROM w{s - 1} w JOIN dedges e ON w.v = e.src
+  LEFT JOIN dedges nb ON nb.src = w.prev AND nb.dst = e.dst
+),
+w{s} AS (
+  SELECT walk_id, v AS prev, dst AS v FROM (
+    SELECT walk_id, v, dst,
+      row_number() OVER (PARTITION BY walk_id ORDER BY
+        ln((CAST('0x' || substr(md5('n2v:' || walk_id || ':{s}:' || dst),
+                                1, 15) AS BIGINT) + 1)
+           / 1152921504606846977.0) / wt DESC, dst) AS rn
+    FROM c{s}
+  ) WHERE rn = 1
+)""")
+    return ",".join(parts)
 
 
 def _walk_steps_sql(steps: int) -> str:
@@ -4313,6 +4362,22 @@ SELECT doc_id,
 FROM documents, nn
 """,
         # unrolled 4-step hash-argmin walks over the closed-form doc graph
+        "graph_node2vec": f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+dedges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents), nn
+),
+w0 AS (
+  SELECT doc_id AS walk_id, -1::BIGINT AS prev, doc_id AS v
+  FROM documents WHERE doc_id % 50 = 0
+),
+{_n2v_steps_sql(3, 0.25, 2.0)}
+SELECT walk_id, 0::INT AS step, v::BIGINT AS vertex FROM w0
+UNION ALL SELECT walk_id, 1::INT, v::BIGINT FROM w1
+UNION ALL SELECT walk_id, 2::INT, v::BIGINT FROM w2
+UNION ALL SELECT walk_id, 3::INT, v::BIGINT FROM w3
+""",
         "graph_walks": f"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 dedges AS (

@@ -94,3 +94,91 @@ def skipgram_pairs(walks_df: DataFrame, window: int = 2) -> DataFrame:
     return j.groupBy("center", "context").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    p: float = 4.0,
+    q: float = 0.5,
+    seed: str = "n2v",
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec KDD'16),
+    deterministic: the successor of v given previous u is the A-Res
+    weighted draw over out-neighbors d with the node2vec weights
+    w = 1/p if d == u (return), 1 if (u, d) is an edge (stay close),
+    else 1/q (explore) — drawn as argmax of ln(uh)/w where uh is the
+    md5 uniform of (seed, walk, step, d). One extra broadcast-shape
+    join per step (the d-in-N(u) membership flag) on top of the plain
+    random_walks frontier join; the frontier carries (walk, prev,
+    vertex) — still one row per live walk.
+
+    Step 1 has no previous vertex: all candidates weigh 1/q, a constant,
+    so the draw is the plain uniform hash-argmax.
+
+    -> (walk_id, step, vertex), step 0 = the start vertex.
+    """
+    if steps < 0:
+        raise ValueError(f"steps must be >= 0, got {steps}")
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    e = edges.select("src", "dst").distinct()
+    nbr = e.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"),
+        F.lit(1).alias("is_nbr"),
+    )
+    cur = starts.select(
+        F.col("id").alias("walk_id"),
+        F.lit(-1).cast("long").alias("prev"),
+        F.col("id").alias("vertex"),
+    )
+    levels = [
+        cur.select("walk_id", F.lit(0).cast("int").alias("step"), "vertex")
+    ]
+    for s in range(1, steps + 1):
+        cand = cur.join(e, cur.vertex == e.src).select(
+            "walk_id", "prev", "vertex", "dst"
+        )
+        cand = cand.join(nbr, ["prev", "dst"], "left")
+        w = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(inv_p))
+            .when(F.col("is_nbr") == 1, F.lit(1.0))
+            .otherwise(F.lit(inv_q))
+        )
+        h60 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col("walk_id"),
+                        F.lit(str(s)), F.col("dst"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        u = (h60 + F.lit(1).cast("double")) / F.lit(float(2**60 + 1))
+        key = F.log(u) / w
+        cur = (
+            cand.select("walk_id", "vertex", "dst", key.alias("k"))
+            .groupBy("walk_id")
+            .agg(
+                F.max_by("dst", "k").alias("nxt"),
+                F.first("vertex").alias("v0"),
+            )
+            .select(
+                "walk_id",
+                F.col("v0").alias("prev"),
+                F.col("nxt").alias("vertex"),
+            )
+        )
+        cur = truncate_plan(cur, eager=False)
+        levels.append(
+            cur.select(
+                "walk_id", F.lit(s).cast("int").alias("step"), "vertex"
+            )
+        )
+    out = reduce(DataFrame.unionByName, levels)
+    return out.select(
+        "walk_id", "step", F.col("vertex").cast("long").alias("vertex")
+    )
