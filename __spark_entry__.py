@@ -1606,6 +1606,31 @@ def q_emb_quantize(spark, sf_dir):
     return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """One full Lloyd iteration (deterministic id%64 codebook seed, so 8
+    clusters at sf0.01) + final assignment over the embeddings table:
+    per-cluster sizes, within-cluster SSE, and centroid checksums — the
+    k-means the IVF codebook note promises, E/M both SQL-replayed."""
+    from linkgraph.simsearch import kmeans_lloyd
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign, cents = kmeans_lloyd(embs, init_modulus=64, rounds=1)
+    per = assign.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.sum("dist"), 6).alias("sse6"),
+    )
+    csum = F.aggregate("cvec", F.lit(0.0), lambda a, v: a + v)
+    cnorm = F.aggregate("cvec", F.lit(0.0), lambda a, v: a + v * v)
+    return per.join(
+        cents.select(
+            "cid",
+            F.round(csum, 6).alias("c_sum6"),
+            F.round(cnorm, 6).alias("c_norm2_6"),
+        ),
+        "cid",
+    )
+
+
 def q_sketch_hll_vocab(spark, sf_dir):
     """Per-language distinct-bigram count via a PORTABLE HyperLogLog (md5-bit
     registers identical in Spark and DuckDB — unlike the engines' own
@@ -2440,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": q_text_winnowing,
         "sketch_hll_vocab": q_sketch_hll_vocab,
         "emb_quantize": q_emb_quantize,
+        "emb_kmeans": q_emb_kmeans,
         "sketch_cms_tokens": q_sketch_cms_tokens,
         "sketch_bloom_decontam": q_sketch_bloom_decontam,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
@@ -4407,6 +4433,54 @@ FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         "text_winnowing": f"""
 WITH {_TOKS},{_winnow_sel(4, 5)}
 SELECT doc_id, pos, fp FROM wsel
+""",
+        "emb_kmeans": """
+WITH xs AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, x AS c FROM xs WHERE vec_id % 64 = 0),
+d1 AS (
+  SELECT xs.vec_id, c0.cid,
+         list_sum(list_transform(list_zip(xs.x, c0.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM xs, c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+dm AS (
+  SELECT a1.cid, i.i AS dim, avg(xs.x[i.i]) AS m
+  FROM xs JOIN a1 USING (vec_id),
+       (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM dm GROUP BY cid),
+d2 AS (
+  SELECT xs.vec_id, c1.cid,
+         list_sum(list_transform(list_zip(xs.x, c1.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM xs, c1
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT cid, count(*)::BIGINT AS n_vecs, round(sum(dist), 6) AS sse6
+  FROM a2 GROUP BY 1
+)
+SELECT per.cid, per.n_vecs, per.sse6,
+       round(list_sum(c1.c), 6) AS c_sum6,
+       round(list_sum(list_transform(c1.c, v -> v * v)), 6) AS c_norm2_6
+FROM per JOIN c1 ON per.cid = c1.cid
 """,
         "emb_quantize": """
 WITH xs AS (

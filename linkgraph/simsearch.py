@@ -355,3 +355,79 @@ def quantize_int8(
             9,
         ).alias("sse9"),
     )
+
+
+def kmeans_assign(
+    embs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, cid, dist): each vector's nearest centroid by squared
+    L2, ties to the smallest cid (one struct-min, deterministic). The
+    codebook broadcasts (k rows); the scan side streams — the k-means
+    E-step and the IVF route step share this exact shape.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    dist = F.aggregate(
+        F.zip_with(x, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = embs.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("dc"),
+    )
+    best = scored.groupBy(id_col).agg(F.min("dc").alias("dc"))
+    return best.select(
+        id_col, F.col("dc.cid").alias("cid"), F.col("dc.d").alias("dist")
+    )
+
+
+def kmeans_lloyd(
+    embs: DataFrame,
+    init_modulus: int = 64,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means, FIXED unrolled rounds with a deterministic
+    codebook seed (vectors with id % init_modulus == 0 — k-means++ would
+    need an order-dependent sampler; the fixed seed keeps every round
+    SQL-replicable). -> (assignments(vec_id, cid, dist), centroids(cid,
+    cvec)) after ``rounds`` E/M pairs.
+
+    Per round: E-step is the broadcast argmin above; M-step re-estimates
+    per-dim means via ONE posexplode + (cid, dim) aggregate + array
+    rebuild — shuffles bounded by |V|·dim rows keyed on small keys.
+    Empty clusters drop (standard Lloyd behavior).
+    """
+    cents = embs.where(F.col(id_col) % init_modulus == 0).select(
+        F.col(id_col).alias("cid"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("cvec"),
+    )
+    assign = None
+    for _ in range(rounds):
+        assign = kmeans_assign(embs, cents, id_col, vec_col)
+        dims = (
+            embs.join(assign.select(id_col, "cid"), id_col)
+            .select(
+                "cid",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda v: v.cast("double"))
+                ).alias("dim", "val"),
+            )
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+        )
+        cents = dims.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("dim").alias("d"), F.col("m").alias("v"))
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+    return kmeans_assign(embs, cents, id_col, vec_col), cents

@@ -139,3 +139,54 @@ def test_quantize_int8_roundtrip_properties(spark):
         sse = float(((x - q * scale) ** 2).sum())
         assert abs(r["sse9"] - round(sse, 9)) < 1e-8
         assert sse <= 16 * (scale / 2) ** 2 + 1e-12
+
+
+def test_kmeans_lloyd_matches_replica_and_descends(spark):
+    """kmeans_lloyd == a numpy Lloyd replica (same deterministic init,
+    argmin ties to smallest cid); total SSE is non-increasing across
+    rounds (Lloyd's monotonicity)."""
+    import numpy as np
+
+    from linkgraph.simsearch import kmeans_lloyd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((4, 8))
+    vecs = np.vstack([
+        base[i % 4] + 0.1 * rng.standard_normal(8) for i in range(48)
+    ]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(48)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def replica(rounds):
+        x = vecs.astype("float64")
+        cents = {i: x[i].copy() for i in range(0, 48, 12)}  # id%12==0
+        for _ in range(rounds + 1):  # rounds M-steps + final E-step
+            assign = {}
+            for i in range(48):
+                best = min(
+                    (float(((x[i] - c) ** 2).sum()), cid)
+                    for cid, c in cents.items()
+                )
+                assign[i] = best
+            if _ == rounds:
+                return assign, cents
+            new = {}
+            for cid in cents:
+                members = [x[i] for i in range(48) if assign[i][1] == cid]
+                if members:
+                    new[cid] = np.mean(members, axis=0)
+            cents = new
+
+    sse = []
+    for rounds in (0, 1, 2):
+        a, _ = kmeans_lloyd(df, init_modulus=12, rounds=rounds)
+        rows = {r["vec_id"]: (r["dist"], r["cid"]) for r in a.collect()}
+        want, _ = replica(rounds)
+        assert set(rows) == set(want)
+        for i in rows:
+            assert rows[i][1] == want[i][1], i
+            assert abs(rows[i][0] - want[i][0]) < 1e-9
+        sse.append(sum(d for d, _ in rows.values()))
+    assert sse[1] <= sse[0] + 1e-9 and sse[2] <= sse[1] + 1e-9
