@@ -1631,6 +1631,20 @@ def q_emb_kmeans(spark, sf_dir):
     )
 
 
+def q_sim_topk_ivf_trained(spark, sf_dir):
+    """IVF search over the TRAINED codebook (one Lloyd iteration from
+    the id%64 seed) — the full production pipeline: k-means train ->
+    cell assignment -> nprobe probe -> exact re-rank, every stage
+    SQL-replayed."""
+    from linkgraph.simsearch import kmeans_lloyd, queries_from, topk_ivf
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = kmeans_lloyd(embs, init_modulus=64, rounds=1)
+    return topk_ivf(
+        embs, queries_from(embs, 50), k=5, nprobe=2, centroids=cents
+    )
+
+
 def q_sketch_hll_vocab(spark, sf_dir):
     """Per-language distinct-bigram count via a PORTABLE HyperLogLog (md5-bit
     registers identical in Spark and DuckDB — unlike the engines' own
@@ -2466,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_vocab": q_sketch_hll_vocab,
         "emb_quantize": q_emb_quantize,
         "emb_kmeans": q_emb_kmeans,
+        "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
         "sketch_cms_tokens": q_sketch_cms_tokens,
         "sketch_bloom_decontam": q_sketch_bloom_decontam,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
@@ -4481,6 +4496,70 @@ SELECT per.cid, per.n_vecs, per.sse6,
        round(list_sum(c1.c), 6) AS c_sum6,
        round(list_sum(list_transform(c1.c, v -> v * v)), 6) AS c_norm2_6
 FROM per JOIN c1 ON per.cid = c1.cid
+""",
+        # kmeans codebook (same CTEs as emb_kmeans) feeding the IVF probe
+        "sim_topk_ivf_trained": f"""
+WITH xs AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, x AS c FROM xs WHERE vec_id % 64 = 0),
+d1 AS (
+  SELECT xs.vec_id, c0.cid,
+         list_sum(list_transform(list_zip(xs.x, c0.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM xs, c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+dm AS (
+  SELECT a1.cid, i.i AS dim, avg(xs.x[i.i]) AS m
+  FROM xs JOIN a1 USING (vec_id),
+       (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS cvec FROM dm GROUP BY cid),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT a.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS64.format(a='a.x', b='c.cvec')} DESC, c.cid ASC
+           ) AS rn
+    FROM xs a CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, x AS qv FROM xs WHERE vec_id % 50 = 0),
+qcells AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS64.format(a='q.qv', b='c.cvec')} DESC, c.cid ASC
+           ) AS rn
+    FROM q CROSS JOIN c1 c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT qc.query_id, ce.vec_id AS neighbor_id
+  FROM qcells qc JOIN cells ce ON qc.cell = ce.cell
+  WHERE qc.query_id <> ce.vec_id
+),
+s AS (
+  SELECT c.query_id, c.neighbor_id, {_COS64.format(a='q.qv', b='n.x')} AS cos
+  FROM cand c JOIN q ON c.query_id = q.query_id
+              JOIN xs n ON c.neighbor_id = n.vec_id
+)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM s
+) WHERE rn <= 5
 """,
         "emb_quantize": """
 WITH xs AS (

@@ -260,14 +260,21 @@ def topk_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, neighbor_id, cos) approximate top-k via IVF: corpus
     vectors live in their nearest-centroid cell; a query probes its
     ``nprobe`` closest cells and re-ranks exactly within them. The
     coarse-quantizer alternative to sign-LSH (both are `queries()`
     entries; recall grows with nprobe, candidate cost is bounded by cell
-    sizes — never the corpus cross product)."""
-    cents = centroids_from(embs, centroid_modulus, id_col, vec_col)
+    sizes — never the corpus cross product). Pass ``centroids``
+    (cid, cvec) to use a TRAINED codebook — e.g. ``kmeans_lloyd``'s —
+    instead of the deterministic id-subset default."""
+    cents = (
+        centroids
+        if centroids is not None
+        else centroids_from(embs, centroid_modulus, id_col, vec_col)
+    )
     cells = ivf_cells(embs, cents, id_col, vec_col)
     qscored = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
