@@ -2183,6 +2183,40 @@ def q_iceberg_scan(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("sum_chars")))
 
 
+def q_iceberg_evolution(spark, sf_dir):
+    """Schema evolution end-to-end: append even docs, add_columns an
+    optional quality column (metadata-only, fresh field id), append odd
+    docs WITH quality = (n_chars%7)/7 — the latest scan resolves old
+    files to NULL by name. Per-lang report over the evolved table."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    loc = tempfile.mkdtemp(prefix="lg-ice-evo-") + "/docs"
+    t = IcebergLiteTable.create(loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") % 2 == 0))
+    t.add_columns(T.StructType([T.StructField("quality", T.DoubleType())]))
+    t.append(
+        docs.where(F.col("doc_id") % 2 == 1).withColumn(
+            "quality", (F.col("n_chars") % 7).cast("double") / F.lit(7.0)
+        )
+    )
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("quality").isNull().cast("long"))
+            .cast("long").alias("n_null_quality"),
+            F.round(F.sum(F.coalesce("quality", F.lit(0.0))), 6)
+            .alias("sum_q6"),
+        )
+    )
+
+
 def q_iceberg_time_travel(spark, sf_dir):
     """Snapshot-1 scan (time travel by snapshot id) == even doc_ids."""
     t = _iceberg_docs(spark, sf_dir)
@@ -2387,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_stream_ingest": q_iceberg_stream_ingest,
         "iceberg_bounds_scan": q_iceberg_bounds_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_evolution": q_iceberg_evolution,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_partition_prune": q_iceberg_partition_prune,
         "graph_degrees": q_graph_degrees,
@@ -2980,6 +3015,15 @@ l AS (
 SELECT src_doc, j::INT AS pos,
        'https://docs.example/d' || ((src_doc * 7 + j * 13) % (SELECT n FROM nn)) AS dst_url
 FROM l
+""",
+        "iceberg_evolution": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_null_quality,
+       round(sum(CASE WHEN doc_id % 2 = 1
+                      THEN (n_chars % 7)::DOUBLE / 7.0 ELSE 0 END), 6)
+         AS sum_q6
+FROM documents GROUP BY lang
 """,
         "iceberg_time_travel": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars

@@ -581,6 +581,46 @@ class IcebergLiteTable:
         summary.update(extra_summary or {})
         return self._finish_snapshot(sid, manifest_files, operation, summary)
 
+    def add_columns(self, new_fields: T.StructType) -> None:
+        """Metadata-only schema evolution (Iceberg v1 spec): append
+        OPTIONAL columns with FRESH field ids (ids are never reused, new
+        columns must be nullable). No data rewrite and no snapshot —
+        existing files simply lack the columns, and the scan's explicit
+        read schema resolves them to NULL (read-by-name). Commits a new
+        metadata version; ``schemas`` keeps the full history with an
+        incremented schema-id.
+        """
+        cur = self.meta["schema"]
+        names = {f["name"] for f in cur["fields"]}
+        last = int(self.meta.get("last-column-id", len(cur["fields"])))
+        added = []
+        for f in new_fields.fields:
+            if f.name in names:
+                raise ValueError(f"column {f.name!r} already exists")
+            if isinstance(f.dataType, T.TimestampType):
+                ice = "timestamptz"
+            else:
+                ice = _SPARK_TO_ICE.get(type(f.dataType))
+                if ice is None:
+                    raise TypeError(
+                        f"iceberg_lite: unsupported column type "
+                        f"{f.dataType} for field {f.name!r}"
+                    )
+            last += 1
+            added.append(
+                {"id": last, "name": f.name, "required": False, "type": ice}
+            )
+        new_schema = {
+            "type": "struct",
+            "schema-id": int(cur.get("schema-id", 0)) + 1,
+            "fields": list(cur["fields"]) + added,
+        }
+        self.meta["schema"] = new_schema
+        self.meta.setdefault("schemas", []).append(new_schema)
+        self.meta["current-schema-id"] = new_schema["schema-id"]
+        self.meta["last-column-id"] = last
+        self._commit()
+
     def append(self, df: DataFrame,
                partition_values: dict[str, Any] | None = None,
                summary: dict[str, str] | None = None) -> int:

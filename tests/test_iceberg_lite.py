@@ -558,3 +558,51 @@ def test_register_iceberg_view_time_travel(spark, tmp_path, pages):
     assert spark.sql("SELECT count(*) c FROM pages_cur").collect()[0]["c"] == 120
     v1 = spark.sql("SELECT lang, count(*) c FROM pages_v1 GROUP BY lang").collect()
     assert [(r["lang"], r["c"]) for r in v1] == [("en", 40)]
+
+
+def test_schema_evolution_add_columns(spark, tmp_path):
+    """add_columns: metadata-only — pre-evolution files read as NULL for
+    the new column, post-evolution appends carry it, field ids are fresh
+    and the schema history is kept; a load() round-trip preserves it."""
+    from pyspark.sql import functions as F, types as T
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    loc = str(tmp_path / "evo")
+    df1 = spark.createDataFrame(
+        [(i, "en", 10 * i) for i in range(5)],
+        "doc_id long, lang string, n_chars long",
+    )
+    t = IcebergLiteTable.create(loc, df1.schema)
+    t.append(df1)
+
+    t.add_columns(T.StructType([T.StructField("quality", T.DoubleType())]))
+    assert [f.name for f in t.spark_schema.fields] == [
+        "doc_id", "lang", "n_chars", "quality",
+    ]
+    assert t.meta["last-column-id"] == 4
+    assert t.meta["schema"]["fields"][-1]["id"] == 4
+    assert t.meta["current-schema-id"] == 1
+    assert len(t.meta["schemas"]) == 2
+
+    df2 = spark.createDataFrame(
+        [(10 + i, "de", 7 * i, i / 2.0) for i in range(3)],
+        "doc_id long, lang string, n_chars long, quality double",
+    )
+    t.append(df2)
+
+    rows = {r["doc_id"]: r for r in t.scan(spark).collect()}
+    assert len(rows) == 8
+    for i in range(5):
+        assert rows[i]["quality"] is None  # old files: NULL-filled
+    for i in range(3):
+        assert rows[10 + i]["quality"] == i / 2.0
+
+    t2 = IcebergLiteTable.load(loc)
+    assert [f.name for f in t2.spark_schema.fields][-1] == "quality"
+    n_null = t2.scan(spark).where(F.col("quality").isNull()).count()
+    assert n_null == 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exists"):
+        t2.add_columns(T.StructType([T.StructField("lang", T.StringType())]))
