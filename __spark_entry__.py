@@ -1105,6 +1105,12 @@ def q_sketch_bloom_decontam(spark, sf_dir):
     )
 
 
+def q_text_rare_mask(spark, sf_dir):
+    """Suppression de-identification: corpus-df < 3 tokens replaced by
+    <RARE> in the normalized stream — byte-exact masked_text oracle."""
+    return textops.rare_token_mask(_docs(spark, sf_dir), min_df=3)
+
+
 def q_text_line_dedup(spark, sf_dir):
     """Global exact line-level dedup (C4's corpus-wide boilerplate pass):
     first occurrence in (doc_id, pos) order survives corpus-wide."""
@@ -1372,6 +1378,30 @@ def q_events_funnel(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return funnel(ev, ["view", "click", "signup", "purchase"])
+
+
+def q_events_markov(spark, sf_dir):
+    """First-order behavior model: event-type transition counts and
+    probabilities over each user's (ts, event_id)-ordered stream — one
+    lead window + one pair aggregate, the Markov-chain table session
+    analytics and anomaly models start from."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wp = Window.partitionBy("cur")
+    return counts.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6)
+        .alias("p6"),
+    )
 
 
 def q_events_range_attrib(spark, sf_dir):
@@ -2493,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "text_decontam": q_text_decontam,
         "text_line_dedup": q_text_line_dedup,
+        "text_rare_mask": q_text_rare_mask,
         "text_pii_redact": q_text_pii_redact,
         "sample_pack_chunks": q_sample_pack_chunks,
         "extract_source_lines": q_extract_source_lines,
@@ -2532,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion": q_events_conversion,
         "events_funnel": q_events_funnel,
         "events_range_attrib": q_events_range_attrib,
+        "events_markov": q_events_markov,
         "text_top_terms": q_text_top_terms,
         "text_adaptive_filter": q_text_adaptive_filter,
         "sample_fill_report": q_sample_fill_report,
@@ -4354,6 +4386,28 @@ SELECT s.doc_id, count(*)::BIGINT AS n_contaminated_ngrams
 FROM sh8 s JOIN bsh USING (shingle)
 GROUP BY 1
 """,
+        "text_rare_mask": f"""
+WITH {_TOKS},
+pt AS (
+  SELECT doc_id, i::BIGINT - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        FROM toks WHERE len(t) >= 1)
+),
+dfreq AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM pt) GROUP BY tok
+),
+m AS (
+  SELECT pt.doc_id, pt.pos,
+         CASE WHEN dfreq.df >= 3 THEN pt.tok ELSE '<RARE>' END AS mt,
+         CASE WHEN dfreq.df < 3 THEN 1 ELSE 0 END AS is_masked
+  FROM pt JOIN dfreq USING (tok)
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(is_masked)::BIGINT AS n_masked,
+       array_to_string(list(mt ORDER BY pos), ' ') AS masked_text
+FROM m GROUP BY doc_id
+""",
         # global first-occurrence line dedup, rebuilt in original order
         "text_line_dedup": """
 WITH lx AS (
@@ -5149,6 +5203,21 @@ SELECT strftime(act.wk, '%Y-%m-%d') AS week_start,
 FROM act LEFT JOIN ret USING (wk)
 """,
         # asof-attributed purchases, 24h conversion window, per user
+        "events_markov": """
+WITH p AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT cur, nxt, count(*)::BIGINT AS n FROM p
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY cur), 6) AS p6
+FROM c
+""",
         "events_range_attrib": """
 SELECT p.event_id, p.user_id, count(*)::BIGINT AS n_clicks_1h
 FROM events p JOIN events c

@@ -645,3 +645,63 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         fp.alias("fp_md5"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp64"),
     )
+
+
+def rare_token_mask(
+    docs: DataFrame,
+    min_df: int = 3,
+    placeholder: str = "<RARE>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, n_tokens, n_masked, masked_text): suppression-style
+    de-identification — every token whose corpus DOCUMENT frequency is
+    below ``min_df`` is replaced by ``placeholder`` in the normalized
+    token stream. The complement to pattern PII scrubbing
+    (:func:`pii_redact`): names, handles, and ids too rare to be safe
+    are removed wholesale, the k-anonymity idea applied to tokens.
+
+    Shapes: one positional explode; the df table is a distinct
+    (doc, token) count — both shuffles key on token; the rebuild is one
+    groupBy doc with an order-preserving sort_array(collect_list(struct))
+    (the same rebuild line_dedup uses). At 100 TB the df table is
+    vocabulary-sized and the frequent side of the join could ride a
+    broadcast bloom of the SAFE set; the plain shuffle join here is the
+    general path.
+    """
+    pos_toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    dfreq = (
+        pos_toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    j = pos_toks.join(dfreq, "tok")
+    masked = F.when(F.col("df") >= min_df, F.col("tok")).otherwise(
+        F.lit(placeholder)
+    )
+    return (
+        j.select(
+            "doc_id", "pos", masked.alias("mt"),
+            (F.col("df") < min_df).cast("long").alias("is_masked"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("is_masked").cast("long").alias("n_masked"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.col("mt"))
+                        )
+                    ),
+                    lambda s: s["mt"],
+                ),
+            ).alias("masked_text"),
+        )
+    )

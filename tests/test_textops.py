@@ -444,3 +444,27 @@ def test_lm_score2_exact_bigram(spark):
     assert got[0]["n_bigrams"] == 3
     assert abs(got[0]["avg_neg_logp2"] - want) < 1e-9
     assert 1 not in got and 2 not in got  # <2 tokens emit no row
+
+
+def test_rare_token_mask(spark):
+    """df counts are DOCUMENT frequency (repeats inside one doc don't
+    save a token); order preserved byte-exactly; placeholder counts."""
+    from linkgraph.textops import rare_token_mask
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta secret alpha"),
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "loner loner loner"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in rare_token_mask(docs, min_df=2).collect()}
+    # df: alpha=3, beta=3, gamma=2, secret=1, loner=1
+    assert rows[0]["masked_text"] == "alpha beta <RARE> alpha"
+    assert rows[0]["n_masked"] == 1 and rows[0]["n_tokens"] == 4
+    assert rows[1]["masked_text"] == "alpha beta gamma"
+    assert rows[1]["n_masked"] == 0
+    assert rows[3]["masked_text"] == "<RARE> <RARE> <RARE>"
+    assert rows[3]["n_masked"] == 3
