@@ -342,6 +342,22 @@ def q_graph_components(spark, sf_dir):
     return connected_components(spark, edges, tpcgraph.vertices_of(edges))
 
 
+def q_graph_comp_sizes(spark, sf_dir):
+    """Component-size distribution (the giant-component report every
+    web-graph paper leads with): CC labels -> per-size component counts,
+    composed on the engine's own small-star/large-star output. The
+    multi-component fixture floor (>=3 weak components) keeps the
+    distribution non-degenerate."""
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=MULTI_MIN_TOTAL)
+    comps = connected_components(spark, edges, tpcgraph.vertices_of(edges))
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").cast("long").alias("size"))
+        .agg(F.count("*").cast("long").alias("n_components"))
+    )
+
+
 def q_graph_components_blocked(spark, sf_dir):
     """Connected components through the blocked-CSR scale path (min-label
     scatter supersteps on the compacted store) vs the same recursive-CTE
@@ -2470,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_hist": q_graph_degree_hist,
         "text_vocab": q_text_vocab,
         "graph_components": q_graph_components,
+        "graph_comp_sizes": q_graph_comp_sizes,
         "graph_components_blocked": q_graph_components_blocked,
         "graph_complexity": q_graph_complexity,
         "graph_complexity_multi": q_graph_complexity_multi,
@@ -3342,6 +3359,16 @@ FROM sverts v LEFT JOIN comp c ON v.id = c.id
 WITH RECURSIVE {_SEDGES}, {_COMPS}
 SELECT v.id, coalesce(c.component, v.id) AS component
 FROM sverts v LEFT JOIN comp c ON v.id = c.id
+""",
+        "graph_comp_sizes": f"""
+WITH RECURSIVE {_sedges_sql(MULTI_MIN_TOTAL)}, {_COMPS},
+labels AS (
+  SELECT v.id, coalesce(c.component, v.id) AS component
+  FROM sverts v LEFT JOIN comp c ON v.id = c.id
+),
+sz AS (SELECT component, count(*) AS s FROM labels GROUP BY 1)
+SELECT s::BIGINT AS size, count(*)::BIGINT AS n_components
+FROM sz GROUP BY 1
 """,
         "graph_complexity": f"""
 WITH RECURSIVE {_SEDGES}, {_COMPS},
