@@ -222,6 +222,20 @@ def main() -> None:
         ).weighted_sample(docs, k=20, strata_col="lang"),
         "range join (bucketed equi-join, NOT BroadcastNestedLoop)":
             _range_join_plan(spark),
+        "k-means E-step (broadcast codebook + struct-min argmin)":
+            __import__(
+                "linkgraph.simsearch", fromlist=["kmeans_assign"]
+            ).kmeans_assign(
+                embs,
+                embs.where(F.col("vec_id") % 64 == 0).select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec"),
+                ),
+            ),
+        "rare-token suppression (one positional explode + token-keyed "
+        "df join + ordered rebuild)": __import__(
+            "linkgraph.textops", fromlist=["rare_token_mask"]
+        ).rare_token_mask(docs),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
