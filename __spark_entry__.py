@@ -562,6 +562,35 @@ def q_graph_betweenness3(spark, sf_dir):
     return seeded_betweenness(spark, e, seeds, depth=3)
 
 
+def q_graph_reach2(spark, sf_dir):
+    """Per-vertex 2-hop reach (friend-of-friend audience size, the
+    influence metric): distinct vertices reachable in <= 2 directed
+    hops, self excluded — one self-join + distinct + count, the shape
+    that motivates frontier dedup at scale."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 3),
+                lambda j: (F.col("doc_id") * 7 + j * 13) % n,
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    two = e.alias("a").join(
+        e.alias("b"), F.col("a.dst") == F.col("b.src")
+    ).select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    reach = (
+        e.unionByName(two)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return reach.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("n_reach2")
+    )
+
+
 def q_graph_host_linkage(spark, sf_dir):
     """Nepotistic-linking report: per source host, how many of its
     outlinks stay inside the host (intra ratio) — the link-spam /
@@ -1119,6 +1148,12 @@ def q_sketch_bloom_decontam(spark, sf_dir):
         )
         .where((F.col("n_bloom") > 0) | (F.col("n_true") > 0))
     )
+
+
+def q_text_jsd_sources(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — corpus drift / mirror detection across domains."""
+    return textops.js_divergence_pairs(_docs(spark, sf_dir), key_col="source")
 
 
 def q_text_rare_mask(spark, sf_dir):
@@ -2502,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_condensation": q_graph_condensation,
         "graph_simrank2": q_graph_simrank2,
         "graph_host_linkage": q_graph_host_linkage,
+        "graph_reach2": q_graph_reach2,
         "graph_betweenness3": q_graph_betweenness3,
         "graph_bowtie": q_graph_bowtie,
         "graph_subgraph": q_graph_subgraph,
@@ -2541,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontam": q_text_decontam,
         "text_line_dedup": q_text_line_dedup,
         "text_rare_mask": q_text_rare_mask,
+        "text_jsd_sources": q_text_jsd_sources,
         "text_pii_redact": q_text_pii_redact,
         "sample_pack_chunks": q_sample_pack_chunks,
         "extract_source_lines": q_extract_source_lines,
@@ -3744,6 +3781,25 @@ alld AS (
 SELECT v, round(sum(delta), 6) AS bc6
 FROM alld WHERE v <> s GROUP BY v HAVING round(sum(delta), 6) > 0
 """,
+        "graph_reach2": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * 7 + j * 13) % (SELECT n FROM nn) AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents)
+),
+e2 AS (SELECT src, dst FROM de WHERE src <> dst),
+two AS (
+  SELECT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src
+),
+reach AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e2 UNION ALL SELECT src, dst FROM two
+  ) WHERE src <> dst
+)
+SELECT src AS id, count(*)::BIGINT AS n_reach2
+FROM reach GROUP BY 1
+""",
         "graph_host_linkage": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 de AS (
@@ -4412,6 +4468,38 @@ bsh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 37 = 0)
 SELECT s.doc_id, count(*)::BIGINT AS n_contaminated_ngrams
 FROM sh8 s JOIN bsh USING (shingle)
 GROUP BY 1
+""",
+        "text_jsd_sources": f"""
+WITH {_TOKS},
+st AS (
+  SELECT d.source AS k, u.tok, count(*) AS c
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id,
+       unnest(t.t) AS u(tok)
+  GROUP BY 1, 2
+),
+tot AS (SELECT k, sum(c) AS t FROM st GROUP BY 1),
+p AS (SELECT st.k, st.tok, st.c::DOUBLE / tot.t AS p
+      FROM st JOIN tot USING (k)),
+ks AS (SELECT DISTINCT k FROM st),
+tk AS (SELECT DISTINCT tok FROM st),
+grid AS (
+  SELECT a.k AS ka, b.k AS kb, tk.tok
+  FROM ks a, ks b, tk WHERE a.k < b.k
+),
+j AS (
+  SELECT g.ka, g.kb,
+         coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+  FROM grid g
+  LEFT JOIN p pa ON pa.k = g.ka AND pa.tok = g.tok
+  LEFT JOIN p pb ON pb.k = g.kb AND pb.tok = g.tok
+)
+SELECT ka AS key_a, kb AS key_b,
+       round(sum(
+         CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2))
+              ELSE 0 END
+         + CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2))
+                ELSE 0 END), 6) AS jsd6
+FROM j GROUP BY 1, 2
 """,
         "text_rare_mask": f"""
 WITH {_TOKS},

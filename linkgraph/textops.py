@@ -705,3 +705,70 @@ def rare_token_mask(
             ).alias("masked_text"),
         )
     )
+
+
+def js_divergence_pairs(
+    docs: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (key_a, key_b, jsd6): Jensen-Shannon divergence between every
+    pair of per-key unigram distributions — the corpus-drift / mirror-
+    detection metric (0 = identical language use, ln 2 = disjoint).
+    JSD = (KL(P||M) + KL(Q||M)) / 2, M the midpoint; zero-probability
+    terms contribute 0 (the standard convention), so the sum runs over
+    the UNION vocabulary via a key-pair x token grid.
+
+    Shapes: one explode + (key, token) count, then a small grid join —
+    |keys|^2/2 x |vocab| rows, fine when keys are sources/domains (the
+    intended grain); per-token probabilities join in twice by key. At
+    web scale the vocab side is capped to the top-k tokens per key
+    first (the tail adds nothing to JSD at 6 decimals).
+    """
+    st = (
+        docs.select(
+            F.col(key_col).alias("k"),
+            F.explode(tokens_col(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("k", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = st.groupBy("k").agg(F.sum("c").alias("t"))
+    p = st.join(tot, "k").select(
+        "k", "tok", (F.col("c").cast("double") / F.col("t")).alias("p")
+    )
+    keys = st.select("k").distinct()
+    toks = st.select("tok").distinct()
+    grid = (
+        keys.select(F.col("k").alias("ka"))
+        .crossJoin(keys.select(F.col("k").alias("kb")))
+        .where(F.col("ka") < F.col("kb"))
+        .crossJoin(toks)
+    )
+    j = (
+        grid.join(
+            p.select(F.col("k").alias("ka"), "tok", F.col("p").alias("pa")),
+            ["ka", "tok"], "left",
+        )
+        .join(
+            p.select(F.col("k").alias("kb"), "tok", F.col("p").alias("pb")),
+            ["kb", "tok"], "left",
+        )
+        .select(
+            "ka", "kb",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (
+        F.when(F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        j.groupBy(F.col("ka").alias("key_a"), F.col("kb").alias("key_b"))
+        .agg(F.round(F.sum(term), 6).alias("jsd6"))
+    )

@@ -468,3 +468,44 @@ def test_rare_token_mask(spark):
     assert rows[1]["n_masked"] == 0
     assert rows[3]["masked_text"] == "<RARE> <RARE> <RARE>"
     assert rows[3]["n_masked"] == 3
+
+
+def test_js_divergence_pairs(spark):
+    """Identical vocabularies -> 0; disjoint -> ln 2; mixed case matches
+    a literal python replica over the union vocabulary."""
+    import math
+
+    from linkgraph.textops import js_divergence_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a", "s1"),
+            (1, "a b c a", "s2"),          # s2 identical to s1
+            (2, "x y z x y z", "s3"),      # s3 disjoint from s1/s2
+            (3, "a a x", "s4"),            # s4 overlaps both
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["key_a"], r["key_b"]): r["jsd6"]
+        for r in js_divergence_pairs(docs, key_col="source").collect()
+    }
+    assert got[("s1", "s2")] == 0.0
+    assert abs(got[("s1", "s3")] - math.log(2)) < 1e-6
+
+    def jsd(pa, pb):
+        toks = set(pa) | set(pb)
+        s = 0.0
+        for t in toks:
+            p, q = pa.get(t, 0.0), pb.get(t, 0.0)
+            m = (p + q) / 2
+            if p > 0:
+                s += 0.5 * p * math.log(p / m)
+            if q > 0:
+                s += 0.5 * q * math.log(q / m)
+        return s
+
+    p1 = {"a": 0.5, "b": 0.25, "c": 0.25}
+    p4 = {"a": 2 / 3, "x": 1 / 3}
+    assert abs(got[("s1", "s4")] - round(jsd(p1, p4), 6)) < 1e-6
+    assert len(got) == 6  # 4 choose 2 unordered pairs
