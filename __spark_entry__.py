@@ -1431,6 +1431,55 @@ def q_events_funnel(spark, sf_dir):
     return funnel(ev, ["view", "click", "signup", "purchase"])
 
 
+def q_events_rfm(spark, sf_dir):
+    """RFM scoring (recency / frequency / monetary), the classic user-
+    value segmentation: days since last event, event count, purchase
+    value sum, each cut into quintiles (ntile with a deterministic
+    user_id tiebreak; anchor = the corpus max ts, not wall clock)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("monetary6"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            # integer `div`, not floor(double /): an exact-multiple diff
+            # can land one ulp under the true quotient in double math
+            F.expr(
+                "(unix_micros(cast(mx as timestamp)) - "
+                "unix_micros(cast(last_ts as timestamp))) div 86400000000"
+            ).cast("long").alias("recency_days"),
+            "frequency", "monetary6",
+        )
+    )
+    return per.select(
+        "user_id", "recency_days", "frequency", "monetary6",
+        F.ntile(5).over(
+            Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+        ).cast("long").alias("r_quintile"),
+        F.ntile(5).over(
+            Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+        ).cast("long").alias("f_quintile"),
+        F.ntile(5).over(
+            Window.orderBy(F.desc("monetary6"), F.asc("user_id"))
+        ).cast("long").alias("m_quintile"),
+    )
+
+
 def q_events_markov(spark, sf_dir):
     """First-order behavior model: event-type transition counts and
     probabilities over each user's (ts, event_id)-ordered stream — one
@@ -2618,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_range_attrib": q_events_range_attrib,
         "events_markov": q_events_markov,
+        "events_rfm": q_events_rfm,
         "text_top_terms": q_text_top_terms,
         "text_adaptive_filter": q_text_adaptive_filter,
         "sample_fill_report": q_sample_fill_report,
@@ -5318,6 +5368,26 @@ SELECT strftime(act.wk, '%Y-%m-%d') AS week_start,
 FROM act LEFT JOIN ret USING (wk)
 """,
         # asof-attributed purchases, 24h conversion window, per user
+        "events_rfm": """
+WITH anchor AS (SELECT max(ts) AS mx FROM events),
+per AS (
+  SELECT user_id,
+         (epoch_us((SELECT mx FROM anchor)) - epoch_us(max(ts)))
+           // 86400000000 AS recency_days,
+         count(*)::BIGINT AS frequency,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0 END), 6) AS monetary6
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days::BIGINT AS recency_days, frequency, monetary6,
+       ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)::BIGINT
+         AS r_quintile,
+       ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)::BIGINT
+         AS f_quintile,
+       ntile(5) OVER (ORDER BY monetary6 DESC, user_id ASC)::BIGINT
+         AS m_quintile
+FROM per
+""",
         "events_markov": """
 WITH p AS (
   SELECT event_type AS cur,
