@@ -2213,6 +2213,35 @@ def q_rel_ship_priority(spark, sf_dir):
     )
 
 
+def q_rel_region_brand(spark, sf_dir):
+    """TPC-H Q9-ish star shape over the full dimension chain (lineitem
+    |X| part |X| supplier |X| nation |X| region): discounted revenue per
+    (region, brand) — the query that makes every pre-registered table a
+    first-class citizen; all four dims broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+        )
+    )
+
+
 def q_mm_payload(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     payload = F.encode(F.col("text"), "UTF-8")
@@ -2692,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
         "rel_ship_priority": q_rel_ship_priority,
+        "rel_region_brand": q_rel_region_brand,
         "mm_payload": q_mm_payload,
         "mm_features": q_mm_features,
     }
@@ -5829,6 +5859,17 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY 1, 2
+""",
+        "rel_region_brand": """
+SELECT r_name AS region, p_brand AS brand,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2
 """,
         "rel_ship_priority": """
