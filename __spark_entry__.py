@@ -1094,6 +1094,23 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_sample_interleave(spark, sf_dir):
+    """Deterministic round-robin interleave across sources — the data-
+    ORDERING op: rank within source, then a global order on (round,
+    source) so every source contributes once per round; consecutive
+    training batches see all domains instead of long single-source runs."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    ws = Window.partitionBy("source").orderBy("doc_id")
+    wg = Window.orderBy("rnd", "source", "doc_id")
+    return (
+        docs.withColumn("rnd", F.row_number().over(ws).cast("long"))
+        .withColumn("interleave_pos", F.row_number().over(wg).cast("long"))
+        .select("doc_id", "source", "rnd", "interleave_pos")
+    )
+
+
 def q_sample_weighted(spark, sf_dir):
     """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
     top-20 per language by u^(1/n_chars) with a deterministic md5
@@ -1154,6 +1171,22 @@ def q_text_jsd_sources(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between per-source unigram
     distributions — corpus drift / mirror detection across domains."""
     return textops.js_divergence_pairs(_docs(spark, sf_dir), key_col="source")
+
+
+def q_text_keywords(spark, sf_dir):
+    """Keyword extraction: top-3 tf-idf terms per document (rank on the
+    ROUNDED weight + token tiebreak so the cut is engine-independent)."""
+    from pyspark.sql import Window
+
+    scored = textops.tfidf(_docs(spark, sf_dir), min_df=1)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf6"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf6", "rk")
+    )
 
 
 def q_text_rare_mask(spark, sf_dir):
@@ -2652,9 +2685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_cap_source": q_sample_cap_source,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
+        "sample_interleave": q_sample_interleave,
         "text_decontam": q_text_decontam,
         "text_line_dedup": q_text_line_dedup,
         "text_rare_mask": q_text_rare_mask,
+        "text_keywords": q_text_keywords,
         "text_jsd_sources": q_text_jsd_sources,
         "text_pii_redact": q_text_pii_redact,
         "sample_pack_chunks": q_sample_pack_chunks,
@@ -3364,6 +3399,25 @@ d3 AS (
   ) GROUP BY id
 )
 SELECT id, dist::INT AS dist FROM d3
+""",
+        "text_keywords": f"""
+WITH {_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+dftab AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n_total FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln((SELECT n_total FROM nn)::DOUBLE / dftab.df), 6)
+           AS tfidf6
+  FROM tf JOIN dftab ON tf.token = dftab.token
+)
+SELECT doc_id, token, tfidf6, rk FROM (
+  SELECT doc_id, token, tfidf6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf6 DESC, token ASC)::BIGINT AS rk
+  FROM sc
+) WHERE rk <= 3
 """,
         "text_tfidf": f"""
 WITH {_TOKS},
@@ -4460,6 +4514,17 @@ SELECT doc_id, source, source_rank::INT AS source_rank FROM (
          ) AS source_rank
   FROM documents
 ) WHERE source_rank <= 15
+""",
+        "sample_interleave": """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnd
+  FROM documents
+)
+SELECT doc_id, source, rnd::BIGINT AS rnd,
+       row_number() OVER (ORDER BY rnd, source, doc_id)::BIGINT
+         AS interleave_pos
+FROM r
 """,
         # A-Res weighted draw: rank by ln(u)/w == u^(1/w), top-20 per lang
         "sample_weighted": """
