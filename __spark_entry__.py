@@ -1173,6 +1173,12 @@ def q_text_jsd_sources(spark, sf_dir):
     return textops.js_divergence_pairs(_docs(spark, sf_dir), key_col="source")
 
 
+def q_text_diversity(spark, sf_dir):
+    """Lexical diversity per doc: type-token ratio + hapax fraction (low
+    TTR = boilerplate, high hapax = noise/mojibake)."""
+    return textops.lexical_diversity(_docs(spark, sf_dir))
+
+
 def q_text_keywords(spark, sf_dir):
     """Keyword extraction: top-3 tf-idf terms per document (rank on the
     ROUNDED weight + token tiebreak so the cut is engine-independent)."""
@@ -2690,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "text_rare_mask": q_text_rare_mask,
         "text_keywords": q_text_keywords,
+        "text_diversity": q_text_diversity,
         "text_jsd_sources": q_text_jsd_sources,
         "text_pii_redact": q_text_pii_redact,
         "sample_pack_chunks": q_sample_pack_chunks,
@@ -3399,6 +3406,18 @@ d3 AS (
   ) GROUP BY id
 )
 SELECT id, dist::INT AS dist FROM d3
+""",
+        "text_diversity": f"""
+WITH {_TOKS},
+tf AS (
+  SELECT doc_id, u.tok, count(*) AS c
+  FROM toks t, unnest(t.t) AS u(tok) GROUP BY 1, 2
+)
+SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       round(count(*)::DOUBLE / sum(c), 6) AS ttr6,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS hapax_frac6
+FROM tf GROUP BY doc_id
 """,
         "text_keywords": f"""
 WITH {_TOKS},

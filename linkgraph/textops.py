@@ -772,3 +772,32 @@ def js_divergence_pairs(
         j.groupBy(F.col("ka").alias("key_a"), F.col("kb").alias("key_b"))
         .agg(F.round(F.sum(term), 6).alias("jsd6"))
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, n_tokens, n_types, ttr6, hapax_frac6): type-token
+    ratio and hapax-legomena fraction — the lexical-diversity quality
+    signals (low TTR = repetitive boilerplate; high hapax = OCR noise /
+    mojibake). One explode + (doc, token) count + doc aggregate: the
+    scale shape, never a per-doc O(n^2) array scan.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*").cast("double") / F.sum("c"), 6).alias("ttr6"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hapax_frac6"),
+    )
