@@ -36,6 +36,10 @@ from linkgraph.pagerank import pagerank  # noqa: E402
 from linkgraph.pagerank_csr import build_blocked, pagerank_blocked  # noqa: E402
 from linkgraph.quotient import node_induced_subgraph, quotient_edges  # noqa: E402
 from linkgraph.scc import strongly_connected_components  # noqa: E402
+from linkgraph.hyperball import (  # noqa: E402
+    hyperball_sql as _hyperball_sql,
+    nfunction_sql as _nfunction_sql,
+)
 from linkgraph.sketches import (  # noqa: E402
     cms_sql as _cms_sql,
     hll_sql as _hll_sql,
@@ -404,6 +408,30 @@ def q_graph_complexity_multi(spark, sf_dir):
         "harrison",
     ]
     return out.select(*[F.col(c).cast("long").alias(c) for c in cols])
+
+
+def q_graph_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013): per-vertex |ball(v, 3)| estimated
+    with deterministic md5 HLL registers — the web-scale replacement for
+    all-pairs BFS (approximate reach / closeness for EVERY vertex in
+    O(iters) map-side-combinable aggregations). Oracle replays the exact
+    register unions in SQL, so the estimates match to the rounded digit."""
+    from linkgraph import hyperball as hb
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    return hb.hyperball(spark, edges, tpcgraph.vertices_of(edges),
+                        b=6, iters=3)
+
+
+def q_graph_nfunction(spark, sf_dir):
+    """Neighbourhood function N(t) = Σ_v |ball(v, t)| for t = 0..3 —
+    successive differences are the graph's DISTANCE DISTRIBUTION and the
+    90%-mass t is the effective diameter (the published Common-Crawl /
+    'four degrees' methodology), from the same HyperBall states."""
+    from linkgraph import hyperball as hb
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    return hb.neighbourhood_function(spark, edges,
+                                     tpcgraph.vertices_of(edges),
+                                     b=6, iters=3)
 
 
 def q_checkpoint_manifest(spark, sf_dir):
@@ -2642,6 +2670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components_blocked": q_graph_components_blocked,
         "graph_complexity": q_graph_complexity,
         "graph_complexity_multi": q_graph_complexity_multi,
+        "graph_hyperball": q_graph_hyperball,
+        "graph_nfunction": q_graph_nfunction,
         "checkpoint_manifest": q_checkpoint_manifest,
         "graph_labelprop2": q_graph_labelprop2,
         "graph_modularity": q_graph_modularity,
@@ -3603,6 +3633,17 @@ SELECT 'oracle-run' AS run_id, 'pagerank' AS algo, s::INT AS superstep,
 FROM (SELECT unnest([0, 1]) AS s)
 """,
         # whole-graph generalised formulas with P > 1 (sparser closure)
+        "graph_hyperball": f"""
+WITH {_EDGES},
+{_hyperball_sql('edges', 'verts', b=6, iters=3)}
+SELECT id, nonempty AS nonempty_buckets, round(est, 4) AS ball_est4
+FROM hb_est
+""",
+        "graph_nfunction": f"""
+WITH {_EDGES},
+{_nfunction_sql('edges', 'verts', b=6, iters=3)}
+SELECT t, reachable_pairs2 FROM hb_nf
+""",
         "graph_complexity_multi": f"""
 WITH RECURSIVE {_sedges_sql(MULTI_MIN_TOTAL)}, {_COMPS},
 labels AS (

@@ -1,0 +1,252 @@
+"""HyperBall: the neighbourhood function of the whole graph at 100 TB.
+
+``|ball(v, t)|`` — how many vertices each page reaches within t hops —
+is the primitive behind the classic web-graph reports: the distance
+distribution, the effective diameter, and approximate closeness /
+harmonic centrality for EVERY vertex at once (Boldi & Vigna,
+"In-Core Computation of Geometric Centralities with HyperBall", 2013 —
+the algorithm used for the published Common-Crawl / Facebook
+"four degrees of separation" measurements). Exact per-vertex BFS is
+O(V·E) and impossible at web scale; HyperBall replaces each ball with a
+mergeable HyperLogLog counter, so one superstep is
+
+    ball(v, t+1) = ball(v, t)  UNION  ⋃_{(v,w) ∈ E} ball(w, t)
+
+and a union of HLLs is a per-bucket register MAX — an aggregation Spark
+executes as a map-side-combinable groupBy, never a distinct.
+
+Engine shape (all JVM, zero Python in the loop):
+- state is a SPARSE register table (id, bucket, r) — at most 2^b rows
+  per vertex, so superstep t costs one hash join edges⋈state (keyed on
+  dst — the same key every round, so the shuffle partitioning is
+  reusable) plus one groupBy(id, bucket).max(r) with partial
+  aggregation. Per-round state is bounded by V·2^b regardless of |E| or
+  t — the reason this survives 10^12 pages where exact frontiers blow up.
+- registers ride the DETERMINISTIC md5 layout of linkgraph.sketches
+  (same bits in Spark and DuckDB), so every estimate is oracle-checkable
+  to the rounded digit; the DuckDB twin is generated from the same
+  constants by :func:`hyperball_sql`.
+
+Reference tie: ccm reports whole-graph structural metrics per component
+(/root/reference/src/ccm/complexity.py:69-99); HyperBall is the
+web-scale generalisation of "how big is the reachable set" that those
+McCabe-style counts summarise on CFGs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .lineage import truncate_plan
+from .sketches import hll_alpha, hll_rho
+
+
+def _hll_estimate(regs: DataFrame, key_cols: list[str], b: int) -> DataFrame:
+    """(key..., bucket, r) -> key... + (nonempty_buckets, est) — the
+    standard HLL estimate with linear-counting small-range correction,
+    float-identical to sketches.hll_distinct / hll_sql."""
+    m = 1 << b
+    per_key = regs.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("nonempty"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(1L, r)")).alias("s_nonempty"),
+    )
+    alpha = hll_alpha(m)
+    s_total = F.col("s_nonempty") + (F.lit(m) - F.col("nonempty"))
+    e_raw = F.lit(alpha * m * m) / s_total
+    v = F.lit(m) - F.col("nonempty")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return per_key.select(
+        *key_cols,
+        F.col("nonempty").alias("nonempty_buckets"),
+        est.alias("est"),
+    )
+
+
+def hyperball_regs(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    b: int = 6,
+    iters: int = 3,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """-> (id, bucket, r): sparse HLL registers of ball(id, ``iters``).
+
+    ``checkpoint_every`` > 0 truncates lineage every k supersteps (the
+    long-horizon form — t ≈ graph diameter needs tens of rounds); 0
+    leaves the unrolled lazy plan (the SQL-replicable form used by the
+    oracle row).
+    """
+    bucket, rho = hll_rho(F.col("id").cast("string"), b)
+    state = vertices.select("id", bucket.alias("bucket"), rho.alias("r"))
+    e = edges.select("src", "dst")
+    for t in range(iters):
+        prop = e.join(state, e.dst == state.id).select(
+            e.src.alias("id"), "bucket", "r"
+        )
+        state = (
+            state.unionByName(prop)
+            .groupBy("id", "bucket")
+            .agg(F.max("r").cast("int").alias("r"))
+        )
+        if checkpoint_every and (t + 1) % checkpoint_every == 0:
+            state = truncate_plan(state)
+    return state
+
+
+def hyperball(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    b: int = 6,
+    iters: int = 3,
+) -> DataFrame:
+    """-> (id, nonempty_buckets, ball_est4): estimated |ball(id, iters)|
+    (vertices within ``iters`` directed hops, INCLUDING id itself) for
+    every vertex — per-vertex reach at any scale."""
+    regs = hyperball_regs(spark, edges, vertices, b=b, iters=iters)
+    out = _hll_estimate(regs, ["id"], b)
+    return out.select(
+        "id", "nonempty_buckets", F.round("est", 4).alias("ball_est4")
+    )
+
+
+def neighbourhood_function(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    b: int = 6,
+    iters: int = 3,
+) -> DataFrame:
+    """-> (t, reachable_pairs2) for t = 0..iters: the neighbourhood
+    function N(t) = Σ_v |ball(v, t)| — reachable pairs within t hops.
+    Successive differences are the DISTANCE DISTRIBUTION; the smallest t
+    with N(t) ≥ 0.9·N(∞) is the effective diameter. One job: the t-th
+    state is a prefix of the (t+1)-th plan, so Spark shares the scans.
+
+    Per-vertex estimates are rounded to 4 decimals BEFORE the global sum
+    (each rounded value is a short decimal, so the cross-engine sum
+    agrees to well past the 2 decimals kept)."""
+    bucket, rho = hll_rho(F.col("id").cast("string"), b)
+    state = vertices.select("id", bucket.alias("bucket"), rho.alias("r"))
+    e = edges.select("src", "dst")
+    rows = []
+    for t in range(iters + 1):
+        est = _hll_estimate(state, ["id"], b)
+        rows.append(
+            est.select(
+                F.lit(t).cast("int").alias("t"),
+                F.round("est", 4).alias("e4"),
+            )
+        )
+        if t == iters:
+            break
+        prop = e.join(state, e.dst == state.id).select(
+            e.src.alias("id"), "bucket", "r"
+        )
+        state = (
+            state.unionByName(prop)
+            .groupBy("id", "bucket")
+            .agg(F.max("r").cast("int").alias("r"))
+        )
+    allt = rows[0]
+    for r in rows[1:]:
+        allt = allt.unionByName(r)
+    return (
+        allt.groupBy("t")
+        .agg(F.round(F.sum("e4"), 2).alias("reachable_pairs2"))
+        .orderBy("t")
+    )
+
+
+def hyperball_sql(
+    edges_cte: str,
+    verts_cte: str,
+    b: int = 6,
+    iters: int = 3,
+) -> str:
+    """DuckDB twin of :func:`hyperball` — generated from the SAME layout
+    constants (md5 bucket/rho, alpha, small-range correction) so the two
+    engines can never drift. ``edges_cte``/``verts_cte`` name CTEs
+    ``edges(src, dst)`` and ``verts(id)`` that the caller prepends."""
+    m = 1 << b
+    width = 60 - b
+    alpha = hll_alpha(m)
+    parts = [
+        f"""
+hb_r0 AS (
+  SELECT id, (h & {m - 1})::INT AS bucket,
+         (CASE WHEN (h >> {b}) = 0 THEN {width + 1}
+               ELSE {width + 1} - length(bin(h >> {b})) END)::INT AS r
+  FROM (SELECT id,
+               CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM {verts_cte})
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+hb_r{t} AS (
+  SELECT id, bucket, max(r)::INT AS r FROM (
+    SELECT * FROM hb_r{t - 1}
+    UNION ALL
+    SELECT e.src AS id, s.bucket, s.r
+    FROM {edges_cte} e JOIN hb_r{t - 1} s ON e.dst = s.id
+  ) GROUP BY 1, 2
+)""")
+    parts.append(_est_cte("hb_key", "hb_est", f"hb_r{iters}", m, alpha))
+    return ",".join(parts)
+
+
+def _est_cte(key_name: str, est_name: str, regs_name: str,
+             m: int, alpha: float) -> str:
+    return f"""
+{key_name} AS (
+  SELECT id, count(*)::BIGINT AS nonempty,
+         sum(1.0 / (1::BIGINT << r)) AS s_nonempty
+  FROM {regs_name} GROUP BY 1
+),
+{est_name} AS (
+  SELECT id, nonempty,
+         CASE WHEN ({alpha!r}::DOUBLE * {m} * {m})
+                   / (s_nonempty + ({m} - nonempty)) <= {2.5 * m}
+               AND {m} - nonempty > 0
+              THEN {float(m)!r}::DOUBLE
+                   * ln({float(m)!r}::DOUBLE / ({m} - nonempty))
+              ELSE ({alpha!r}::DOUBLE * {m} * {m})
+                   / (s_nonempty + ({m} - nonempty))
+         END AS est
+  FROM {key_name}
+)"""
+
+
+def nfunction_sql(
+    edges_cte: str,
+    verts_cte: str,
+    b: int = 6,
+    iters: int = 3,
+) -> str:
+    """DuckDB twin of :func:`neighbourhood_function`: CTEs ending in
+    ``hb_nf(t, reachable_pairs2)`` — per-t estimates from the SAME
+    register states hb_r0..hb_r{iters}, per-vertex round(est, 4) summed
+    then rounded to 2 (the engine's float discipline)."""
+    m = 1 << b
+    alpha = hll_alpha(m)
+    parts = [hyperball_sql(edges_cte, verts_cte, b=b, iters=iters)]
+    selects = []
+    for t in range(iters + 1):
+        if t < iters:  # hb_est already estimates the final state
+            parts.append(
+                _est_cte(f"hb_key{t}", f"hb_est{t}", f"hb_r{t}", m, alpha)
+            )
+        src = "hb_est" if t == iters else f"hb_est{t}"
+        selects.append(
+            f"SELECT {t}::INT AS t, round(sum(round(est, 4)), 2) "
+            f"AS reachable_pairs2 FROM {src}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    parts.append(f"\nhb_nf AS (\n{union}\n)")
+    return ",".join(parts)
