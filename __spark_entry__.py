@@ -37,6 +37,7 @@ from linkgraph.pagerank_csr import build_blocked, pagerank_blocked  # noqa: E402
 from linkgraph.quotient import node_induced_subgraph, quotient_edges  # noqa: E402
 from linkgraph.scc import strongly_connected_components  # noqa: E402
 from linkgraph.hyperball import (  # noqa: E402
+    centrality_sql as _hb_centrality_sql,
     hyperball_sql as _hyperball_sql,
     nfunction_sql as _nfunction_sql,
 )
@@ -432,6 +433,19 @@ def q_graph_nfunction(spark, sf_dir):
     return hb.neighbourhood_function(spark, edges,
                                      tpcgraph.vertices_of(edges),
                                      b=6, iters=3)
+
+
+def q_graph_hb_centrality(spark, sf_dir):
+    """Approximate closeness + harmonic centrality for EVERY vertex from
+    the HyperBall states (the algorithm's headline application): vertices
+    AT distance t = N_t − N_{t−1}, so totdist = Σ t·ΔN_t and harmonic =
+    Σ ΔN_t/t, truncated at 3 hops. Exact all-vertex BFS is O(V·E); this
+    is three map-side-combinable aggregations at any scale."""
+    from linkgraph import hyperball as hb
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    return hb.hyperball_centrality(spark, edges,
+                                   tpcgraph.vertices_of(edges),
+                                   b=6, iters=3)
 
 
 def q_checkpoint_manifest(spark, sf_dir):
@@ -2672,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_complexity_multi": q_graph_complexity_multi,
         "graph_hyperball": q_graph_hyperball,
         "graph_nfunction": q_graph_nfunction,
+        "graph_hb_centrality": q_graph_hb_centrality,
         "checkpoint_manifest": q_checkpoint_manifest,
         "graph_labelprop2": q_graph_labelprop2,
         "graph_modularity": q_graph_modularity,
@@ -3643,6 +3658,11 @@ FROM hb_est
 WITH {_EDGES},
 {_nfunction_sql('edges', 'verts', b=6, iters=3)}
 SELECT t, reachable_pairs2 FROM hb_nf
+""",
+        "graph_hb_centrality": f"""
+WITH {_EDGES},
+{_hb_centrality_sql('edges', 'verts', b=6, iters=3)}
+SELECT id, totdist4, harmonic4 FROM hb_cent
 """,
         "graph_complexity_multi": f"""
 WITH RECURSIVE {_sedges_sql(MULTI_MIN_TOTAL)}, {_COMPS},

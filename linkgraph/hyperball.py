@@ -162,6 +162,109 @@ def neighbourhood_function(
     )
 
 
+def hyperball_centrality(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    b: int = 6,
+    iters: int = 3,
+) -> DataFrame:
+    """-> (id, totdist4, harmonic4): approximate ALL-vertex closeness
+    ingredients from the HyperBall states — Boldi & Vigna's actual
+    headline application. With N_t(v) = est |ball(v, t)| (rounded to 4,
+    the cross-engine contract), the number of vertices AT distance t is
+    N_t − N_{t−1}, so
+
+        totdist(v)  = Σ_t t · (N_t − N_{t−1})      (closeness denominator)
+        harmonic(v) = Σ_t (1/t) · (N_t − N_{t−1})  (harmonic centrality)
+
+    truncated at ``iters`` (the bounded-radius form — web-graph distance
+    mass sits within a handful of hops). Exact per-vertex BFS for this is
+    O(V·E); this is ``iters`` joins + aggregations, any scale. Sums are
+    written in fixed association order so DuckDB reproduces the floats."""
+    bucket, rho = hll_rho(F.col("id").cast("string"), b)
+    state = vertices.select("id", bucket.alias("bucket"), rho.alias("r"))
+    e = edges.select("src", "dst")
+    per_t = []
+    for t in range(iters + 1):
+        est = _hll_estimate(state, ["id"], b)
+        per_t.append(
+            est.select(
+                "id",
+                F.lit(t).cast("int").alias("t"),
+                F.round("est", 4).alias("e4"),
+            )
+        )
+        if t == iters:
+            break
+        prop = e.join(state, e.dst == state.id).select(
+            e.src.alias("id"), "bucket", "r"
+        )
+        state = (
+            state.unionByName(prop)
+            .groupBy("id", "bucket")
+            .agg(F.max("r").cast("int").alias("r"))
+        )
+    allt = per_t[0]
+    for p in per_t[1:]:
+        allt = allt.unionByName(p)
+    et = [
+        F.sum(F.when(F.col("t") == t, F.col("e4")).otherwise(F.lit(0.0)))
+        for t in range(iters + 1)
+    ]
+    totdist = F.lit(0.0)
+    harmonic = F.lit(0.0)
+    for t in range(1, iters + 1):
+        step = et[t] - et[t - 1]
+        totdist = totdist + F.lit(float(t)) * step
+        harmonic = harmonic + step / F.lit(float(t))
+    return allt.groupBy("id").agg(
+        F.round(totdist, 4).alias("totdist4"),
+        F.round(harmonic, 4).alias("harmonic4"),
+    )
+
+
+def centrality_sql(
+    edges_cte: str,
+    verts_cte: str,
+    b: int = 6,
+    iters: int = 3,
+) -> str:
+    """DuckDB twin of :func:`hyperball_centrality`: CTEs ending in
+    ``hb_cent(id, totdist4, harmonic4)`` — same register states, same
+    per-t round-to-4, same fixed-order float sums."""
+    m = 1 << b
+    alpha = hll_alpha(m)
+    parts = [hyperball_sql(edges_cte, verts_cte, b=b, iters=iters)]
+    for t in range(iters):
+        parts.append(
+            _est_cte(f"hb_key{t}", f"hb_est{t}", f"hb_r{t}", m, alpha)
+        )
+    sel = "SELECT id, t, round(est, 4) AS e4 FROM (\n" + "\nUNION ALL\n".join(
+        f"SELECT id, {t} AS t, est FROM "
+        + ("hb_est" if t == iters else f"hb_est{t}")
+        for t in range(iters + 1)
+    ) + "\n)"
+    parts.append(f"\nhb_allt AS (\n{sel}\n)")
+    ets = [
+        f"sum(CASE WHEN t = {t} THEN e4 ELSE 0.0 END)"
+        for t in range(iters + 1)
+    ]
+    totdist = "0.0"
+    harmonic = "0.0"
+    for t in range(1, iters + 1):
+        step = f"({ets[t]} - {ets[t - 1]})"
+        totdist = f"({totdist} + {float(t)!r} * {step})"
+        harmonic = f"({harmonic} + {step} / {float(t)!r})"
+    parts.append(f"""
+hb_cent AS (
+  SELECT id, round({totdist}, 4) AS totdist4,
+         round({harmonic}, 4) AS harmonic4
+  FROM hb_allt GROUP BY id
+)""")
+    return ",".join(parts)
+
+
 def hyperball_sql(
     edges_cte: str,
     verts_cte: str,

@@ -119,6 +119,73 @@ def test_neighbourhood_function_monotone(spark):
     assert vals[0] == pytest.approx(want0, abs=1e-6)
 
 
+def _r4(x):
+    # Spark's round() = HALF_UP over the double's shortest decimal repr
+    # (BigDecimal.valueOf); Python's round() is half-even — they differ
+    # on exact .00005 ties, which the /2 centrality step does produce.
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def test_centrality_matches_replica(spark):
+    from linkgraph.hyperball import hyperball_centrality
+
+    iters = 3
+    states = [replica_regs(PAIRS, IDS, B, t) for t in range(iters + 1)]
+    want = {}
+    for i in IDS:
+        e4 = [_r4(replica_estimate(states[t][i], B))
+              for t in range(iters + 1)]
+        td, hm = 0.0, 0.0
+        for t in range(1, iters + 1):
+            td = td + float(t) * (e4[t] - e4[t - 1])
+            hm = hm + (e4[t] - e4[t - 1]) / float(t)
+        want[i] = (_r4(td), _r4(hm))
+    got = {
+        row["id"]: (row["totdist4"], row["harmonic4"])
+        for row in hyperball_centrality(
+            spark, edges_df(spark, PAIRS), verts_df(spark, IDS),
+            b=B, iters=iters,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i in IDS:
+        assert got[i][0] == pytest.approx(want[i][0], abs=1e-9), i
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-9), i
+
+
+def test_centrality_sql_twin(spark):
+    from linkgraph.hyperball import centrality_sql, hyperball_centrality
+
+    got = (
+        hyperball_centrality(
+            spark, edges_df(spark, PAIRS), verts_df(spark, IDS), b=B, iters=2
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "pairs", pd.DataFrame(PAIRS, columns=["src", "dst"]).astype("int64")
+    )
+    con.register("idtab", pd.DataFrame({"id": IDS}).astype("int64"))
+    sql = f"""
+WITH edges AS (SELECT src, dst FROM pairs),
+verts AS (SELECT id FROM idtab),
+{centrality_sql('edges', 'verts', b=B, iters=2)}
+SELECT id, totdist4, harmonic4 FROM hb_cent ORDER BY id
+"""
+    want = con.execute(sql).df()
+    assert list(got["id"]) == list(want["id"])
+    assert got["totdist4"].tolist() == pytest.approx(
+        want["totdist4"].tolist(), abs=1e-9
+    )
+    assert got["harmonic4"].tolist() == pytest.approx(
+        want["harmonic4"].tolist(), abs=1e-9
+    )
+
+
 def test_sql_twin_matches_spark(spark):
     got = (
         hyperball(
