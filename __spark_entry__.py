@@ -2076,6 +2076,54 @@ def q_text_lm_score(spark, sf_dir):
     return textops.lm_score(_docs(spark, sf_dir))
 
 
+def _nb_split(spark, sf_dir):
+    from linkgraph import classify
+
+    docs = _docs(spark, sf_dir)
+    coin = classify.train_split_coin()
+    return docs.where(coin < "cccccc"), docs.where(coin >= "cccccc")
+
+
+def q_text_nb_model(spark, sf_dir):
+    """Multinomial NB model stats trained on the deterministic 80% md5
+    split of documents (label = lang): per-class doc/token totals plus
+    global vocab — the integer half of the classifier, exactly
+    replayable in any engine."""
+    from linkgraph import classify
+
+    train, _ = _nb_split(spark, sf_dir)
+    _, stats = classify.nb_model(train, label_col="lang")
+    return stats.select("label", "n_docs", "n_tokens", "vocab", "n_docs_total")
+
+
+def q_text_nb_classify(spark, sf_dir):
+    """Score the held-out 20% with the trained NB model: per-doc argmax
+    language and its ln-posterior (Laplace +1 smoothing). The C4/CCNet
+    fastText-classifier step as two aggregations and one token join."""
+    from linkgraph import classify
+
+    train, test = _nb_split(spark, sf_dir)
+    cond, stats = classify.nb_model(train, label_col="lang")
+    out = classify.nb_classify(test, cond, stats)
+    return out.select("doc_id", "pred", F.round("score", 6).alias("score"))
+
+
+def q_text_nb_confusion(spark, sf_dir):
+    """Held-out confusion matrix of the NB classifier vs the true lang
+    label — the integer-only accuracy readout of text_nb_classify."""
+    from linkgraph import classify
+
+    train, test = _nb_split(spark, sf_dir)
+    cond, stats = classify.nb_model(train, label_col="lang")
+    preds = classify.nb_classify(test, cond, stats)
+    return (
+        test.select("doc_id", F.col("lang").alias("truth"))
+        .join(preds, "doc_id")
+        .groupBy("truth", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_extract_anchor_corpus(spark, sf_dir):
     """Per-target inlink anchor-text aggregate, driven through the real
     anchor extractor over the synthetic pages."""
@@ -2751,6 +2799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_skipgrams": q_graph_skipgrams,
         "text_lm_score": q_text_lm_score,
         "text_lm_score2": q_text_lm_score2,
+        "text_nb_model": q_text_nb_model,
+        "text_nb_classify": q_text_nb_classify,
+        "text_nb_confusion": q_text_nb_confusion,
         "text_curriculum": q_text_curriculum,
         "text_gopher": q_text_gopher,
         "quality_calibration": q_quality_calibration,
@@ -2869,6 +2920,70 @@ toks AS (
          CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
               ELSE string_split(nrm, ' ') END AS t
   FROM nrm
+)
+"""
+
+# multinomial NB (classify.py): 80/20 md5 split on doc_id, label = lang.
+# Laplace(+1) smoothing; absent (label, tok) pairs contribute ln(1)=0 so
+# only model hits enter the join — same sparsity trick as the engine.
+_NB_MODEL = """
+tr AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':nb'), 1, 6) < 'cccccc'
+),
+trt AS (
+  SELECT doc_id, lang,
+         CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nrm, ' ') END AS t
+  FROM tr
+),
+trx AS (SELECT doc_id, lang AS label, unnest(t) AS tok FROM trt),
+cond AS (SELECT label, tok, count(*)::BIGINT AS c FROM trx GROUP BY 1, 2),
+per_class AS (
+  SELECT label, count(*)::BIGINT AS n_tokens FROM trx GROUP BY 1
+),
+all_class AS (
+  SELECT lang AS label, count(DISTINCT doc_id)::BIGINT AS nd_all
+  FROM trt GROUP BY 1
+),
+g AS (SELECT (SELECT count(DISTINCT tok) FROM trx)::BIGINT AS vocab,
+             (SELECT count(DISTINCT doc_id) FROM trt)::BIGINT AS n_docs_total)
+"""
+
+# held-out scoring on top of _NB_MODEL: per-(doc, label) ln-posterior
+_NB_SCORED = """
+stats AS (
+  SELECT a.label, a.nd_all AS n_docs,
+         coalesce(p.n_tokens, 0)::BIGINT AS n_tokens, g.vocab, g.n_docs_total
+  FROM all_class a LEFT JOIN per_class p USING (label) CROSS JOIN g
+),
+te AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':nb'), 1, 6) >= 'cccccc'
+),
+tet AS (
+  SELECT doc_id,
+         CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nrm, ' ') END AS t
+  FROM te
+),
+ten AS (SELECT doc_id, len(t)::BIGINT AS n_d FROM tet),
+tex AS (SELECT doc_id, unnest(t) AS tok FROM tet),
+hits AS (
+  SELECT x.doc_id, c.label, sum(ln(c.c + 1.0)) AS s
+  FROM tex x JOIN cond c USING (tok) GROUP BY 1, 2
+),
+scored AS (
+  SELECT n.doc_id, st.label,
+         ln(st.n_docs::DOUBLE / st.n_docs_total)
+         - n.n_d * ln((st.n_tokens + st.vocab)::DOUBLE)
+         + coalesce(h.s, 0.0) AS score
+  FROM ten n CROSS JOIN stats st
+  LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.label = st.label
 )
 """
 
@@ -5306,6 +5421,35 @@ SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
        sum(kept)::BIGINT AS n_keep, round(avg(kept::DOUBLE), 6) AS keep_rate6,
        min(s6) AS min_s6, max(s6) AS max_s6
 FROM dd GROUP BY 1
+""",
+        "text_nb_model": f"""
+WITH {_NB_MODEL}
+SELECT a.label, a.nd_all AS n_docs, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       g.vocab, g.n_docs_total
+FROM all_class a LEFT JOIN per_class p USING (label) CROSS JOIN g
+""",
+        "text_nb_classify": f"""
+WITH {_NB_MODEL}, {_NB_SCORED}
+SELECT doc_id, label AS pred, round(score, 6) AS score
+FROM (SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label ASC) AS rk
+      FROM scored)
+WHERE rk = 1
+""",
+        "text_nb_confusion": f"""
+WITH {_NB_MODEL}, {_NB_SCORED},
+pr AS (
+  SELECT doc_id, label AS pred
+  FROM (SELECT doc_id, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label ASC) AS rk
+        FROM scored)
+  WHERE rk = 1
+)
+SELECT d.lang AS truth, pr.pred, count(*)::BIGINT AS n
+FROM documents d JOIN pr ON d.doc_id = pr.doc_id
+GROUP BY 1, 2
 """,
         "text_lm_score": f"""
 WITH {_TOKS},
