@@ -271,6 +271,21 @@ def q_graph_hits2(spark, sf_dir):
     )
 
 
+def q_graph_salsa2(spark, sf_dir):
+    """Two SALSA rounds (degree-normalized HITS — the TKC-resistant
+    Lempel-Moran walk): column-stochastic updates conserve L1 mass, so
+    the unrolled SQL replica needs no global normalizer."""
+    from linkgraph.hits import salsa
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    out = salsa(spark, edges, tpcgraph.vertices_of(edges), iterations=2)
+    return out.select(
+        "id",
+        F.round("hub", 9).alias("hub9"),
+        F.round("authority", 9).alias("auth9"),
+    )
+
+
 def q_graph_katz2(spark, sf_dir):
     """Two unrolled Katz-centrality rounds (alpha=0.05, beta=1): the
     attenuated-walk-count centrality, same join+sum superstep shape as
@@ -2719,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank2_incremental": q_graph_pagerank2_incremental,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
+        "graph_salsa2": q_graph_salsa2,
         "graph_katz2": q_graph_katz2,
         "graph_kcore": q_graph_kcore,
         "graph_bfs3": q_graph_bfs3,
@@ -3497,6 +3513,35 @@ t0 AS (
 SELECT p2.id, round(p2.r, 9) AS pr9, round(t2.r, 9) AS tr9,
        round((round(p2.r, 9) - round(t2.r, 9)) / round(p2.r, 9), 6) AS spam_mass6
 FROM p2 JOIN t2 ON p2.id = t2.id
+""",
+        "graph_salsa2": f"""
+WITH {_EDGES},
+outd AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY 1),
+ind  AS (SELECT dst, count(*)::DOUBLE AS idg FROM edges GROUP BY 1),
+h0 AS (SELECT src AS id, 1.0 / (SELECT count(*) FROM outd) AS hub FROM outd),
+a1 AS (
+  SELECT e.dst AS id, sum(h.hub / o.od) AS authority
+  FROM edges e JOIN h0 h ON e.src = h.id JOIN outd o ON e.src = o.src
+  GROUP BY 1
+),
+h1 AS (
+  SELECT e.src AS id, sum(a.authority / i.idg) AS hub
+  FROM edges e JOIN a1 a ON e.dst = a.id JOIN ind i ON e.dst = i.dst
+  GROUP BY 1
+),
+a2 AS (
+  SELECT e.dst AS id, sum(h.hub / o.od) AS authority
+  FROM edges e JOIN h1 h ON e.src = h.id JOIN outd o ON e.src = o.src
+  GROUP BY 1
+),
+h2 AS (
+  SELECT e.src AS id, sum(a.authority / i.idg) AS hub
+  FROM edges e JOIN a2 a ON e.dst = a.id JOIN ind i ON e.dst = i.dst
+  GROUP BY 1
+)
+SELECT v.id, round(coalesce(h2.hub, 0.0), 9) AS hub9,
+       round(coalesce(a2.authority, 0.0), 9) AS auth9
+FROM verts v LEFT JOIN h2 ON v.id = h2.id LEFT JOIN a2 ON v.id = a2.id
 """,
         "graph_hits2": f"""
 WITH {_EDGES},

@@ -103,6 +103,85 @@ def hits_oracle(
     return {v: (h[v], a[v]) for v in nodes}
 
 
+def salsa(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 2,
+) -> DataFrame:
+    """SALSA (Lempel & Moran '00): HITS with degree-normalized random
+    walks instead of raw sums — the variant that resists tightly-knit
+    community (TKC) score capture, and the shape of production
+    who-to-follow rankers. Fixed unrolled iterations:
+
+        a_{k+1}(j) = Σ_{(i,j)∈E} h_k(i)   / outdeg(i)
+        h_{k+1}(i) = Σ_{(i,j)∈E} a_{k+1}(j) / indeg(j)
+
+    h_0 = 1/|{outdeg>0}| on hub-side vertices. Both updates are
+    column-stochastic, so L1 mass is conserved by construction — no
+    global normalizer, hence exactly SQL-replicable round for round.
+
+    Each half-step is one broadcast-degree join + one sum keyed on a
+    vertex id: the PageRank-superstep shuffle signature (partial
+    aggregation map-side; hub skew handled by AQE the same way).
+    -> (id, hub, authority) with 0.0 for walk-unreachable sides.
+    """
+    e = edges.select("src", "dst").distinct()
+    outd = e.groupBy("src").agg(F.count("*").alias("od"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    h = truncate_plan(
+        outd.select(F.col("src").alias("id")).crossJoin(
+            F.broadcast(outd.agg((1.0 / F.count("*")).alias("_h0")))
+        ).select("id", F.col("_h0").alias("hub")),
+        eager=False,
+    )
+    a = None
+    for _ in range(iterations):
+        a = truncate_plan(
+            e.join(h.select(F.col("id").alias("src"), "hub"), "src")
+            .join(outd, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("hub") / F.col("od")).alias("authority")),
+            eager=False,
+        )
+        h = truncate_plan(
+            e.join(a.select(F.col("id").alias("dst"), "authority"), "dst")
+            .join(ind, "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("authority") / F.col("idg")).alias("hub")),
+            eager=False,
+        )
+    return (
+        vertices.select("id")
+        .join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+
+
+def salsa_oracle(nodes, edges, iterations: int = 2):
+    """Pure-Python replica of the salsa spec -> {id: (hub, auth)}."""
+    es = sorted(set(edges))
+    outd, ind = {}, {}
+    for u, v in es:
+        outd[u] = outd.get(u, 0) + 1
+        ind[v] = ind.get(v, 0) + 1
+    h = {u: 1.0 / len(outd) for u in outd}
+    a = {}
+    for _ in range(iterations):
+        a = {}
+        for u, v in es:
+            a[v] = a.get(v, 0.0) + h.get(u, 0.0) / outd[u]
+        h = {}
+        for u, v in es:
+            h[u] = h.get(u, 0.0) + a.get(v, 0.0) / ind[v]
+    return {v: (h.get(v, 0.0), a.get(v, 0.0)) for v in nodes}
+
+
 def katz(
     spark,
     edges: DataFrame,

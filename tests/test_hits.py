@@ -109,3 +109,50 @@ def test_katz_matches_python_replica(spark):
     assert set(got) == set(x)
     for v in x:
         assert abs(got[v] - x[v]) < 1e-9, v
+
+
+# ---------------------------------------------------------------- SALSA
+
+
+def test_salsa_matches_replica(spark):
+    from linkgraph.hits import salsa, salsa_oracle
+
+    e = _random_digraph(21, 30, 90)
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in salsa(spark, edges, verts, iterations=3).collect()
+    }
+    want = salsa_oracle(range(30), e, iterations=3)
+    for v in want:
+        assert math.isclose(got[v][0], want[v][0], rel_tol=1e-9, abs_tol=1e-12), v
+        assert math.isclose(got[v][1], want[v][1], rel_tol=1e-9, abs_tol=1e-12), v
+
+
+def test_salsa_conserves_mass_and_is_stationary_on_indegree(spark):
+    """Both SALSA updates are column-stochastic: authority and hub mass
+    each sum to 1 every round. And on a graph whose authority-side walk
+    is connected, the stationary authority is indeg(j)/|E| — run enough
+    rounds and check convergence to that closed form (Lempel-Moran)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.hits import salsa
+
+    # connected bipartite-ish support: hubs 0..4, authorities 10..13
+    e = [(0, 10), (0, 11), (1, 11), (1, 12), (2, 12), (2, 13),
+         (3, 13), (3, 10), (4, 10), (4, 12)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = spark.createDataFrame(
+        [(i,) for i in range(5)] + [(i,) for i in range(10, 14)], "id long"
+    )
+    out = salsa(spark, edges, verts, iterations=24)
+    sums = out.agg(F.sum("hub"), F.sum("authority")).first()
+    assert math.isclose(sums[0], 1.0, rel_tol=1e-9)
+    assert math.isclose(sums[1], 1.0, rel_tol=1e-9)
+    indeg = {}
+    for _, v in e:
+        indeg[v] = indeg.get(v, 0) + 1
+    got = {r["id"]: r["authority"] for r in out.collect() if r["id"] >= 10}
+    for j, d in indeg.items():
+        assert math.isclose(got[j], d / len(e), rel_tol=1e-6), j
