@@ -450,6 +450,16 @@ def q_graph_nfunction(spark, sf_dir):
                                      b=6, iters=3)
 
 
+def q_graph_eff_diameter(spark, sf_dir):
+    """Effective diameter at 90% from the HyperBall neighbourhood
+    function (smallest t with N(t) >= 0.9*N(max), plus the interpolated
+    fractional value) — the 'four degrees of separation' readout."""
+    from linkgraph import hyperball as hb
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    return hb.effective_diameter(spark, edges, tpcgraph.vertices_of(edges),
+                                 b=6, iters=3)
+
+
 def q_graph_hb_centrality(spark, sf_dir):
     """Approximate closeness + harmonic centrality for EVERY vertex from
     the HyperBall states (the algorithm's headline application): vertices
@@ -2750,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_complexity_multi": q_graph_complexity_multi,
         "graph_hyperball": q_graph_hyperball,
         "graph_nfunction": q_graph_nfunction,
+        "graph_eff_diameter": q_graph_eff_diameter,
         "graph_hb_centrality": q_graph_hb_centrality,
         "checkpoint_manifest": q_checkpoint_manifest,
         "graph_labelprop2": q_graph_labelprop2,
@@ -3813,6 +3824,28 @@ WITH {_EDGES},
 {_hyperball_sql('edges', 'verts', b=6, iters=3)}
 SELECT id, nonempty AS nonempty_buckets, round(est, 4) AS ball_est4
 FROM hb_est
+""",
+        "graph_eff_diameter": f"""
+WITH {_EDGES},
+{_nfunction_sql('edges', 'verts', b=6, iters=3)},
+ninf AS (
+  SELECT reachable_pairs2 AS n_inf FROM hb_nf
+  WHERE t = (SELECT max(t) FROM hb_nf)
+),
+j AS (
+  SELECT c.t, c.reachable_pairs2 AS rp, p.reachable_pairs2 AS prev,
+         (SELECT n_inf FROM ninf) AS n_inf
+  FROM hb_nf c LEFT JOIN hb_nf p ON p.t = c.t - 1
+),
+hit AS (
+  SELECT * FROM j WHERE rp >= 0.9 * n_inf ORDER BY t LIMIT 1
+)
+SELECT t::INT AS eff_diameter,
+       round(CASE WHEN t = 0 THEN 0.0
+                  ELSE (t - 1) + (0.9 * n_inf - prev) / (rp - prev)
+             END, 4) AS eff_diameter_interp4,
+       n_inf AS reachable_pairs_inf2
+FROM hit
 """,
         "graph_nfunction": f"""
 WITH {_EDGES},

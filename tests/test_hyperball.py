@@ -213,3 +213,40 @@ FROM hb_est ORDER BY id
     assert got["ball_est4"].tolist() == pytest.approx(
         want["ball_est4"].tolist(), abs=1e-9
     )
+
+
+def test_effective_diameter_matches_nfunction_selection(spark):
+    """eff_diameter = the q-quantile selection over the (already
+    replica-pinned) neighbourhood function, interpolation included."""
+    from linkgraph.hyperball import effective_diameter
+
+    nf = neighbourhood_function(
+        spark, edges_df(spark, PAIRS), verts_df(spark, IDS), b=B, iters=3
+    ).collect()
+    vals = {r["t"]: r["reachable_pairs2"] for r in nf}
+    n_inf = vals[max(vals)]
+    t = min(k for k in sorted(vals) if vals[k] >= 0.9 * n_inf)
+    if t == 0:
+        interp = 0.0
+    else:
+        interp = t - 1 + (0.9 * n_inf - vals[t - 1]) / (vals[t] - vals[t - 1])
+    got = effective_diameter(
+        spark, edges_df(spark, PAIRS), verts_df(spark, IDS), b=B, iters=3
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["eff_diameter"] == t
+    assert got[0]["eff_diameter_interp4"] == pytest.approx(_r4(interp), abs=1e-9)
+    assert got[0]["reachable_pairs_inf2"] == n_inf
+
+
+def test_effective_diameter_star_is_two(spark):
+    """Bidirected hub-and-spokes: spoke->spoke takes 2 hops via the hub,
+    so balls saturate at t=2 and the effective diameter is exactly 2
+    (singleton/one-hop masses are well under 90% of saturation)."""
+    from linkgraph.hyperball import effective_diameter
+
+    pairs = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    got = effective_diameter(
+        spark, edges_df(spark, pairs), verts_df(spark, range(9)), b=B, iters=3
+    ).collect()[0]
+    assert got["eff_diameter"] == 2
