@@ -362,6 +362,21 @@ def q_graph_components(spark, sf_dir):
     return connected_components(spark, edges, tpcgraph.vertices_of(edges))
 
 
+def q_graph_components_incremental(spark, sf_dir):
+    """Crawl-refresh CC: labels computed on a STALE graph (every
+    (src+dst)%5==0 edge held out), then cc_incremental merges the
+    held-out delta at the label level — O(delta) work, big side never
+    shuffles — against the SAME full-graph recursive-CTE oracle as
+    graph_components: indistinguishable from a from-scratch run."""
+    from linkgraph.components import cc_incremental
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    delta = edges.where((F.col("src") + F.col("dst")) % 5 == 0)
+    base = edges.join(delta, ["src", "dst"], "left_anti")
+    stale = connected_components(spark, base, tpcgraph.vertices_of(edges))
+    return cc_incremental(spark, stale, delta)
+
+
 def q_graph_comp_sizes(spark, sf_dir):
     """Component-size distribution (the giant-component report every
     web-graph paper leads with): CC labels -> per-size component counts,
@@ -2754,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_hist": q_graph_degree_hist,
         "text_vocab": q_text_vocab,
         "graph_components": q_graph_components,
+        "graph_components_incremental": q_graph_components_incremental,
         "graph_comp_sizes": q_graph_comp_sizes,
         "graph_components_blocked": q_graph_components_blocked,
         "graph_complexity": q_graph_complexity,
@@ -3757,6 +3773,13 @@ a2 AS (SELECT id, core_deg FROM d2 WHERE core_deg >= 2)
 SELECT id, core_deg FROM a2
 """,
         "graph_components_blocked": f"""
+WITH RECURSIVE {_SEDGES}, {_COMPS}
+SELECT v.id, coalesce(c.component, v.id) AS component
+FROM sverts v LEFT JOIN comp c ON v.id = c.id
+""",
+        # incremental merge must be indistinguishable from from-scratch:
+        # the oracle is the full-graph CC, identical to graph_components
+        "graph_components_incremental": f"""
 WITH RECURSIVE {_SEDGES}, {_COMPS}
 SELECT v.id, coalesce(c.component, v.id) AS component
 FROM sverts v LEFT JOIN comp c ON v.id = c.id

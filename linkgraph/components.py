@@ -159,3 +159,70 @@ def _cc_minprop(spark, edges: DataFrame, vertices: DataFrame, max_iter: int) -> 
             break
         prev_sum = s
     return labels
+
+
+def cc_incremental(
+    spark,
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    max_iter: int = 50,
+    broadcast_merge: bool = True,
+) -> DataFrame:
+    """Merge ADDED crawl edges into existing component labels without
+    re-reading the base edge set: the daily-refresh path.
+
+    ``labels`` = (id, component) from a previous connected_components run
+    (component = min member id); ``delta_edges`` = (src, dst) new edges,
+    possibly introducing new vertices. Edge DELETIONS are out of scope —
+    removing an edge can split a component, which requires the base
+    graph; rerun the full CC for that.
+
+    Plan shape (the 100 TB story): project each delta endpoint to its
+    current label (new vertices label themselves), run star contraction
+    on the LABEL-level graph — O(delta + touched components) rows, not
+    O(E) — then remap. The remap joins the O(V) label table against the
+    merged-root table, which is O(delta)-sized and broadcast by default,
+    so the big side never shuffles. Output convention matches a
+    from-scratch run bit for bit: component = min member id, because the
+    min over merged old roots (each itself a min) plus new-vertex ids IS
+    the min over all members.
+    """
+    d = delta_edges.select("src", "dst")
+    lu = labels.select(F.col("id").alias("src"), F.col("component").alias("cu"))
+    lv = labels.select(F.col("id").alias("dst"), F.col("component").alias("cv"))
+    comp_edges = (
+        d.join(lu, "src", "left")
+        .join(lv, "dst", "left")
+        .select(
+            F.coalesce("cu", F.col("src")).alias("src"),
+            F.coalesce("cv", F.col("dst")).alias("dst"),
+        )
+    )
+    comp_verts = (
+        comp_edges.select(F.col("src").alias("id"))
+        .unionByName(comp_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    merged = connected_components(spark, comp_edges, comp_verts,
+                                  max_iter=max_iter)
+    root_map = merged.select(
+        F.col("id").alias("component"), F.col("component").alias("_new")
+    )
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_merge else df
+
+    remapped = (
+        labels.join(_maybe_bcast(root_map), "component", "left")
+        .select("id", F.coalesce("_new", "component").alias("component"))
+    )
+    new_labels = (
+        comp_verts.join(labels.select(F.col("id")), "id", "left_anti")
+        .join(
+            _maybe_bcast(root_map.withColumnRenamed("component", "id")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("_new", "id").alias("component"))
+    )
+    return remapped.unionByName(new_labels)

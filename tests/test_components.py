@@ -52,3 +52,58 @@ def test_tiny_component_structure(spark, tiny):
         assert len(labels) == 1, grp
         seen_labels |= labels
     assert len(seen_labels) == len(groups)  # pairwise distinct components
+
+
+# ----------------------------------------------------- incremental merge
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    """Random graph, random holdout of added edges (some introducing
+    brand-new vertices): merging the delta into the stale labels must be
+    bit-identical to recomputing components on the full edge set."""
+    import random
+
+    from linkgraph.components import cc_incremental, connected_components
+
+    rng = random.Random(7)
+    n = 40
+    full = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(70)
+                   if True})
+    full = [(u, v) for u, v in full if u != v]
+    # delta: every 3rd edge, plus edges to vertices the base never saw
+    delta = [e for i, e in enumerate(full) if i % 3 == 0]
+    delta += [(0, n + 1), (n + 2, n + 3)]
+    base = [e for i, e in enumerate(full) if i % 3 != 0]
+    all_edges = base + delta
+
+    base_v = sorted({x for e in base for x in e})
+    all_v = sorted({x for e in all_edges for x in e})
+
+    edf = lambda pairs: spark.createDataFrame(pairs, "src long, dst long")
+    vdf = lambda ids: spark.createDataFrame([(i,) for i in ids], "id long")
+
+    stale = connected_components(spark, edf(base), vdf(base_v))
+    got = {
+        r["id"]: r["component"]
+        for r in cc_incremental(spark, stale, edf(delta)).collect()
+    }
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, edf(all_edges), vdf(all_v)).collect()
+    }
+    assert got == want
+
+
+def test_cc_incremental_noop_delta_keeps_labels(spark):
+    """A delta whose edges are all within existing components leaves
+    every label untouched."""
+    from linkgraph.components import cc_incremental, connected_components
+
+    base = [(1, 2), (2, 3), (10, 11)]
+    edf = spark.createDataFrame(base, "src long, dst long")
+    vdf = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11]], "id long")
+    labels = connected_components(spark, edf, vdf)
+    delta = spark.createDataFrame([(1, 3), (11, 10)], "src long, dst long")
+    got = {r["id"]: r["component"]
+           for r in cc_incremental(spark, labels, delta).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
