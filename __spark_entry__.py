@@ -519,6 +519,20 @@ def q_graph_labelprop2(spark, sf_dir):
     return label_propagation(spark, edges, tpcgraph.vertices_of(edges), iterations=2)
 
 
+def q_graph_labelprop_seeded(spark, sf_dir):
+    """Semi-supervised LP: clamped seeds (id%53==0, label=id%7) spread
+    over the sparse graph for 3 supersteps; unreached vertices stay -1.
+    The categorical-label face of TrustRank."""
+    from linkgraph.labelprop import label_propagation_seeded
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    verts = tpcgraph.vertices_of(edges)
+    seeds = verts.where(F.col("id") % 53 == 0).select(
+        "id", (F.col("id") % 7).alias("label")
+    )
+    return label_propagation_seeded(spark, edges, seeds, verts, iterations=3)
+
+
 def q_graph_modularity(spark, sf_dir):
     """Newman-Girvan modularity terms of the 2-round label-propagation
     communities on the sparse order graph — per-community q_c = m_c/m -
@@ -2780,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hb_centrality": q_graph_hb_centrality,
         "checkpoint_manifest": q_checkpoint_manifest,
         "graph_labelprop2": q_graph_labelprop2,
+        "graph_labelprop_seeded": q_graph_labelprop_seeded,
         "graph_modularity": q_graph_modularity,
         "graph_triangles": q_graph_triangles,
         "graph_lcc": q_graph_lcc,
@@ -3119,6 +3134,29 @@ w_{out} AS (
 {out} AS (
   SELECT p.id, coalesce(w.label, p.label) AS label
   FROM {prev} p LEFT JOIN w_{out} w ON p.id = w.vid
+)
+"""
+
+
+def _lps_round(prev: str, out: str) -> str:
+    """One unrolled SEEDED label-propagation superstep: only labeled
+    (<> -1) neighbors vote; seeds re-clamp after every round."""
+    return f"""
+v_{out} AS (
+  SELECT u.u AS vid, l.label, count(*) AS c
+  FROM und u JOIN {prev} l ON u.v = l.id WHERE l.label <> -1 GROUP BY 1, 2
+),
+w_{out} AS (
+  SELECT vid, label FROM (
+    SELECT vid, label,
+           row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
+    FROM v_{out}
+  ) WHERE rn = 1
+),
+{out} AS (
+  SELECT p.id, coalesce(s.label, w.label, p.label) AS label
+  FROM {prev} p LEFT JOIN w_{out} w ON p.id = w.vid
+  LEFT JOIN seeds s ON p.id = s.id
 )
 """
 
@@ -3916,6 +3954,17 @@ SELECT sum(N)::BIGINT AS N, sum(E)::BIGINT AS E, count(*)::BIGINT AS P,
        (sum(E) - sum(N) + sum(X) + 2)::BIGINT AS hst_generalised,
        (sum(D) - sum(X) + 2)::BIGINT AS harrison
 FROM per
+""",
+        "graph_labelprop_seeded": f"""
+WITH {_SEDGES},
+seeds AS (SELECT id, id % 7 AS label FROM sverts WHERE id % 53 = 0),
+l0 AS (
+  SELECT v.id, coalesce(s.label, -1) AS label
+  FROM sverts v LEFT JOIN seeds s ON v.id = s.id
+)
+{',' + _lps_round('l0', 'l1') + ',' + _lps_round('l1', 'l2')
+ + ',' + _lps_round('l2', 'l3')}
+SELECT id, label FROM l3
 """,
         "graph_labelprop2": f"""
 WITH {_SEDGES},

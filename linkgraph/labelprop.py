@@ -114,3 +114,93 @@ def label_propagation_oracle(
             new[v] = best[0]
         labels = new
     return labels
+
+
+def label_propagation_seeded(
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 3,
+    unlabeled: int = -1,
+) -> DataFrame:
+    """Semi-supervised LP: spread labels from a clamped seed set.
+
+    ``seeds`` = (id, label) — trusted hand-labels (topic taxonomy, spam/
+    ham verdicts). Seeds NEVER change; every other vertex adopts the
+    modal label among its LABELED neighbors each synchronous superstep
+    (min-label tie-break, like label_propagation), or keeps its previous
+    state when no neighbor is labeled yet. Unreached vertices end at
+    ``unlabeled`` — the frontier grows one hop per superstep, so k
+    supersteps classify the k-hop neighborhood of the seed set. This is
+    the label-spreading face of TrustRank: same seed-clamped iteration,
+    categorical labels instead of rank mass.
+
+    Same dataflow per superstep as label_propagation (one join + a
+    two-level aggregate, static edge side hash-partitioned and cached
+    once) — everything said about partitioning/skew there holds here.
+    -> (id, label); caller releases caches via caching.release_caches().
+    """
+    sym = register_cache(
+        truncate_plan(undirected_edges(edges)).repartition("dst").persist()
+    )
+    seed_map = seeds.select("id", F.col("label").alias("_seed"))
+    labels = truncate_plan(
+        vertices.select("id")
+        .join(seed_map, "id", "left")
+        .select("id", F.coalesce("_seed", F.lit(unlabeled)).alias("label"))
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .where(F.col("label") != unlabeled)
+            .groupBy(F.col("src").alias("vid"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = (
+            votes.groupBy("vid")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("label"))
+                ).alias("best")
+            )
+            .select("vid", F.col("best.label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, labels["id"] == F.col("vid"), "left")
+            .join(seed_map, "id", "left")
+            .select(
+                "id",
+                F.coalesce("_seed", "new_label", F.col("label")).alias("label"),
+            )
+        )
+        labels = truncate_plan(labels, eager=False)
+    return labels
+
+
+def label_propagation_seeded_oracle(
+    adj: dict[int, set[int]],
+    seeds: dict[int, int],
+    iterations: int = 3,
+    unlabeled: int = -1,
+) -> dict[int, int]:
+    """Pure-Python replica of the seeded spec."""
+    labels = {v: seeds.get(v, unlabeled) for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            if v in seeds:
+                new[v] = seeds[v]
+                continue
+            counts: dict[int, int] = {}
+            for n in nbrs:
+                lbl = labels[n]
+                if lbl != unlabeled:
+                    counts[lbl] = counts.get(lbl, 0) + 1
+            if counts:
+                best = min((-c, l) for l, c in counts.items())
+                new[v] = best[1]
+            else:
+                new[v] = labels[v]
+        labels = new
+    return labels
