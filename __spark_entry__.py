@@ -1862,6 +1862,39 @@ def q_text_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), width=12)
 
 
+def q_emb_pca_cov(spark, sf_dir):
+    """Population covariance of the embedding table (upper triangle):
+    one Arrow-batched Gram pass, O(batches x d^2) shuffle rows."""
+    from linkgraph.pca import pca_cov
+
+    return pca_cov(_embs(spark, sf_dir), dim=64).select(
+        "i", "j", F.round("cov", 6).alias("cov6")
+    )
+
+
+def q_emb_pca_top(spark, sf_dir):
+    """Top principal component after 3 power-iteration rounds run
+    entirely on the aggregated d^2-row covariance table."""
+    from linkgraph.pca import pca_cov, pca_power
+
+    comp = pca_power(pca_cov(_embs(spark, sf_dir), dim=64), 64, rounds=3)
+    return comp.select(
+        F.col("i").cast("int").alias("i"), F.round("v", 6).alias("v6")
+    )
+
+
+def q_emb_pca_project(spark, sf_dir):
+    """Every embedding projected onto the 3-round top component — the
+    dimensionality-reduction pass (component broadcast, one exchange)."""
+    from linkgraph.pca import pca_cov, pca_power, pca_project
+
+    embs = _embs(spark, sf_dir)
+    comp = pca_power(pca_cov(embs, dim=64), 64, rounds=3)
+    return pca_project(embs, comp).select(
+        "vec_id", F.round("proj", 6).alias("proj6")
+    )
+
+
 def q_emb_quantize(spark, sf_dir):
     """Int8 symmetric quantization audit over the embeddings table:
     per-vector scale, integer q checksums (exact), reconstruction SSE —
@@ -2874,6 +2907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_vocab": q_sketch_hll_vocab,
         "emb_quantize": q_emb_quantize,
         "emb_kmeans": q_emb_kmeans,
+        "emb_pca_cov": q_emb_pca_cov,
+        "emb_pca_top": q_emb_pca_top,
+        "emb_pca_project": q_emb_pca_project,
         "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
         "sketch_cms_tokens": q_sketch_cms_tokens,
         "sketch_bloom_decontam": q_sketch_bloom_decontam,
@@ -2980,6 +3016,54 @@ toks AS (
   FROM nrm
 )
 """
+
+# PCA (pca.py): population covariance of the embedding table, double-cast
+# BEFORE any product (the column is float32), upper triangle + mirror.
+_PCA_CTES = """
+exv AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(range(0, len(embedding))) AS i
+  FROM embeddings
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+mu AS (SELECT i, sum(x) AS sx FROM exv GROUP BY 1),
+cv AS (
+  SELECT a.i, b.i AS j,
+         sum(a.x * b.x) / (SELECT n FROM nn)
+         - (ma.sx / (SELECT n FROM nn)) * (mb.sx / (SELECT n FROM nn)) AS cov
+  FROM exv a JOIN exv b ON a.vec_id = b.vec_id AND a.i <= b.i
+  JOIN mu ma ON a.i = ma.i JOIN mu mb ON b.i = mb.i
+  GROUP BY a.i, b.i, ma.sx, mb.sx
+),
+cf AS (
+  SELECT i, j, cov FROM cv
+  UNION ALL
+  SELECT j, i, cov FROM cv WHERE i <> j
+)
+"""
+
+
+def _pca_power_sql(rounds: int) -> str:
+    """Unrolled power-iteration CTEs v0..v{rounds} over ``cf`` —
+    v_{{k+1}} = normalize(C v_k), v0 = 1/sqrt(d)."""
+    parts = [
+        "v0 AS (SELECT i AS j, 1.0 / sqrt((SELECT count(*) FROM mu)) AS v "
+        "FROM mu)"
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+w{k} AS (
+  SELECT cf.i, sum(cf.cov * v{k - 1}.v) AS w
+  FROM cf JOIN v{k - 1} ON cf.j = v{k - 1}.j GROUP BY 1
+),
+v{k} AS (
+  SELECT i AS j, w / (SELECT sqrt(sum(w * w)) FROM w{k}) AS v FROM w{k}
+)""")
+    return ",".join(parts)
+
+
+_PCA_POWER3 = _pca_power_sql(3)
+
 
 # multinomial NB (classify.py): 80/20 md5 split on doc_id, label = lang.
 # Laplace(+1) smoothing; absent (label, tok) pairs contribute ln(1)=0 so
@@ -5151,6 +5235,19 @@ FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         "text_winnowing": f"""
 WITH {_TOKS},{_winnow_sel(4, 5)}
 SELECT doc_id, pos, fp FROM wsel
+""",
+        "emb_pca_cov": f"""
+WITH {_PCA_CTES}
+SELECT i::INT AS i, j::INT AS j, round(cov, 6) AS cov6 FROM cv
+""",
+        "emb_pca_top": f"""
+WITH {_PCA_CTES}, {_PCA_POWER3}
+SELECT j::INT AS i, round(v, 6) AS v6 FROM v3
+""",
+        "emb_pca_project": f"""
+WITH {_PCA_CTES}, {_PCA_POWER3}
+SELECT e.vec_id, round(sum(e.x * v3.v), 6) AS proj6
+FROM exv e JOIN v3 ON e.i = v3.j GROUP BY 1
 """,
         "emb_kmeans": """
 WITH xs AS (
