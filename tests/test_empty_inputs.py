@@ -82,3 +82,53 @@ def test_misc_ops_empty(spark):
     assert quantize_int8(embs).count() == 0
     media = _empty(spark, "media_id long, kind string, payload binary")
     assert transform_features(media).count() == 0
+
+
+def test_round3_late_ops_empty(spark):
+    from linkgraph.classify import nb_classify, nb_model
+    from linkgraph.components import cc_incremental
+    from linkgraph.hits import salsa
+    from linkgraph.hyperball import effective_diameter
+    from linkgraph.labelprop import label_propagation_seeded
+    from linkgraph.pca import pca_cov, pca_power, pca_project
+
+    e = _empty(spark, "src long, dst long")
+    v = _empty(spark, "id long")
+
+    # NB: empty train -> empty model; scoring anything against it is empty
+    docs = _empty(spark, "doc_id long, text string, lang string")
+    cond, stats = nb_model(docs)
+    assert cond.count() == 0 and stats.count() == 0
+    some = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert nb_classify(some, cond, stats).count() == 0
+
+    # SALSA: no edges -> every vertex scores 0; no vertices -> no rows
+    verts3 = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    rows = salsa(spark, e, verts3, iterations=2).collect()
+    assert {(r["hub"], r["authority"]) for r in rows} == {(0.0, 0.0)}
+    assert salsa(spark, e, v, iterations=2).count() == 0
+
+    # incremental CC: empty delta leaves labels untouched
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "id long, component long")
+    got = {r["id"]: r["component"]
+           for r in cc_incremental(spark, labels, e).collect()}
+    assert got == {1: 1, 2: 1}
+
+    # seeded LP: no seeds -> everything stays unlabeled
+    seeds = _empty(spark, "id long, label long")
+    edges3 = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["id"]: r["label"]
+           for r in label_propagation_seeded(
+               spark, edges3, seeds, verts3, iterations=2).collect()}
+    assert got == {0: -1, 1: -1, 2: -1}
+
+    # PCA: empty embeddings -> empty cov/component/projection, no crash
+    embs = _empty(spark, "vec_id long, embedding array<float>")
+    cov = pca_cov(embs, dim=4)
+    assert cov.count() == 0
+    comp = pca_power(cov, 4, rounds=2)
+    assert comp.count() == 0
+    assert pca_project(embs, comp).count() == 0
+
+    # effective diameter over an empty graph: no rows, no crash
+    assert effective_diameter(spark, e, v, b=4, iters=2).count() == 0
