@@ -72,35 +72,37 @@ def nb_model(
            doc count, pre-joined so scoring needs no further driver
            action. L rows; broadcastable.
     """
+    from .lineage import truncate_plan
+
+    # ONE corpus explode: cond is materialized once and every other model
+    # statistic derives from it (n_tokens = sum of counts, vocab =
+    # distinct toks) or from a cheap no-explode doc scan (n_docs) — the
+    # plan audit showed the naive form re-running the explode+aggregate
+    # pass three times, once per downstream branch.
     ex = train.select(
         F.col(label_col).alias("label"),
-        F.col(id_col).alias("_id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
-    cond = ex.groupBy("label", "tok").agg(F.count("*").alias("c"))
-    per_class = ex.groupBy("label").agg(
-        F.count_distinct("_id").alias("n_docs"),
-        F.count("*").alias("n_tokens"),
-    )
+    cond = truncate_plan(ex.groupBy("label", "tok").agg(F.count("*").alias("c")))
+    per_class = cond.groupBy("label").agg(F.sum("c").alias("n_tokens"))
     # classes with zero tokens (all-empty docs) still need a stats row
-    empty_classes = (
-        train.groupBy(F.col(label_col).alias("label"))
-        .agg(F.count_distinct(id_col).alias("nd_all"))
-    )
-    per_class = (
-        empty_classes.join(per_class, "label", "left")
-        .select(
-            "label",
-            F.col("nd_all").alias("n_docs"),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-        )
+    all_class = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count_distinct(id_col).alias("n_docs")
     )
     globals_ = cond.agg(
         F.count_distinct("tok").alias("vocab")
     ).crossJoin(
         train.agg(F.count_distinct(id_col).alias("n_docs_total"))
     )
-    stats = per_class.crossJoin(F.broadcast(globals_))
+    stats = (
+        all_class.join(per_class, "label", "left")
+        .select(
+            "label",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(globals_))
+    )
     return cond, stats
 
 

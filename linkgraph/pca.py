@@ -69,10 +69,15 @@ def pca_cov(
                 }
             )
 
+    from .lineage import truncate_plan
+
     parts = embs.select(vec_col).mapInPandas(
         gram_batches, schema="i int, j int, s double"
     )
-    tot = parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    # materialize the combined accumulators ONCE: three branches (n, mu,
+    # gram) read `tot`, and without truncation each would re-run the full
+    # O(n) mapInPandas Gram pass
+    tot = truncate_plan(parts.groupBy("i", "j").agg(F.sum("s").alias("s")))
     n1 = tot.where((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("s").alias("_n")
     )

@@ -112,6 +112,14 @@ def _range_join_plan(spark):
     )
 
 
+def _nb_plan(spark, docs):
+    from linkgraph.classify import nb_classify, nb_model, train_split_coin
+
+    coin = train_split_coin()
+    cond, stats = nb_model(docs.where(coin < "cccccc"), label_col="lang")
+    return nb_classify(docs.where(coin >= "cccccc"), cond, stats)
+
+
 def main() -> None:
     spark = get_spark("plan-audit", cores=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
@@ -236,6 +244,16 @@ def main() -> None:
         "df join + ordered rebuild)": __import__(
             "linkgraph.textops", fromlist=["rare_token_mask"]
         ).rare_token_mask(docs),
+        "NB classifier scoring (token-keyed join, broadcast class stats)":
+            _nb_plan(spark, docs),
+        "SALSA round (degree-normalized join + sum supersteps)":
+            __import__("linkgraph.hits", fromlist=["salsa"]).salsa(
+                spark, edges, verts, iterations=1
+            ),
+        "PCA covariance (one mapInPandas Gram pass + tiny combine)":
+            __import__("linkgraph.pca", fromlist=["pca_cov"]).pca_cov(
+                embs, dim=64
+            ),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
