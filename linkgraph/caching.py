@@ -4,9 +4,20 @@ Operators that persist() an intermediate used several times inside one
 returned plan (dedup's shingle tables, triangles' oriented edge list)
 register it here so a long-lived session can reclaim executor memory:
 callers materialize the returned DataFrames, then call release_caches().
-Within one action a persisted intermediate is still computed once and
-reused; leaving it cached across calls would leak one block-cached frame
+Leaving it cached across calls would leak one block-cached frame
 per call (round-2 judge finding #1 / round-1 ADVICE for dedup).
+
+A persisted frame consumed by SEVERAL branches of one downstream job may
+need pinning with ``materialize`` first: Spark only guarantees block
+reuse once the cache is populated — when the first action's DAG embeds
+the frame's computation in multiple concurrent stages, each stage
+recomputes it, and AQE cannot size the branches for broadcast because
+the InMemoryRelation has no statistics yet. The pin pays ONLY when the
+recompute repeats pre-shuffle Python/scan work (dedup's tokenize+explode
+shingle table: 53s cold -> 13s pinned at sf0.1); when each branch's
+recompute is cheap post-exchange work the shuffle files already shared
+across branches make the pin a net loss (triangles' oriented edges:
+10.8s unpinned vs 19.2s pinned). Measure before adding one.
 """
 
 from __future__ import annotations
@@ -19,6 +30,18 @@ _CACHED: list[DataFrame] = []
 def register_cache(df: DataFrame) -> DataFrame:
     """Track a persisted frame for later release; returns it unchanged."""
     _CACHED.append(df)
+    return df
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Pin a persisted frame into the cache NOW with one O(1)-row count.
+
+    Call before composing a plan whose single action would otherwise scan
+    the frame from several racing stages (see module docstring). A cheap
+    no-op when the frame is already cached; harmless (one extra job) when
+    the caller passed an unpersisted frame.
+    """
+    df.count()
     return df
 
 

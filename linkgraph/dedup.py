@@ -26,7 +26,11 @@ import logging
 
 from pyspark.sql import DataFrame, functions as F
 
-from .caching import register_cache as _register_cache, release_caches  # noqa: F401
+from .caching import (  # noqa: F401
+    materialize as _materialize,
+    register_cache as _register_cache,
+    release_caches,
+)
 from .textops import tokens_col
 
 HEX_HI = ["8", "9", "a", "b", "c", "d", "e", "f"]
@@ -181,6 +185,10 @@ def _posting_intersections(
                 )
     else:
         kept = _register_cache(lists.persist())
+    # kept's two branches (pair explode + size explode) reuse the same
+    # posting-list exchange, so no materialize pin here — measured
+    # noise-level, and it would break the log_drops=False "zero extra
+    # driver actions" contract above
     sizes = (
         kept.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
@@ -345,6 +353,13 @@ def minhash_dedup_pairs(
         sh = shingles
     else:
         sh = _register_cache(shingle_table(docs, n, id_col, text_col).persist())
+    if verify_threshold is not None:
+        # sh feeds three branches of the verified plan (signatures + both
+        # sides of the candidate re-rank join); pin it into the cache
+        # first or the first action recomputes it per racing stage and
+        # AQE can't size the re-rank side for broadcast (caching.py:
+        # measured 53s -> 13s cold at sf0.1)
+        _materialize(sh)
     sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles=sh)
     cand = lsh_candidate_pairs(sigs, num_hashes, rows_per_band)
     if verify_threshold is None:

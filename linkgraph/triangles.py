@@ -52,7 +52,12 @@ def _triangles_of(pairs: DataFrame, persist: bool = True) -> DataFrame:
     if persist:
         # registered, not leaked: callers release via linkgraph.caching
         # after materializing (round-2 judge finding #1 — one cached frame
-        # per call accumulated in a long-lived session)
+        # per call accumulated in a long-lived session). NOT pinned with
+        # caching.materialize: oriented's recompute per branch is cheap
+        # post-exchange work (the deg + sym shuffles are reused across
+        # branches), and the pin measured SLOWER (19.2s vs 10.8s cold at
+        # sf0.1) — the pin only pays when recompute repeats pre-shuffle
+        # Python/scan work, as in dedup's shingle table
         oriented = _register_cache(oriented.persist())
 
     o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
