@@ -114,7 +114,7 @@ def one_pass(spark, entrymod, docs, embs, edges, verts, passno):
     print(f"[pass {passno}] store_update: {timings['store_update']}s",
           file=sys.stderr)
     g2.unpersist()
-    g.unpersist()
+    g.delete()  # g2 shares the store dir; drop the whole pass-local store
     iters = max(res.iterations, 1)
     extras["pagerank_iterations"] = iters
     extras["pagerank_converged"] = bool(res.converged)

@@ -125,6 +125,26 @@ class BlockedGraph:
             except Exception:
                 pass
 
+    def delete(self) -> None:
+        """Unpersist and remove the on-disk store — edge blocks, metadata,
+        rank-run dirs, decoded .npy sidecars. Without this, every
+        build_blocked call in a long-lived session leaves one store behind
+        (on the default /dev/shm root that is RAM); bench loops and tests
+        call delete() on stores they own. The graph (and any BlockedGraph
+        sharing its store_path, e.g. the pre-update handle after
+        update_blocked) must not be used afterwards."""
+        import tempfile
+
+        self.unpersist()
+        shutil.rmtree(self.store_path, ignore_errors=True)
+        env = os.environ.get("LINKGRAPH_NPY_DIR")
+        if env:
+            shutil.rmtree(f"{env}/{self.build_token}", ignore_errors=True)
+        shutil.rmtree(
+            f"{tempfile.gettempdir()}/linkgraph-npy-{self.build_token}",
+            ignore_errors=True,
+        )
+
 
 def build_blocked(
     spark,

@@ -184,3 +184,18 @@ def test_resume_already_converged_is_noop(spark, small, blocked, tmp_path):
     assert again.converged
     assert len(again.supersteps) == len(first.supersteps)
     assert all(s.seconds == 0.0 for s in again.supersteps)
+
+
+def test_delete_removes_store_and_sidecars(spark, small, tmp_path_factory):
+    import os
+
+    store = str(tmp_path_factory.mktemp("blocks_del")) + "/store"
+    g = build_blocked(
+        spark, small.edges, small.vertices.select("id"), n_blocks=4,
+        store_path=store,
+    )
+    res = pagerank_blocked(spark, g, tol=0.0, max_iter=3)
+    res.ranks.count()
+    assert os.path.isdir(store)
+    g.delete()
+    assert not os.path.exists(store)  # edges, meta, ranks, npy all gone
