@@ -279,6 +279,10 @@ def main() -> None:
         "timing": "per-query min over two full passes "
                   "(additive host-noise model; see module docstring)",
         "queries": timings,
+        # raw per-pass samples: when the two disagree wildly the host was
+        # noisy during one window — the spread is the noise floor, visible
+        # instead of silently folded into the headline
+        "passes": {k: [t1[k], t2[k]] for k in t1},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extras,
     }
