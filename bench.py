@@ -260,8 +260,20 @@ def main() -> None:
     verts = tpcgraph.vertices_of(edges).persist()
     verts.count()
 
+    t_start = time.perf_counter()
     t1, e1 = one_pass(spark, entrymod, docs, embs, edges, verts, passno=1)
-    t2, e2 = one_pass(spark, entrymod, docs, embs, edges, verts, passno=2)
+    # pass 2 is insurance against noise, not a requirement: if pass 1
+    # itself ran overlong (a sustained contention window, or a much bigger
+    # $SPARK_GRAFT_SF_DIR), skip it rather than risk the harness timeout
+    budget_s = float(os.environ.get("LINKGRAPH_BENCH_PASS2_BUDGET_S", "360"))
+    if time.perf_counter() - t_start <= budget_s:
+        t2, e2 = one_pass(spark, entrymod, docs, embs, edges, verts, passno=2)
+        two_pass = True
+    else:
+        t2, e2 = t1, e1
+        two_pass = False
+        print(f"pass 1 exceeded {budget_s}s — skipping pass 2",
+              file=sys.stderr)
     timings = {k: min(t1[k], t2[k]) for k in t1}
     # throughput metric from the pass with the faster median superstep
     best_e = e1 if e1["pagerank_median_step_s"] <= e2["pagerank_median_step_s"] else e2
@@ -276,8 +288,11 @@ def main() -> None:
         "metric": "linkgraph headline queries wall-clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "timing": "per-query min over two full passes "
-                  "(additive host-noise model; see module docstring)",
+        "timing": ("per-query min over two full passes "
+                   "(additive host-noise model; see module docstring)"
+                   if two_pass else
+                   "single pass (pass 2 skipped: pass 1 exceeded the "
+                   "time budget)"),
         "queries": timings,
         # raw per-pass samples: when the two disagree wildly the host was
         # noisy during one window — the spread is the noise floor, visible
