@@ -62,11 +62,17 @@ def connected_components_blocked(
     g: BlockedGraph,
     max_iter: int = 200,
     keep_steps: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """-> (id, component), component = min vertex id in the component.
 
     ``g`` MUST be built from symmetrized edges (see ``symmetrize``);
     propagation only follows stored edge direction.
+
+    ``stats``, if given, is filled with ``step_secs`` (wall seconds per
+    min-label superstep job) and ``steps`` — the scaling bench reads these
+    (every superstep does the full scatter-min over all edges regardless
+    of how many labels still change, so per-step wall IS throughput).
     """
     n_blocks, store, token = g.n_blocks, g.store_path, g.build_token
     rdir = f"{_ranks_root(g)}/cc-{uuid.uuid4().hex[:12]}"
@@ -103,8 +109,12 @@ def connected_components_blocked(
         ).repartitionByRange(g.n_blocks, "db")
     )
 
+    import time as _time
+
+    step_secs: list[float] = []
     steps = 0
     for step in range(max_iter):
+        t_step = _time.perf_counter()
         cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
 
         def make_step_fn(_cur, _nxt):
@@ -147,11 +157,15 @@ def connected_components_blocked(
             .collect()[0]["c"]
         )
         steps = step + 1
+        step_secs.append(_time.perf_counter() - t_step)
         stale = step - keep_steps + 1
         if stale >= 0:
             shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
         if changed == 0:
             break
+    if stats is not None:
+        stats["step_secs"] = [round(s, 3) for s in step_secs]
+        stats["steps"] = steps
 
     last = f"{rdir}/step{steps}"
 

@@ -36,7 +36,8 @@ from linkgraph.pagerank_csr import build_blocked, load_blocked, pagerank_blocked
 from linkgraph.synthgraph import synth_edges, synth_vertices
 
 
-def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path, intra_host):
+def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path, intra_host,
+                 sym: bool = False):
     # the FULL synth parameter set is the staleness check — a store built
     # with a different avg_deg/intra_host/blocking must never be silently
     # reused, or the scaling levels would measure a different graph than
@@ -48,6 +49,7 @@ def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path, intra_host):
         "intra_host": intra_host,
         "blocking": "range",
         "seed": 42,
+        "sym": sym,
     }
     if store_path and os.path.exists(f"{store_path}/_info.json"):
         try:
@@ -61,7 +63,12 @@ def ensure_store(spark, n_vertices, avg_deg, n_blocks, store_path, intra_host):
     edges = synth_edges(
         spark, n_vertices, avg_deg, num_partitions=parts,
         intra_host=intra_host,
-    ).persist()
+    )
+    if sym:  # undirected reachability input for connected components
+        from linkgraph.components_csr import symmetrize
+
+        edges = symmetrize(edges)
+    edges = edges.persist()
     n_edges = edges.count()
     t0 = time.perf_counter()
     g = build_blocked(
@@ -83,6 +90,44 @@ def main() -> None:
     spark = SparkSession.builder.appName("linkgraph-cluster-bench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if mode in ("prep-cc", "run-cc"):
+        # connected components needs the SYMMETRIZED store (undirected
+        # reachability); kept at its own path so the PR store stays valid
+        from linkgraph.components_csr import connected_components_blocked
+
+        g, build_info = ensure_store(
+            spark, n_vertices, avg_deg, n_blocks, store_path, intra_host,
+            sym=True,
+        )
+        stats: dict = {}
+        labels = connected_components_blocked(
+            spark, g, max_iter=supersteps, stats=stats
+        )
+        if mode == "prep-cc":
+            # the run itself decode-warms the npy sidecars at full width
+            print("RESULT " + json.dumps({
+                "mode": "prep-cc", "cc_steps": stats["steps"],
+                **(build_info or {}),
+            }))
+            spark.stop()
+            return
+        n_edges = spark.read.parquet(f"{g.store_path}/edges").count()
+        tail = sorted(stats["step_secs"][len(stats["step_secs"]) // 2:])
+        cc_sec = tail[len(tail) // 2]
+        n_components = labels.select("component").distinct().count()
+        print("RESULT " + json.dumps({
+            "n_edges": n_edges,
+            "n_blocks": g.n_blocks,
+            **(build_info or {}),
+            "cc_steps": stats["step_secs"],
+            "cc_n_steps": stats["steps"],
+            "cc_sec_per_superstep": round(cc_sec, 3),
+            "cc_edges_per_sec": round(n_edges / cc_sec, 1),
+            "n_components": n_components,
+        }))
+        spark.stop()
+        return
 
     g, build_info = ensure_store(
         spark, n_vertices, avg_deg, n_blocks, store_path, intra_host
