@@ -129,6 +129,72 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "run-lptri":
+        # label propagation + triangle counting: flat shuffle-on-key
+        # DataFrame jobs (no blocked store) over a synthesized graph both
+        # levels regenerate deterministically (seed 42) and persist before
+        # any timing. LP's supersteps are a lazy fused chain (no per-round
+        # driver action), so per-superstep cost is measured as the
+        # MARGINAL wall between a k_lo- and a k_hi-iteration run —
+        # Δwall/Δiters cancels every fixed cost (synth, the one-time
+        # edge-side repartition+persist, JIT/codegen warmup). Two passes
+        # per point, min (additive contention noise, BENCH/BASELINE.md).
+        from linkgraph.caching import release_caches
+        from linkgraph.labelprop import label_propagation
+        from linkgraph.triangles import triangle_total
+
+        edges = synth_edges(
+            spark, n_vertices, avg_deg, num_partitions=parts,
+            intra_host=intra_host,
+        ).persist()
+        n_edges = edges.count()
+        verts = synth_vertices(spark, n_vertices, num_partitions=parts).persist()
+        verts.count()
+
+        def lp_wall(iters: int) -> tuple[float, list[int]]:
+            t0 = time.perf_counter()
+            row = label_propagation(
+                spark, edges, verts, iterations=iters
+            ).agg(F.sum("label").alias("s"), F.count("*").alias("c")).collect()[0]
+            wall = time.perf_counter() - t0
+            release_caches()  # each call registers its own edge-side cache
+            return wall, [int(row["s"]), int(row["c"])]
+
+        k_lo, k_hi = 1, max(2, supersteps)
+        lo_walls, hi_walls = [], []
+        for _ in range(2):
+            w, lp_check = lp_wall(k_lo)
+            lo_walls.append(w)
+        for _ in range(2):
+            w, lp_check = lp_wall(k_hi)
+            hi_walls.append(w)
+        lp_sec = (min(hi_walls) - min(lo_walls)) / (k_hi - k_lo)
+        traversals = 2 * n_edges  # each superstep streams the symmetrized set
+
+        tri_walls, n_tri = [], None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_tri = triangle_total(spark, edges)
+            tri_walls.append(time.perf_counter() - t0)
+            release_caches()
+        tri_sec = min(tri_walls)
+
+        print("RESULT " + json.dumps({
+            "n_edges": n_edges,
+            "lp_iters": [k_lo, k_hi],
+            "lp_walls_lo": [round(w, 3) for w in lo_walls],
+            "lp_walls_hi": [round(w, 3) for w in hi_walls],
+            "lp_sec_per_superstep": round(lp_sec, 3),
+            "lp_edges_per_sec": round(traversals / lp_sec, 1),
+            "lp_check": lp_check,  # label sum+count at k_hi: levels must agree
+            "tri_walls": [round(w, 3) for w in tri_walls],
+            "tri_sec": round(tri_sec, 3),
+            "tri_edges_per_sec": round(n_edges / tri_sec, 1),
+            "n_triangles": n_tri,
+        }))
+        spark.stop()
+        return
+
     g, build_info = ensure_store(
         spark, n_vertices, avg_deg, n_blocks, store_path, intra_host
     )
