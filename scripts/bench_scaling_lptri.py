@@ -26,6 +26,7 @@ BENCH/BASELINE.md. Run with nothing else on the machine.
 
 from __future__ import annotations
 
+import json
 import os
 import statistics
 import subprocess
@@ -47,6 +48,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import bench_cluster as bc  # noqa: E402  (reads the env above at import)
 
 REPO = Path(__file__).resolve().parent.parent
+# per-rep checkpoint: each completed repetition is appended here the moment
+# both levels finish, so a killed session loses at most the rep in flight
+# and a rerun resumes from the completed prefix.
+RUNS_FILE = REPO / "BENCH" / "lptri_runs.jsonl"
+
+
+def _load_runs() -> list[dict]:
+    runs: list[dict] = []
+    if RUNS_FILE.exists():
+        for line in RUNS_FILE.read_text().splitlines():
+            if not line.strip():
+                continue
+            raw = json.loads(line)
+            # JSON stringifies the integer level keys; restore them
+            runs.append({
+                (int(k) if k.isdigit() else k): v for k, v in raw.items()
+            })
+    return runs
 
 
 def main() -> None:
@@ -61,7 +80,10 @@ def main() -> None:
     )
     time.sleep(6)
 
-    runs: list[dict] = []
+    runs = _load_runs()
+    if runs:
+        print(f"resuming: {len(runs)} completed rep(s) in {RUNS_FILE}",
+              file=sys.stderr)
     workers = []
     try:
         workers = [
@@ -69,7 +91,7 @@ def main() -> None:
             for i, cpus in enumerate(bc.WORKER_CPU_SETS)
         ]
         time.sleep(6)
-        for rep in range(bc.REPS):
+        for rep in range(len(runs), bc.REPS):
             run = {"rep": rep}
             for cores_max in sorted(bc.LEVELS):
                 print(f"rep {rep}: cores.max={cores_max} "
@@ -79,6 +101,8 @@ def main() -> None:
                 )
                 print(run[cores_max], file=sys.stderr)
             runs.append(run)
+            with open(RUNS_FILE, "a") as f:
+                f.write(json.dumps(run) + "\n")
     finally:
         for p in workers + [master]:
             bc._kill(p)
@@ -132,8 +156,12 @@ checksum and the triangle total ({tris.pop():,}) in every repetition.
 |---|---|---|---|---|
 {per_run_rows}
 """
-    with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
-        f.write(section)
+    baseline = REPO / "BENCH" / "BASELINE.md"
+    text = baseline.read_text()
+    marker = "\n## Label propagation + triangle counting scaling"
+    if marker in text:  # replace the previous (partial) section in place
+        text = text[: text.index(marker)]
+    baseline.write_text(text.rstrip("\n") + "\n" + section)
     print(section)
 
 
