@@ -96,8 +96,10 @@ def main() -> None:
             for cores_max in sorted(bc.LEVELS):
                 print(f"rep {rep}: cores.max={cores_max} "
                       f"({bc.LEVELS[cores_max]}) ...", file=sys.stderr)
+                # the 1-core level runs LP (4 passes) + triangles (2 passes)
+                # in one submit: ~3,300s clean, so 3600 leaves no headroom
                 run[cores_max] = bc.submit(
-                    cores_max, mode="run-lptri", timeout=3600, exec_mem="6g"
+                    cores_max, mode="run-lptri", timeout=5400, exec_mem="6g"
                 )
                 print(run[cores_max], file=sys.stderr)
             runs.append(run)
