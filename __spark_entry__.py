@@ -519,6 +519,23 @@ def q_graph_labelprop2(spark, sf_dir):
     return label_propagation(spark, edges, tpcgraph.vertices_of(edges), iterations=2)
 
 
+def q_graph_labelprop_blocked(spark, sf_dir):
+    """Label propagation through the blocked-CSR scale path (modal-vote
+    kernel supersteps on the compacted store, zero shuffle per superstep)
+    vs the SAME iterated-SQL oracle as the flat graph_labelprop2 row —
+    bit-identical output is the contract (round-3 verdict item #1)."""
+    from linkgraph.graph import undirected_edges
+    from linkgraph.labelprop_csr import label_propagation_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    verts = tpcgraph.vertices_of(edges)
+    g = build_blocked(spark, undirected_edges(edges), verts.select("id"),
+                      n_blocks=8)
+    out = label_propagation_blocked(spark, g, iterations=2).localCheckpoint()
+    g.unpersist()
+    return out
+
+
 def q_graph_labelprop_seeded(spark, sf_dir):
     """Semi-supervised LP: clamped seeds (id%53==0, label=id%7) spread
     over the sparse graph for 3 supersteps; unreached vertices stay -1.
@@ -2827,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hb_centrality": q_graph_hb_centrality,
         "checkpoint_manifest": q_checkpoint_manifest,
         "graph_labelprop2": q_graph_labelprop2,
+        "graph_labelprop_blocked": q_graph_labelprop_blocked,
         "graph_labelprop_seeded": q_graph_labelprop_seeded,
         "graph_modularity": q_graph_modularity,
         "graph_triangles": q_graph_triangles,
@@ -4051,6 +4069,14 @@ l0 AS (
 SELECT id, label FROM l3
 """,
         "graph_labelprop2": f"""
+WITH {_SEDGES},
+l0 AS (SELECT id, id AS label FROM sverts)
+{',' + _lp_round('l0', 'l1') + ',' + _lp_round('l1', 'l2')}
+SELECT id, label FROM l2
+""",
+        # the blocked path must be indistinguishable from the flat one:
+        # same oracle as graph_labelprop2
+        "graph_labelprop_blocked": f"""
 WITH {_SEDGES},
 l0 AS (SELECT id, id AS label FROM sverts)
 {',' + _lp_round('l0', 'l1') + ',' + _lp_round('l1', 'l2')}

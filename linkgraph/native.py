@@ -41,6 +41,8 @@ log = logging.getLogger(__name__)
 
 _C_SRC = r"""
 #include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
 
 /* packed edge word: (src_local << 16) | dst_local; both blocks <= 65536 */
 void scatter_pack16(const uint32_t *e, int64_t n, const double *rs,
@@ -73,6 +75,77 @@ void scatter_min32(const int32_t *sl, const int32_t *dl, int64_t n,
         double v = rs[sl[i]];
         if (v < acc[dl[i]]) acc[dl[i]] = v;
     }
+}
+
+/* label gather through packed edge words: lab[i] = rs[e[i] >> 16],
+   dl[i] = e[i] & 0xffff — the unpack half of the modal-vote superstep
+   (label propagation needs every incoming label materialized per dst
+   before the vote, so there is no streaming combiner to fuse into) */
+void gather_pack16(const uint32_t *e, int64_t n, const double *rs,
+                   double *lab, int32_t *dl) {
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t w = e[i];
+        lab[i] = rs[w >> 16];
+        dl[i] = (int32_t)(w & 0xffffu);
+    }
+}
+
+void gather32(const int32_t *sl, int64_t n, const double *rs, double *lab) {
+    for (int64_t i = 0; i < n; i++) lab[i] = rs[sl[i]];
+}
+
+static int cmp_dbl(const void *a, const void *b) {
+    double x = *(const double *)a, y = *(const double *)b;
+    return (x > y) - (x < y);
+}
+
+/* modal vote (synchronous label propagation): for each dst local d with
+   at least one incoming edge, acc[d] = the label with the MAX count among
+   lab[i] where dl[i] == d, ties broken by MIN label; untouched entries of
+   acc keep their previous label. Counting-sort by dst (O(n + dsize)),
+   then an in-place sort of each dst's (typically short, power-law-tailed)
+   label segment and one run-length scan. Returns 0, or -1 on alloc
+   failure (caller falls back to the numpy path). */
+int modal_vote(const int32_t *dl, const double *lab, int64_t n,
+               int32_t dsize, double *acc) {
+    if (n == 0) return 0;
+    int64_t *offs = (int64_t *)calloc((size_t)dsize + 1, sizeof(int64_t));
+    double *buf = (double *)malloc((size_t)n * sizeof(double));
+    int64_t *cur = (int64_t *)malloc((size_t)dsize * sizeof(int64_t));
+    if (!offs || !buf || !cur) {
+        free(offs); free(buf); free(cur);
+        return -1;
+    }
+    for (int64_t i = 0; i < n; i++) offs[dl[i] + 1]++;
+    for (int32_t d = 0; d < dsize; d++) offs[d + 1] += offs[d];
+    memcpy(cur, offs, (size_t)dsize * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) buf[cur[dl[i]]++] = lab[i];
+    for (int32_t d = 0; d < dsize; d++) {
+        int64_t a = offs[d], m = offs[d + 1] - a;
+        if (m == 0) continue;
+        double *seg = buf + a;
+        if (m <= 32) {  /* insertion sort: avg web degree is small */
+            for (int64_t i = 1; i < m; i++) {
+                double v = seg[i];
+                int64_t j = i - 1;
+                while (j >= 0 && seg[j] > v) { seg[j + 1] = seg[j]; j--; }
+                seg[j + 1] = v;
+            }
+        } else {        /* hub vertices: O(m log m) */
+            qsort(seg, (size_t)m, sizeof(double), cmp_dbl);
+        }
+        double best = seg[0];
+        int64_t bestc = 1, c = 1;
+        for (int64_t i = 1; i < m; i++) {
+            c = (seg[i] == seg[i - 1]) ? c + 1 : 1;
+            if (c > bestc) { bestc = c; best = seg[i]; }
+            /* strict >: the FIRST (ascending => smallest) label keeps
+               the crown on ties — min-label tie-break */
+        }
+        acc[d] = best;
+    }
+    free(offs); free(buf); free(cur);
+    return 0;
 }
 """
 
@@ -157,6 +230,20 @@ def _compile() -> "ctypes.CDLL | None":
     ]
     lib.scatter_min_pack16.argtypes = lib.scatter_pack16.argtypes
     lib.scatter_min32.argtypes = lib.scatter32.argtypes
+    lib.gather_pack16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.gather32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.modal_vote.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.modal_vote.restype = ctypes.c_int
     return lib
 
 
@@ -238,6 +325,84 @@ def scatter_min_pack16(e: np.ndarray, rs: np.ndarray, acc: np.ndarray) -> None:
             (w & np.uint32(0xFFFF)).astype(np.int64),
             rs[(w >> np.uint32(16)).astype(np.int64)],
         )
+
+
+def gather_labels_pack16(
+    e: np.ndarray, rs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-u32 edge words -> (lab, dl): lab[i] = rs[e[i] >> 16] float64,
+    dl[i] = e[i] & 0xffff int32. The materialize-every-vote half of a
+    label-propagation superstep (no streaming combiner exists for a mode)."""
+    lib = get_lib()
+    n = len(e)
+    lab = np.empty(n, dtype=np.float64)
+    dl = np.empty(n, dtype=np.int32)
+    if lib is not None and n:
+        e = np.ascontiguousarray(e, dtype=np.uint32)
+        lib.gather_pack16(
+            e.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(n), _as_f64_ptr(rs), _as_f64_ptr(lab),
+            dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return lab, dl
+    w = np.asarray(e)
+    np.take(rs, (w >> np.uint32(16)).astype(np.int64), out=lab)
+    dl[:] = (w & np.uint32(0xFFFF)).astype(np.int32)
+    return lab, dl
+
+
+def gather_labels32(sl: np.ndarray, rs: np.ndarray) -> np.ndarray:
+    """lab[i] = rs[sl[i]] for int32 locals (wide blocks)."""
+    lib = get_lib()
+    n = len(sl)
+    lab = np.empty(n, dtype=np.float64)
+    if lib is not None and n:
+        sl = np.ascontiguousarray(sl, dtype=np.int32)
+        lib.gather32(
+            sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(n), _as_f64_ptr(rs), _as_f64_ptr(lab),
+        )
+        return lab
+    np.take(rs, np.asarray(sl).astype(np.int64, copy=False), out=lab)
+    return lab
+
+
+def modal_vote(dl: np.ndarray, lab: np.ndarray, acc: np.ndarray) -> None:
+    """acc[d] = modal value of lab[i] over i with dl[i] == d, ties broken
+    by the MINIMUM label; entries of ``acc`` that receive no vote keep
+    their previous value. Exact for integer-valued float64 labels (< 2^53).
+
+    Native path: counting-sort by dst + per-segment sort + run scan
+    (see _C_SRC). Fallback: one lexsort over (dst, label) to run-length
+    counts, then a second lexsort over (dst, -count, label) whose first
+    row per dst IS the argmax-with-min-tie-break — identical results."""
+    n = len(dl)
+    if n == 0:
+        return
+    lib = get_lib()
+    if lib is not None:
+        dl_c = np.ascontiguousarray(dl, dtype=np.int32)
+        lab_c = np.ascontiguousarray(lab, dtype=np.float64)
+        rc = lib.modal_vote(
+            dl_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _as_f64_ptr(lab_c), ctypes.c_int64(n),
+            ctypes.c_int32(len(acc)), _as_f64_ptr(acc),
+        )
+        if rc == 0:
+            return
+        # alloc failure in the kernel: fall through to numpy
+    order = np.lexsort((lab, dl))
+    d = np.asarray(dl)[order]
+    l_ = np.asarray(lab)[order]
+    starts = np.flatnonzero(
+        np.r_[True, (d[1:] != d[:-1]) | (l_[1:] != l_[:-1])]
+    )
+    cnt = np.diff(np.r_[starts, n])
+    rd, rl = d[starts], l_[starts]
+    order2 = np.lexsort((rl, -cnt, rd))
+    rd2 = rd[order2]
+    first = np.flatnonzero(np.r_[True, rd2[1:] != rd2[:-1]])
+    acc[rd2[first].astype(np.int64)] = rl[order2][first]
 
 
 def scatter_min32(
