@@ -19,10 +19,70 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .caching import register_cache
 from .checkpoint import CheckpointManager
 from .lineage import truncate_plan
 from .graph import undirected_edges
+
+
+def _salted_sym(
+    sym: DataFrame, hub_threshold: int, salt_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """Attach a join salt to the static symmetric edge side.
+
+    The neighbor-label join keys on ``dst``; a power-law hub with degree D
+    would put all D of its rows in ONE join task. Rows whose dst is a hub
+    (degree >= hub_threshold) get salt = pmod(src, salt_buckets) so the
+    hub key spreads over salt_buckets tasks; everything else salts to 0
+    (same two-stage discipline as pagerank._prepare_edges, pagerank.py:84-
+    93 — the vote AGGREGATION needs no salt because hash aggregation's
+    map-side partial pass already bounds reducer rows per (vid, label)).
+
+    -> (sym with ``salt`` column, hub id frame for label replication).
+    The hub set is tiny by construction and broadcast; computed ONCE per
+    call — the edge side is static across supersteps.
+    """
+    hubs = (
+        sym.groupBy("dst")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") >= hub_threshold)
+        .select("dst", F.lit(True).alias("is_hub"))
+    )
+    salted = (
+        sym.join(F.broadcast(hubs), "dst", "left")
+        .select(
+            "src",
+            "dst",
+            F.when(
+                F.col("is_hub").isNotNull(),
+                F.pmod(F.col("src"), F.lit(salt_buckets)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        )
+    )
+    hub_ids = hubs.select(F.col("dst").alias("id"), "is_hub")
+    return salted, hub_ids
+
+
+def _replicate_hub_labels(
+    labels: DataFrame, hub_ids: DataFrame, salt_buckets: int
+) -> DataFrame:
+    """One label row per salt bucket for hub vertices (so the salted join
+    still finds every (dst, salt) key), a single salt-0 row otherwise."""
+    return (
+        labels.join(F.broadcast(hub_ids), "id", "left")
+        .select(
+            "id",
+            "label",
+            F.explode(
+                F.when(
+                    F.col("is_hub").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("salt"),
+        )
+    )
 
 
 def label_propagation(
@@ -32,18 +92,27 @@ def label_propagation(
     iterations: int = 5,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
+    hub_threshold: int = 1024,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """-> (id, label) after exactly ``iterations`` synchronous supersteps."""
-    # the edge side is static across supersteps: hash-partition it on the
-    # join key ONCE and persist — the cached InMemoryRelation preserves
-    # its outputPartitioning, so every round's neighbor-label join shuffles
-    # only the (small) label side, not the edge set (the same static-side
-    # discipline as pagerank's flat path; measured 1.5x faster cold at
-    # sf0.1 over 3 rounds). Registered for caller release: the returned
-    # frame is lazy, so the cache must outlive this call.
-    sym = register_cache(
-        truncate_plan(undirected_edges(edges)).repartition("dst").persist()
-    )  # (src,dst) both ways
+    # the edge side is static across supersteps but NOT pinned: the
+    # supersteps consume it sequentially (round k+1 depends on round k),
+    # so the first round's shuffle files already serve the rest, and a
+    # repartition+persist pin only adds an extra exchange plus a cache
+    # barrier — measured at sf0.1 (3 interleaved rounds, min estimator):
+    # plain 3.8s vs lazy pin 5.2s vs eager pin 4.4s. Same verdict as
+    # triangles' oriented-edge cache (caching.py module docstring): pin
+    # only when recompute repeats pre-shuffle work.
+    sym, hub_ids = _salted_sym(
+        truncate_plan(undirected_edges(edges)),  # (src,dst) both ways
+        hub_threshold,
+        salt_buckets,
+    )
+    # both sides of the salt are static: materialize once, or every
+    # superstep's broadcast would recompute the full degree aggregation
+    sym = truncate_plan(sym)
+    hub_ids = truncate_plan(hub_ids)
     start = 0
     if resume and checkpoint is not None:
         latest = checkpoint.latest_complete("labelprop")
@@ -59,8 +128,12 @@ def label_propagation(
     labels = truncate_plan(labels)
 
     for step in range(start, iterations):
+        lab_rep = _replicate_hub_labels(labels, hub_ids, salt_buckets)
         votes = (
-            sym.join(labels, sym["dst"] == labels["id"])
+            sym.join(
+                lab_rep,
+                (sym["dst"] == lab_rep["id"]) & (sym["salt"] == lab_rep["salt"]),
+            )
             .groupBy(F.col("src").alias("vid"), "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -123,6 +196,8 @@ def label_propagation_seeded(
     vertices: DataFrame,
     iterations: int = 3,
     unlabeled: int = -1,
+    hub_threshold: int = 1024,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Semi-supervised LP: spread labels from a clamped seed set.
 
@@ -137,13 +212,14 @@ def label_propagation_seeded(
     categorical labels instead of rank mass.
 
     Same dataflow per superstep as label_propagation (one join + a
-    two-level aggregate, static edge side hash-partitioned and cached
-    once) — everything said about partitioning/skew there holds here.
-    -> (id, label); caller releases caches via caching.release_caches().
+    two-level aggregate) — everything said about partitioning/skew there
+    holds here. -> (id, label).
     """
-    sym = register_cache(
-        truncate_plan(undirected_edges(edges)).repartition("dst").persist()
+    sym, hub_ids = _salted_sym(
+        truncate_plan(undirected_edges(edges)), hub_threshold, salt_buckets
     )
+    sym = truncate_plan(sym)
+    hub_ids = truncate_plan(hub_ids)
     seed_map = seeds.select("id", F.col("label").alias("_seed"))
     labels = truncate_plan(
         vertices.select("id")
@@ -151,8 +227,12 @@ def label_propagation_seeded(
         .select("id", F.coalesce("_seed", F.lit(unlabeled)).alias("label"))
     )
     for _ in range(iterations):
+        lab_rep = _replicate_hub_labels(labels, hub_ids, salt_buckets)
         votes = (
-            sym.join(labels, sym["dst"] == labels["id"])
+            sym.join(
+                lab_rep,
+                (sym["dst"] == lab_rep["id"]) & (sym["salt"] == lab_rep["salt"]),
+            )
             .where(F.col("label") != unlabeled)
             .groupBy(F.col("src").alias("vid"), "label")
             .agg(F.count("*").alias("cnt"))

@@ -87,3 +87,71 @@ def test_seeded_lp_clamps_seeds_and_bounds_frontier(spark):
         ).collect()
     }
     assert got == {0: 9, 1: 9, 2: 9, 3: -1, 4: -1}
+
+
+# ------------------------------------------------------- hub-salted join
+
+
+def test_salted_equals_unsalted_on_powerlaw(spark):
+    """Hub salting is a physical-plan change only: labels identical to the
+    effectively-unsalted path (threshold above every degree), and the
+    salted join key caps every reducer group well below the hub degree."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import undirected_edges
+    from linkgraph.labelprop import _salted_sym
+    from linkgraph.lineage import truncate_plan
+
+    rng = np.random.default_rng(7)
+    n, m = 300, 3000
+    # vertices 0..4 are hubs: ~45% of all dsts
+    dst = np.where(rng.random(m) < 0.45, rng.integers(0, 5, m),
+                   rng.integers(0, n, m))
+    src = rng.integers(0, n, m)
+    edges = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    verts = spark.range(n).select(F.col("id"))
+    salted = collect_map(
+        label_propagation(spark, edges, verts, 3, hub_threshold=32,
+                          salt_buckets=8),
+        "id", "label",
+    )
+    unsalted = collect_map(
+        label_propagation(spark, edges, verts, 3, hub_threshold=10**9),
+        "id", "label",
+    )
+    assert salted == unsalted
+    assert salted == label_propagation_oracle(
+        {v: set() for v in range(n)} | {
+            v: nbrs for v, nbrs in _np_adj(src, dst, n).items()
+        }, 3,
+    )
+
+    # reducer-group bound: with degree-D hubs and B salt buckets, no
+    # (dst, salt) join key may exceed max(non-hub degree, ~D/B + slack)
+    sym = truncate_plan(undirected_edges(edges))
+    salted_sym, _ = _salted_sym(sym, hub_threshold=32, salt_buckets=8)
+    groups = {
+        (r["dst"], r["salt"]): r["c"]
+        for r in salted_sym.groupBy("dst", "salt")
+        .agg(F.count("*").alias("c")).collect()
+    }
+    degs = {}
+    for (d, _s), c in groups.items():
+        degs[d] = degs.get(d, 0) + c
+    max_deg = max(degs.values())
+    assert max_deg >= 32  # the fixture really has hubs
+    for (d, s), c in groups.items():
+        if degs[d] >= 32:
+            assert c <= degs[d] // 8 + 8, (d, s, c, degs[d])
+
+
+def _np_adj(src, dst, n):
+    adj = {v: set() for v in range(n)}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    return adj
