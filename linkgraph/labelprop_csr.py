@@ -210,12 +210,15 @@ def label_propagation_blocked(
         stale = step - keep_steps + 1
         if stale >= 0:
             shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
+    last = f"{rdir}/step{iterations}"
     if stats is not None:
         stats["step_secs"] = [round(s, 3) for s in step_secs]
         stats["steps"] = iterations
         stats["changed"] = changed_per_step
-
-    last = f"{rdir}/step{iterations}"
+        # benches checksum the final rank-space label files directly (this
+        # host shares the transport dir) instead of paying the id decode
+        stats["final_dir"] = last
+        stats["run_dir"] = rdir
 
     def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
