@@ -93,6 +93,22 @@ ENV = {
 }
 
 
+def replace_section(baseline: Path, marker: str, section: str) -> None:
+    """Replace the markdown section starting at ``marker`` up to the NEXT
+    '## ' header (or EOF when it is last) — bounded, so sections appended
+    after it survive a regeneration (round-3 ADVICE on the lptri
+    generator, which truncated to EOF). Appends when the marker is new."""
+    text = baseline.read_text()
+    if marker in text:
+        start = text.index(marker)
+        nxt = text.find("\n## ", start + len(marker))
+        tail = text[nxt:] if nxt != -1 else "\n"
+        text = text[:start].rstrip("\n") + section + tail
+    else:
+        text = text.rstrip("\n") + section + "\n"
+    baseline.write_text(text)
+
+
 def spark_class(*args, cpus: str | None = None):
     cmd = [str(SPARK_HOME / "bin" / "spark-class"), *args]
     if cpus:

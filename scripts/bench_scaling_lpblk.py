@@ -80,41 +80,28 @@ def _validate_rep(run: dict, lo_c: int, hi_c: int) -> None:
     assert lo["n_edges"] == hi["n_edges"]
 
 
-def _replace_section(baseline: Path, marker: str, section: str) -> None:
-    """Replace the section starting at ``marker`` up to the NEXT '## '
-    header (or EOF when it is last) — bounded, so sections appended after
-    this one survive a rerun (round-3 ADVICE on the lptri generator)."""
-    text = baseline.read_text()
-    if marker in text:
-        start = text.index(marker)
-        nxt = text.find("\n## ", start + len(marker))
-        tail = text[nxt:] if nxt != -1 else "\n"
-        text = text[:start].rstrip("\n") + section + tail
-    else:
-        text = text.rstrip("\n") + section + "\n"
-    baseline.write_text(text)
-
-
 def main() -> None:
-    subprocess.run(
-        [sys.executable, str(REPO / "scripts" / "make_package.py")], check=True
-    )
-    os.makedirs(bc.ENV["SPARK_LOG_DIR"], exist_ok=True)
-    master = bc.spark_class(
-        "org.apache.spark.deploy.master.Master",
-        "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8090",
-        cpus=bc.CONTROL_CPUS,
-    )
-    time.sleep(6)
-
     lo_c, hi_c = sorted(bc.LEVELS)
     runs = _load_runs()
     if runs:
         print(f"resuming: {len(runs)} completed rep(s) in {RUNS_FILE}",
               file=sys.stderr)
+    master = None
     workers = []
     try:
-        if len(runs) < bc.REPS:
+        if len(runs) < bc.REPS:  # only touch the cluster when measuring
+            subprocess.run(
+                [sys.executable, str(REPO / "scripts" / "make_package.py")],
+                check=True,
+            )
+            os.makedirs(bc.ENV["SPARK_LOG_DIR"], exist_ok=True)
+            master = bc.spark_class(
+                "org.apache.spark.deploy.master.Master",
+                "--host", "127.0.0.1", "--port", "7077",
+                "--webui-port", "8090",
+                cpus=bc.CONTROL_CPUS,
+            )
+            time.sleep(6)
             # prep at full width through a temporary unpinned worker:
             # builds the undirected store AND decode-warms the npy
             # sidecars (prep runs one full-width superstep)
@@ -200,9 +187,9 @@ of the script; BENCH/lpblk_runs.jsonl checkpoints completed reps — delete
 it or raise BENCH_REPS to measure fresh ones; keep the machine otherwise
 idle).
 """
-    _replace_section(REPO / "BENCH" / "BASELINE.md",
-                     "\n## Label propagation scaling — blocked store",
-                     section)
+    bc.replace_section(REPO / "BENCH" / "BASELINE.md",
+                       "\n## Label propagation scaling — blocked store",
+                       section)
     print(section)
 
 

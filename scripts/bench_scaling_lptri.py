@@ -20,8 +20,17 @@ itself across executor JVMs — the fairest possible test of whether the
 ENGINE's plans (map-side partial aggregation, static-side partitioning,
 degree orientation) scale when executors are added. Both levels
 regenerate the same deterministic graph (seed 42) and must agree on the
-label checksum and triangle total. APPENDS a section to
-BENCH/BASELINE.md. Run with nothing else on the machine.
+label checksum and triangle total — validated per repetition BEFORE the
+rep is checkpointed to BENCH/lptri_runs.jsonl (a divergent rep is
+reported and discarded, never persisted).
+
+REPLACES (in place, bounded at the next '## ' header) its own section of
+BENCH/BASELINE.md; the round label comes from $BENCH_ROUND (default
+"round 3" — the committed lptri_runs.jsonl holds round-3 measurements).
+A rerun with the checkpoint file present measures nothing new: it
+resumes from the completed prefix and regenerates the section — delete
+the jsonl (or raise BENCH_REPS) to collect fresh repetitions. Run with
+nothing else on the machine.
 """
 
 from __future__ import annotations
@@ -48,10 +57,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import bench_cluster as bc  # noqa: E402  (reads the env above at import)
 
 REPO = Path(__file__).resolve().parent.parent
-# per-rep checkpoint: each completed repetition is appended here the moment
-# both levels finish, so a killed session loses at most the rep in flight
-# and a rerun resumes from the completed prefix.
+# per-rep checkpoint: each completed repetition is appended here once both
+# levels finish AND agree, so a killed session loses at most the rep in
+# flight and a rerun resumes from the completed prefix.
 RUNS_FILE = REPO / "BENCH" / "lptri_runs.jsonl"
+ROUND = os.environ.get("BENCH_ROUND", "round 3")
+
+
+def _validate_rep(run: dict, lo_c: int, hi_c: int) -> None:
+    """Cross-level agreement BEFORE the rep is persisted (round-3 ADVICE:
+    a divergent rep written to the jsonl re-fails every resume until the
+    file is hand-edited)."""
+    lo, hi = run[lo_c], run[hi_c]
+    assert lo["lp_check"] == hi["lp_check"], (
+        f"levels disagree on LP labels: {lo['lp_check']} vs {hi['lp_check']}")
+    assert lo["n_triangles"] == hi["n_triangles"], (
+        f"levels disagree on triangles: {lo['n_triangles']} vs "
+        f"{hi['n_triangles']}")
+    assert lo["n_edges"] == hi["n_edges"]
 
 
 def _load_runs() -> list[dict]:
@@ -69,28 +92,31 @@ def _load_runs() -> list[dict]:
 
 
 def main() -> None:
-    subprocess.run(
-        [sys.executable, str(REPO / "scripts" / "make_package.py")], check=True
-    )
-    os.makedirs(bc.ENV["SPARK_LOG_DIR"], exist_ok=True)
-    master = bc.spark_class(
-        "org.apache.spark.deploy.master.Master",
-        "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8090",
-        cpus=bc.CONTROL_CPUS,
-    )
-    time.sleep(6)
-
     runs = _load_runs()
     if runs:
         print(f"resuming: {len(runs)} completed rep(s) in {RUNS_FILE}",
               file=sys.stderr)
+    master = None
     workers = []
     try:
-        workers = [
-            bc.start_worker(bc.EXECUTOR_CORES, "8g", 8091 + i, cpus=cpus)
-            for i, cpus in enumerate(bc.WORKER_CPU_SETS)
-        ]
-        time.sleep(6)
+        if len(runs) < bc.REPS:  # only touch the cluster when measuring
+            subprocess.run(
+                [sys.executable, str(REPO / "scripts" / "make_package.py")],
+                check=True,
+            )
+            os.makedirs(bc.ENV["SPARK_LOG_DIR"], exist_ok=True)
+            master = bc.spark_class(
+                "org.apache.spark.deploy.master.Master",
+                "--host", "127.0.0.1", "--port", "7077",
+                "--webui-port", "8090",
+                cpus=bc.CONTROL_CPUS,
+            )
+            time.sleep(6)
+            workers = [
+                bc.start_worker(bc.EXECUTOR_CORES, "8g", 8091 + i, cpus=cpus)
+                for i, cpus in enumerate(bc.WORKER_CPU_SETS)
+            ]
+            time.sleep(6)
         for rep in range(len(runs), bc.REPS):
             run = {"rep": rep}
             for cores_max in sorted(bc.LEVELS):
@@ -102,6 +128,7 @@ def main() -> None:
                     cores_max, mode="run-lptri", timeout=5400, exec_mem="6g"
                 )
                 print(run[cores_max], file=sys.stderr)
+            _validate_rep(run, *sorted(bc.LEVELS))
             runs.append(run)
             with open(RUNS_FILE, "a") as f:
                 f.write(json.dumps(run) + "\n")
@@ -125,15 +152,22 @@ def main() -> None:
     n_edges = runs[0][lo_c]["n_edges"]
 
     per_run_rows = "\n".join(
-        f"| {r['rep'] + 1} | {r[lo_c]['lp_sec_per_superstep']} -> "
+        f"| {r['rep'] + 1}{'*' if r.get('note') else ''} | "
+        f"{r[lo_c]['lp_sec_per_superstep']} -> "
         f"{r[hi_c]['lp_sec_per_superstep']} | {lp_effs[i]:.2f} "
         f"| {r[lo_c]['tri_sec']} -> {r[hi_c]['tri_sec']} "
         f"| {tri_effs[i]:.2f} |"
         for i, r in enumerate(runs)
     )
+    # provenance notes carried in the checkpoint records surface as
+    # footnotes (round-3 ADVICE: the evidence doc must show, not hide,
+    # that a rep was reconstructed rather than freshly logged)
+    footnotes = "\n".join(
+        f"\\* rep {r['rep'] + 1}: {r['note']}" for r in runs if r.get("note")
+    )
     section = f"""
 
-## Label propagation + triangle counting scaling (round 3, same protocol)
+## Label propagation + triangle counting scaling ({ROUND}, same protocol)
 
 Same cluster, pinning, and level shape as the PageRank gate; the
 workloads are the two FLAT shuffle-on-key paths the north rule names —
@@ -157,13 +191,13 @@ checksum and the triangle total ({tris.pop():,}) in every repetition.
 | run | LP sec/superstep N -> 4N | LP eff | tri sec N -> 4N | tri eff |
 |---|---|---|---|---|
 {per_run_rows}
+{footnotes}
 """
-    baseline = REPO / "BENCH" / "BASELINE.md"
-    text = baseline.read_text()
-    marker = "\n## Label propagation + triangle counting scaling"
-    if marker in text:  # replace the previous (partial) section in place
-        text = text[: text.index(marker)]
-    baseline.write_text(text.rstrip("\n") + "\n" + section)
+    bc.replace_section(
+        REPO / "BENCH" / "BASELINE.md",
+        "\n## Label propagation + triangle counting scaling",
+        section,
+    )
     print(section)
 
 
