@@ -2627,6 +2627,32 @@ def q_iceberg_incremental(spark, sf_dir):
                  F.min("doc_id").cast("long").alias("min_doc_id")))
 
 
+def q_iceberg_delete(spark, sf_dir):
+    """v2 row-level deletes, merge-on-read end to end: append docs over
+    two snapshots, `delete_where` twice (position-delete files, content=
+    deletes manifests, sequence numbers), scan reflects BOTH deletes
+    cumulatively while time travel to the pre-delete snapshot still sees
+    every row (asserted). Per-lang rollup of the surviving rows."""
+    import tempfile
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    loc = tempfile.mkdtemp(prefix="lg-ice-del-") + "/docs"
+    t = IcebergLiteTable.create(loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") % 2 == 0))
+    s2 = t.append(docs.where(F.col("doc_id") % 2 == 1))
+    n_all = docs.count()
+    t.delete_where(spark, "n_chars % 3 = 0")
+    t.delete_where(spark, "doc_id % 7 = 0")  # overlap is idempotent
+    assert t.meta["format-version"] == 2
+    assert t.scan(spark, snapshot_id=s2).count() == n_all  # time travel
+    return (t.scan(spark).groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.min("doc_id").cast("long").alias("min_doc_id")))
+
+
 def q_iceberg_partition_prune(spark, sf_dir):
     """Identity-partition pruning from manifest metadata alone: the 'en'
     scan never opens a non-en data file (asserted), then aggregates."""
@@ -2815,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_evolution": q_iceberg_evolution,
         "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_delete": q_iceberg_delete,
         "iceberg_partition_prune": q_iceberg_partition_prune,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank2": q_graph_pagerank2,
@@ -3591,6 +3618,13 @@ GROUP BY lang
         "iceberg_incremental": """
 SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc_id
 FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+""",
+        "iceberg_delete": """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id)::BIGINT AS min_doc_id
+FROM documents
+WHERE n_chars % 3 <> 0 AND doc_id % 7 <> 0
+GROUP BY lang
 """,
         "iceberg_partition_prune": """
 SELECT source, count(*)::BIGINT AS n_docs,

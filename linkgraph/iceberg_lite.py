@@ -1,4 +1,4 @@
-"""Pure-Python minimal Apache Iceberg v1 tables (write + scan), no jar.
+"""Pure-Python minimal Apache Iceberg v1/v2 tables (write + scan), no jar.
 
 The north rule mandates "Iceberg table of Common-Crawl-style pages" and
 "every superstep checkpoints vertex-state DataFrames to Iceberg"
@@ -31,7 +31,12 @@ gap from first principles: it implements the PUBLIC Apache Iceberg
   and hand the pruned file list to ``spark.read.parquet``, so column
   pruning / predicate pushdown still come from Spark's native parquet
   source; time travel by snapshot id or timestamp; incremental
-  (changelog-style) reads of exactly the files a snapshot ADDED.
+  (changelog-style) reads of exactly the files a snapshot ADDED;
+- v2 row-level deletes: ``delete_where`` writes position-delete files
+  ((file_path, pos), sorted, content=deletes manifests, sequence
+  numbers per the spec) and ``scan`` merge-on-reads them via a
+  distributed anti-join; ``compact`` folds pending deletes into the
+  rewritten files (merge-on-write).
 
 A scan of a 10^12-row table is driver-light: the driver touches only
 metadata (KB-scale avro), never data. What does NOT scale here is
@@ -54,6 +59,7 @@ from dataclasses import dataclass
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import avro_lite as avro
@@ -123,7 +129,26 @@ _MANIFEST_LIST_SCHEMA = {
         _f("added_rows_count", "long", 512, optional=True),
         _f("existing_rows_count", "long", 513, optional=True),
         _f("deleted_rows_count", "long", 514, optional=True),
+        # v2 (spec "Manifest Lists"): 0 = data manifests, 1 = delete
+        # manifests; sequence_number orders commits for delete
+        # applicability. Optional with null default so v1-era manifest
+        # lists read back (missing -> data, seq 0) and carried-over v1
+        # dicts still encode.
+        _f("content", "int", 517, optional=True),
+        _f("sequence_number", "long", 515, optional=True),
+        _f("min_sequence_number", "long", 516, optional=True),
     ]}
+
+# v2 data_file.content values (spec "Data Files")
+CONTENT_DATA, CONTENT_POSITION_DELETES = 0, 1
+
+# position-delete file schema (spec "Position Delete Files": field ids
+# 2147483546 / 2147483545; written as parquet by Spark, names suffice for
+# our own scans)
+_POS_DELETE_SPARK_SCHEMA = T.StructType([
+    T.StructField("file_path", T.StringType(), False),
+    T.StructField("pos", T.LongType(), False),
+])
 
 _ICE_PRIM_TO_AVRO = {"long": "long", "int": "int", "string": "string",
                      "double": "double", "float": "float",
@@ -164,10 +189,15 @@ def _manifest_entry_schema(partition_avro_fields: list[dict]) -> dict:
             _kv_array("null_value_counts", 110, 121, 122, "long"),
             _kv_array("lower_bounds", 125, 126, 127, "bytes"),
             _kv_array("upper_bounds", 128, 129, 130, "bytes"),
+            # v2: 0 = data, 1 = position deletes (optional: v1 files omit)
+            _f("content", "int", 134, optional=True),
         ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         _f("status", "int", 0),
         _f("snapshot_id", "long", 1),
+        # v2: explicit data sequence number; null inherits the manifest's
+        # (spec "Sequence Number Inheritance")
+        _f("sequence_number", "long", 3, optional=True),
         {"name": "data_file", "field-id": 2, "type": data_file},
     ]}
 
@@ -292,10 +322,14 @@ def _entry_may_match(entry: dict, bounds_filter: dict[str, tuple],
 def _filter_manifest_entries(
         manifest_path: str, partition_filter: dict[str, Any] | None,
         bounds_filter: dict[str, tuple] | None,
-        stat_fields: dict[str, tuple[int, str]]) -> list[dict]:
+        stat_fields: dict[str, tuple[int, str]],
+        manifest_seq: int = 0) -> list[dict]:
     """Read one manifest and keep live entries passing the metadata
     filters. Module-level + argument-pure so scan planning can run it
-    either in a driver loop or fanned out inside a Spark job."""
+    either in a driver loop or fanned out inside a Spark job. Each kept
+    entry gets ``_seq`` — its effective data sequence number (explicit
+    entry value, else inherited from the manifest: spec "Sequence Number
+    Inheritance") — used to decide delete-file applicability."""
     _, _, entries = avro.read_container(manifest_path)
     out = []
     for e in entries:
@@ -308,6 +342,8 @@ def _filter_manifest_entries(
         if bounds_filter is not None and \
                 not _entry_may_match(e, bounds_filter, stat_fields):
             continue  # min/max file skipping from manifest stats
+        seq = e.get("sequence_number")
+        e["_seq"] = int(seq) if seq is not None else int(manifest_seq)
         out.append(e)
     return out
 
@@ -434,24 +470,32 @@ class IcebergLiteTable:
                           pf["field-id"], optional=True))
         return out
 
-    def _write_manifest(self, entries: list[dict], snapshot_id: int) -> dict:
+    def _write_manifest(self, entries: list[dict], snapshot_id: int,
+                        content: int = CONTENT_DATA,
+                        sequence_number: int | None = None) -> dict:
         name = f"manifest-{uuid.uuid4().hex}.avro"
         path = os.path.join(self.location, "metadata", name)
         schema = _manifest_entry_schema(self._partition_avro_fields())
         ice_schema = json.dumps(self.meta["schema"])
         spec_fields = json.dumps(self.meta["partition-spec"])
+        fmt = self.meta.get("format-version", 1)
         length = avro.write_container(
             path, schema, entries,
             metadata={"schema": ice_schema.encode(),
                       "partition-spec": spec_fields.encode(),
                       "partition-spec-id": b"0",
-                      "format-version": b"1",
-                      "content": b"data"})
+                      "format-version": str(fmt).encode(),
+                      "content": (b"deletes"
+                                  if content == CONTENT_POSITION_DELETES
+                                  else b"data")})
         added = [e for e in entries if e["status"] == STATUS_ADDED]
         existing = [e for e in entries if e["status"] == STATUS_EXISTING]
         return {
             "manifest_path": path, "manifest_length": length,
             "partition_spec_id": 0, "added_snapshot_id": snapshot_id,
+            "content": content,
+            "sequence_number": sequence_number,
+            "min_sequence_number": sequence_number,
             "added_data_files_count": len(added),
             "existing_data_files_count": len(existing),
             "deleted_data_files_count": 0,
@@ -480,14 +524,18 @@ class IcebergLiteTable:
                          summary_extra: dict[str, str] | None = None) -> int:
         list_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
         list_path = os.path.join(self.location, "metadata", list_name)
+        fmt = self.meta.get("format-version", 1)
         avro.write_container(
             list_path, _MANIFEST_LIST_SCHEMA, manifest_files,
-            metadata={"format-version": b"1"})
+            metadata={"format-version": str(fmt).encode()})
         now_ms = int(time.time() * 1000)
         parent = self.current_snapshot_id()
         summary = {"operation": operation}
         summary.update(summary_extra or {})
+        seq = int(self.meta.get("last-sequence-number", 0)) + 1
+        self.meta["last-sequence-number"] = seq
         snap = {"snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+                "sequence-number": seq,
                 "summary": summary, "manifest-list": list_path,
                 "schema-id": 0}
         if parent is not None:
@@ -531,7 +579,8 @@ class IcebergLiteTable:
                 if d else None)
 
     def _entries_for(self, infos: list[DataFileInfo],
-                     partition_values: dict[str, Any]) -> list[dict]:
+                     partition_values: dict[str, Any],
+                     content: int = CONTENT_DATA) -> list[dict]:
         part = {pf["name"]: partition_values.get(pf["name"])
                 for pf in self.meta["partition-spec"]}
         return [{"status": STATUS_ADDED, "snapshot_id": None,
@@ -540,6 +589,7 @@ class IcebergLiteTable:
                      "partition": part, "record_count": i.record_count,
                      "file_size_in_bytes": i.file_size,
                      "block_size_in_bytes": BLOCK_SIZE,
+                     "content": content,
                      "null_value_counts": self._kv(i.null_counts),
                      "lower_bounds": self._kv(i.lower_bounds),
                      "upper_bounds": self._kv(i.upper_bounds)}}
@@ -547,20 +597,27 @@ class IcebergLiteTable:
 
     def _snapshot_with_new_entries(
             self, entries: list[dict], keep_previous: bool, operation: str,
-            drop_pred=None, extra_summary: dict[str, str] | None = None) \
-            -> int:
+            drop_pred=None, extra_summary: dict[str, str] | None = None,
+            content: int = CONTENT_DATA) -> int:
         """Core commit: write the new manifest (+ carried-over previous
         manifests, optionally filtered by ``drop_pred(entry) -> bool``)."""
         sid = self._new_snapshot_id()
+        next_seq = int(self.meta.get("last-sequence-number", 0)) + 1
         for e in entries:
             e["snapshot_id"] = sid
         manifest_files: list[dict] = []
         if entries:
-            manifest_files.append(self._write_manifest(entries, sid))
+            manifest_files.append(
+                self._write_manifest(entries, sid, content=content,
+                                     sequence_number=next_seq))
         dropped_rows = 0
         if keep_previous:
             for mf in self._current_manifest_files():
-                if drop_pred is None:
+                if drop_pred is None or \
+                        mf.get("content") == CONTENT_POSITION_DELETES:
+                    # delete manifests carry over untouched: their rows
+                    # key on data-file PATHS, and rows referencing paths
+                    # dropped here simply match nothing on future scans
                     manifest_files.append(mf)  # reuse by reference
                     continue
                 _, _, old = avro.read_container(mf["manifest_path"])
@@ -571,10 +628,19 @@ class IcebergLiteTable:
                 dropped_rows += sum(e["data_file"]["record_count"]
                                     for e in old if drop_pred(e))
                 if kept:
+                    mseq = mf.get("sequence_number") or 0
                     for e in kept:
                         e["status"] = STATUS_EXISTING
+                        # rewritten EXISTING entries must pin their
+                        # ORIGINAL data sequence number explicitly (spec:
+                        # inheritance only applies to the writing
+                        # manifest's own seq) — else old data would
+                        # appear newer than old deletes
+                        if e.get("sequence_number") is None:
+                            e["sequence_number"] = mseq
                     manifest_files.append(
-                        self._write_manifest(kept, mf["added_snapshot_id"]))
+                        self._write_manifest(kept, mf["added_snapshot_id"],
+                                             sequence_number=mseq))
         added_rows = sum(e["data_file"]["record_count"] for e in entries)
         summary = {"added-records": str(added_rows),
                    "deleted-records": str(dropped_rows)}
@@ -699,9 +765,12 @@ class IcebergLiteTable:
     def _live_entries(self, snap: dict | None,
                       partition_filter: dict[str, Any] | None = None,
                       bounds_filter: dict[str, tuple] | None = None,
-                      spark: SparkSession | None = None) -> list[dict]:
-        """All live (non-DELETED) entries at ``snap``, filtered by
-        partition equality and min/max bounds from metadata alone.
+                      spark: SparkSession | None = None,
+                      content: int = CONTENT_DATA) -> list[dict]:
+        """All live (non-DELETED) entries at ``snap`` with the requested
+        ``content`` (data files by default; CONTENT_POSITION_DELETES for
+        delete files), filtered by partition equality and min/max bounds
+        from metadata alone.
 
         Small manifest lists are planned with a driver loop; past
         DISTRIBUTED_PLAN_THRESHOLD manifests (and given a session) the
@@ -717,17 +786,23 @@ class IcebergLiteTable:
                     raise KeyError(f"no stats-eligible column {col!r}")
         _, _, manifests = avro.read_container(snap["manifest-list"])
         stat_fields = self._stat_fields()
-        paths = [mf["manifest_path"] for mf in manifests]
+        # manifest-level content pruning: a scan never opens delete
+        # manifests unless it asked for deletes (and vice versa)
+        paths = [(mf["manifest_path"], mf.get("sequence_number") or 0)
+                 for mf in manifests
+                 if (mf.get("content") or CONTENT_DATA) == content]
         if spark is not None and len(paths) > self.DISTRIBUTED_PLAN_THRESHOLD:
             plan = (partition_filter, bounds_filter, stat_fields)
             return (spark.sparkContext
                     .parallelize(paths, min(len(paths), 64))
-                    .flatMap(lambda p: _filter_manifest_entries(p, *plan))
+                    .flatMap(lambda ps: _filter_manifest_entries(
+                        ps[0], *plan, manifest_seq=ps[1]))
                     .collect())
         out: list[dict] = []
-        for p in paths:
+        for p, mseq in paths:
             out.extend(_filter_manifest_entries(
-                p, partition_filter, bounds_filter, stat_fields))
+                p, partition_filter, bounds_filter, stat_fields,
+                manifest_seq=mseq))
         return out
 
     def scan(self, spark: SparkSession, snapshot_id: int | None = None,
@@ -742,14 +817,112 @@ class IcebergLiteTable:
         ``bounds_filter`` ({col: (lo, hi)}, either end None for open)
         additionally skips files whose manifest-recorded min/max bounds
         prove the interval empty; it is advisory (the caller still
-        applies the row-level filter — pruning is sound, not exact)."""
+        applies the row-level filter — pruning is sound, not exact).
+
+        Merge-on-read (v2): live position-delete files at the snapshot
+        are anti-joined against the data rows' (file, row-position) — the
+        delete side broadcast when metadata says it is small, shuffled
+        otherwise. Snapshots older than a delete never see it (its
+        manifest isn't in their manifest list), so time travel reads
+        pre-delete states unchanged."""
         snap = self._snapshot(snapshot_id, as_of_ms)
         entries = self._live_entries(snap, partition_filter, bounds_filter,
                                      spark=spark)
         files = [e["data_file"]["file_path"] for e in entries]
         if not files:
             return spark.createDataFrame([], self.spark_schema)
-        return spark.read.schema(self.spark_schema).parquet(*files)
+        dels = self._live_entries(snap, spark=spark,
+                                  content=CONTENT_POSITION_DELETES)
+        return self._read_with_deletes(spark, files, dels)
+
+    def _read_with_deletes(self, spark: SparkSession, files: list[str],
+                           delete_entries: list[dict],
+                           keep_pos: bool = False) -> DataFrame:
+        """Parquet scan of ``files`` minus rows named by the position-
+        delete entries. A delete row is (file_path, pos); applicability
+        reduces to path equality here because data-file paths are unique
+        (fresh uuid dir per write, never reused) and a delete file can
+        only reference paths live at its commit — so a path match implies
+        delete_seq >= data_seq (the v2 rule; sequence numbers are still
+        recorded per manifest/entry for spec fidelity and debugging).
+        ``keep_pos`` retains the ``__fp``/``__pos`` helper columns
+        (delete_where builds new delete rows from them)."""
+        reader = spark.read.schema(self.spark_schema)
+        if not delete_entries and not keep_pos:
+            return reader.parquet(*files)
+        # file-source metadata: URI-form path + per-file row position
+        data = (reader.parquet(*files)
+                .withColumn("__fp", F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"))
+                .withColumn("__pos", F.col("_metadata.row_index")))
+        if delete_entries:
+            dpaths = [e["data_file"]["file_path"] for e in delete_entries]
+            n_del = sum(e["data_file"]["record_count"]
+                        for e in delete_entries)
+            dels = (spark.read.schema(_POS_DELETE_SPARK_SCHEMA)
+                    .parquet(*dpaths)
+                    .select(F.col("file_path").alias("__fp"),
+                            F.col("pos").alias("__pos")))
+            # broadcast while the delete set is metadata-provably small;
+            # past that, a shuffled anti-join (compaction is the real
+            # fix for delete-heavy tables — it folds deletes in)
+            if n_del <= 2_000_000:
+                dels = F.broadcast(dels)
+            data = data.join(dels, ["__fp", "__pos"], "left_anti")
+        return data if keep_pos else data.drop("__fp", "__pos")
+
+    def delete_where(self, spark: SparkSession, predicate: str,
+                     partition_filter: dict[str, Any] | None = None,
+                     bounds_filter: dict[str, tuple] | None = None) -> \
+            int | None:
+        """Row-level delete (v2 position deletes, merge-on-read): find
+        live rows matching the SQL ``predicate``, record them as
+        (file_path, pos) delete files sorted by path then position (spec
+        "Position Delete Files"), and commit a "delete" snapshot whose
+        manifest is content=deletes. No data file is rewritten — readers
+        of older snapshots are untouched, and the current scan applies
+        the deletes at read time. Upgrades the table to format-version 2
+        on first use. ``partition_filter`` / ``bounds_filter`` prune the
+        candidate files from metadata before any data is read. Returns
+        the new snapshot id, or None when nothing matched."""
+        snap = self._snapshot()
+        entries = self._live_entries(snap, partition_filter, bounds_filter,
+                                     spark=spark)
+        files = [e["data_file"]["file_path"] for e in entries]
+        if not files:
+            return None
+        prior = self._live_entries(snap, spark=spark,
+                                   content=CONTENT_POSITION_DELETES)
+        # apply prior deletes first so re-deleting a row is a no-op (the
+        # new delete file holds only rows live right now)
+        matches = (
+            self._read_with_deletes(spark, files, prior, keep_pos=True)
+            .where(predicate)
+            .select(F.col("__fp").alias("file_path"),
+                    F.col("__pos").alias("pos"))
+            .repartitionByRange(
+                max(1, min(len(files), 64)), "file_path", "pos")
+            .sortWithinPartitions("file_path", "pos"))
+        out_dir = os.path.join(self.location, "data",
+                               f"deletes-{uuid.uuid4().hex[:12]}")
+        matches.write.mode("overwrite").parquet(out_dir)
+        dfiles = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                        if f.endswith(".parquet"))
+        infos = _spark_file_stats(spark, dfiles, {})
+        n_deleted = sum(i.record_count for i in infos)
+        if n_deleted == 0:
+            import shutil
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        if int(self.meta.get("format-version", 1)) < 2:
+            self.meta["format-version"] = 2  # committed with the snapshot
+        new_entries = self._entries_for(
+            [i for i in infos if i.record_count], {},
+            content=CONTENT_POSITION_DELETES)
+        return self._snapshot_with_new_entries(
+            new_entries, keep_previous=True, operation="delete",
+            content=CONTENT_POSITION_DELETES,
+            extra_summary={"deleted-position-records": str(n_deleted)})
 
     def scan_added(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Incremental read: exactly the rows ADDED by ``snapshot_id``
@@ -777,8 +950,17 @@ class IcebergLiteTable:
         EXISTING). One "replace" snapshot commits the swap — readers on
         the old snapshot are unaffected until `expire_snapshots`.
         Returns the new snapshot id, or None if nothing needed packing.
+
+        Pending position deletes are APPLIED to the groups being packed
+        (merge-on-read becomes merge-on-write here — the rewritten files
+        carry no deleted rows). Delete manifests still carry over for the
+        sake of untouched groups; their rows naming packed (now dead)
+        paths match nothing, and `expire_snapshots` reclaims fully-dead
+        delete files once no kept snapshot references them.
         """
-        entries = self._live_entries(self._snapshot())
+        snap = self._snapshot()
+        entries = self._live_entries(snap)
+        dels = self._live_entries(snap, content=CONTENT_POSITION_DELETES)
         groups: dict[tuple, list[dict]] = {}
         for e in entries:
             key = tuple(sorted(e["data_file"]["partition"].items()))
@@ -793,7 +975,7 @@ class IcebergLiteTable:
             packed_paths.update(paths)
             total = sum(e["data_file"]["file_size_in_bytes"] for e in group)
             n_out = max(1, -(-total // target_file_size))
-            df = spark.read.schema(self.spark_schema).parquet(*paths) \
+            df = self._read_with_deletes(spark, paths, dels) \
                 .repartition(int(n_out))
             sub = "/".join(f"{k}={v}" for k, v in key) or "compact"
             infos = self._write_data_files(
@@ -882,6 +1064,8 @@ class IcebergLiteTable:
                  "partition": e["data_file"]["partition"],
                  "record_count": e["data_file"]["record_count"],
                  "file_size_in_bytes": e["data_file"]["file_size_in_bytes"],
+                 "content": e["data_file"].get("content") or CONTENT_DATA,
+                 "sequence_number": e.get("_seq", 0),
                  "status": e["status"], "snapshot_id": e["snapshot_id"],
                  "null_value_counts":
                      _dec(e["data_file"].get("null_value_counts"), False),
@@ -889,4 +1073,5 @@ class IcebergLiteTable:
                      _dec(e["data_file"].get("lower_bounds"), True),
                  "upper_bounds":
                      _dec(e["data_file"].get("upper_bounds"), True)}
-                for e in self._live_entries(snap)]
+                for e in (self._live_entries(snap) + self._live_entries(
+                    snap, content=CONTENT_POSITION_DELETES))]

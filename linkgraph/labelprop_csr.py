@@ -149,6 +149,7 @@ def label_propagation_blocked(
     )
 
     step_secs: list[float] = []
+    kernel_secs: list[float] = []  # CPU-side per-block work, summed
     changed_per_step: list[int] = []
     for step in range(iterations):
         t_step = time.perf_counter()
@@ -164,6 +165,7 @@ def label_propagation_blocked(
                 lbl_cache: dict = {}
                 for db, dsize in zip(pdf["db"], pdf["dsize"]):
                     db = int(db)
+                    t_k = time.perf_counter()
                     old = np.load(f"{_cur}/b{db}.npy")
                     acc = old.copy()
                     blk = _load_block(store, token, db, n_blocks)
@@ -195,16 +197,20 @@ def label_propagation_blocked(
                     changed = int((acc != old).sum())
                     os.makedirs(_nxt, exist_ok=True)
                     _write_npy_atomic(f"{_nxt}/b{db}.npy", acc)
-                    rows.append((db, changed))
-                yield pd.DataFrame(rows, columns=["block", "changed"])
+                    rows.append((db, changed, time.perf_counter() - t_k))
+                yield pd.DataFrame(rows,
+                                   columns=["block", "changed", "kern"])
 
             return step_fn
 
-        changed = int(
-            work.mapInPandas(make_step_fn(cur, nxt), "block int, changed long")
-            .agg(F.sum("changed").alias("c"))
-            .collect()[0]["c"]
+        agg = (
+            work.mapInPandas(make_step_fn(cur, nxt),
+                             "block int, changed long, kern double")
+            .agg(F.sum("changed").alias("c"), F.sum("kern").alias("k"))
+            .collect()[0]
         )
+        changed = int(agg["c"])
+        kernel_secs.append(float(agg["k"]))
         step_secs.append(time.perf_counter() - t_step)
         changed_per_step.append(changed)
         stale = step - keep_steps + 1
@@ -213,6 +219,10 @@ def label_propagation_blocked(
     last = f"{rdir}/step{iterations}"
     if stats is not None:
         stats["step_secs"] = [round(s, 3) for s in step_secs]
+        # summed in-task block work (load + gather + vote + write) per
+        # superstep: wall - kernel/slots ≈ scheduling/coordination, the
+        # split the scaling-gate hygiene note reads
+        stats["kernel_secs"] = [round(s, 3) for s in kernel_secs]
         stats["steps"] = iterations
         stats["changed"] = changed_per_step
         # benches checksum the final rank-space label files directly (this

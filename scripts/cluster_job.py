@@ -182,6 +182,7 @@ def main() -> None:
             "n_blocks": g.n_blocks,
             **(build_info or {}),
             "lp_steps": stats["step_secs"],
+            "lp_kernel_secs": stats.get("kernel_secs"),
             "lp_n_steps": stats["steps"],
             "lp_changed": stats["changed"],
             "lp_sec_per_superstep": round(lp_sec, 3),

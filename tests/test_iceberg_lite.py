@@ -174,10 +174,14 @@ def test_metadata_layout_is_spec_shaped(spark, tmp_path, pages):
     # manifest file: entry schema ids + key-value metadata
     eschema, emeta, entries = avro.read_container(mfs[0]["manifest_path"])
     eids = {f["name"]: f["field-id"] for f in eschema["fields"]}
-    assert eids == {"status": 0, "snapshot_id": 1, "data_file": 2}
+    # v2 optional sequence_number (field-id 3) rides along; ADDED entries
+    # leave it null and inherit the manifest's sequence number
+    assert eids == {"status": 0, "snapshot_id": 1, "sequence_number": 3,
+                    "data_file": 2}
     assert emeta["format-version"] == b"1" and emeta["content"] == b"data"
     df_ids = {f["name"]: f["field-id"]
-              for f in eschema["fields"][2]["type"]["fields"]}
+              for f in next(f for f in eschema["fields"]
+                            if f["name"] == "data_file")["type"]["fields"]}
     assert df_ids["file_path"] == 100 and df_ids["record_count"] == 103
     assert all(e["status"] == STATUS_ADDED for e in entries)
     assert sum(e["data_file"]["record_count"] for e in entries) == 120
@@ -606,3 +610,121 @@ def test_schema_evolution_add_columns(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="already exists"):
         t2.add_columns(T.StructType([T.StructField("lang", T.StringType())]))
+
+
+# ---------------------------------------------------------------------------
+# v2 position deletes (merge-on-read)
+
+
+def test_delete_where_merge_on_read(spark, tmp_path, pages):
+    loc = str(tmp_path / "del_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    s1 = t.append(pages)
+    sid = t.delete_where(spark, "lang = 'en'")
+    assert sid is not None
+    assert t.meta["format-version"] == 2
+    # merge-on-read: current scan reflects the delete
+    cur = t.scan(spark)
+    assert cur.count() == 80
+    assert cur.where(F.col("lang") == "en").count() == 0
+    # time travel: the pre-delete snapshot still has every row
+    assert t.scan(spark, snapshot_id=s1).count() == 120
+    # the delete snapshot is a real snapshot with op=delete + seq ordering
+    snaps = t.snapshots()
+    assert snaps[-1]["summary"]["operation"] == "delete"
+    assert snaps[-1]["sequence-number"] > snaps[0]["sequence-number"]
+    # reload from disk: metadata round-trips
+    t2 = IcebergLiteTable.load(loc)
+    assert t2.scan(spark).count() == 80
+    # files(): delete file visible with content=1, sorted rows
+    fl = t2.files()
+    dels = [f for f in fl if f["content"] == 1]
+    assert len(dels) >= 1 and sum(f["record_count"] for f in dels) == 40
+    ddf = spark.read.parquet(*[f["file_path"] for f in dels])
+    rows = ddf.orderBy("file_path", "pos").collect()
+    assert rows == sorted(rows, key=lambda r: (r["file_path"], r["pos"]))
+
+
+def test_delete_is_cumulative_and_append_unaffected(spark, tmp_path, pages):
+    loc = str(tmp_path / "del_tbl2")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages.filter(F.col("lang") == "en"))   # 40 rows
+    t.delete_where(spark, "url like '%/p0'")        # 1 row gone
+    assert t.scan(spark).count() == 39
+    # second delete only records rows still live (idempotent re-delete)
+    again = t.delete_where(spark, "url like '%/p0'")
+    assert again is None  # nothing left matching -> no empty snapshot
+    # rows appended AFTER a delete are never touched by it
+    t.append(pages.filter(F.col("lang") == "de"))   # +80
+    assert t.scan(spark).count() == 119
+    t.delete_where(spark, "lang = 'de'")
+    assert t.scan(spark).count() == 39
+    # deleting already-deleted rows again matches nothing
+    assert t.delete_where(spark, "lang = 'de'") is None
+
+
+def test_delete_values_not_just_counts(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "id long, k long")
+    loc = str(tmp_path / "del_vals")
+    t = IcebergLiteTable.create(loc, df.schema)
+    t.append(df.repartition(7))  # several files, positions per file
+    t.delete_where(spark, "k = 3")
+    got = sorted(r["id"] for r in t.scan(spark).collect())
+    assert got == [i for i in range(100) if i % 5 != 3]
+    # overlapping second delete: k=3 already gone, k=4 goes now
+    t.delete_where(spark, "k in (3, 4)")
+    got = sorted(r["id"] for r in t.scan(spark).collect())
+    assert got == [i for i in range(100) if i % 5 not in (3, 4)]
+
+
+def test_compact_folds_deletes_in(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(50)], "id long, flag long")
+    loc = str(tmp_path / "del_compact")
+    t = IcebergLiteTable.create(loc, df.schema)
+    t.append(df.repartition(5))
+    t.delete_where(spark, "flag = 1")
+    sid = t.compact(spark)
+    assert sid is not None
+    # rewritten files physically exclude deleted rows
+    live = [f for f in t.files() if f["content"] == 0]
+    assert sum(f["record_count"] for f in live) == 25
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == \
+        list(range(0, 50, 2))
+    # delete rows for dead paths are harmless no-ops on future scans
+    t.append(spark.createDataFrame([(100, 1)], "id long, flag long"))
+    assert t.scan(spark).count() == 26
+
+
+def test_expire_reclaims_dead_delete_files(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    loc = str(tmp_path / "del_expire")
+    t = IcebergLiteTable.create(loc, df.schema)
+    t.append(df)
+    t.delete_where(spark, "id < 10")
+    t.overwrite_all(t.scan(spark))  # rewrites: deletes no longer needed
+    assert t.scan(spark).count() == 20
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 2
+    # the position-delete parquet itself was reclaimed
+    data_dir = os.path.join(loc, "data")
+    leftover = [d for d in os.listdir(data_dir) if d.startswith("deletes-")]
+    for d in leftover:
+        assert not any(f.endswith(".parquet")
+                       for f in os.listdir(os.path.join(data_dir, d)))
+    assert t.scan(spark).count() == 20
+
+
+def test_delete_with_partition_prune(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 2) for i in range(60)], "id long, p long, v long")
+    loc = str(tmp_path / "del_part")
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["p"])
+    for p in range(3):
+        t.append(df.where(F.col("p") == p), partition_values={"p": p})
+    # delete only scans the pruned partition's files
+    t.delete_where(spark, "id < 30", partition_filter={"p": 1})
+    got = sorted(r["id"] for r in t.scan(spark).collect())
+    expect = sorted(i for i in range(60) if not (i % 3 == 1 and i < 30))
+    assert got == expect
