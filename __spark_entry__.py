@@ -570,6 +570,22 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(spark, edges, tpcgraph.vertices_of(edges))
 
 
+def q_graph_triangles_blocked(spark, sf_dir):
+    """Blocked-store per-vertex triangle counts (triangles_csr): ONE
+    map-only native merge stage over per-block oriented-CSR sidecars —
+    the zero-shuffle scale path; counts equal the flat wedge-join answer
+    exactly (any acyclic orientation finds each triangle once)."""
+    from linkgraph.triangles_csr import build_tri_store, triangle_counts_blocked
+
+    edges = tpcgraph.supplier_copart_edges(spark, sf_dir)
+    ts = build_tri_store(spark, edges, n_blocks=8)
+    out = triangle_counts_blocked(
+        spark, ts, tpcgraph.vertices_of(edges)
+    ).localCheckpoint()
+    ts.delete()
+    return out
+
+
 def q_graph_ktruss(spark, sf_dir):
     """Two bounded 3-truss peel rounds on the supplier co-part graph —
     unrolled triangle-support CTEs replicate each round exactly."""
@@ -2875,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop_seeded": q_graph_labelprop_seeded,
         "graph_modularity": q_graph_modularity,
         "graph_triangles": q_graph_triangles,
+        "graph_triangles_blocked": q_graph_triangles_blocked,
         "graph_lcc": q_graph_lcc,
         "graph_ktruss": q_graph_ktruss,
         "graph_csr": q_graph_csr,
@@ -4213,6 +4230,26 @@ SELECT tv.id,
 FROM tv LEFT JOIN cnt ON tv.id = cnt.id LEFT JOIN dg ON tv.id = dg.id
 """,
         "graph_triangles": """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pe a JOIN pe b ON a.p = b.p AND a.s < b.s
+),
+tv AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1)
+SELECT tv.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
+FROM tv LEFT JOIN cnt ON tv.id = cnt.id
+""",
+        # blocked store must reproduce the SAME per-vertex counts
+        "graph_triangles_blocked": """
 WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
 e AS (
   SELECT DISTINCT a.s AS u, b.s AS v

@@ -147,6 +147,47 @@ int modal_vote(const int32_t *dl, const double *lab, int64_t n,
     free(offs); free(buf); free(cur);
     return 0;
 }
+
+/* oriented-adjacency intersection for one (a-block, b-block) edge run.
+   Edge i joins a-local al[i] to b-local bl[i]; N+(a) rows are
+   aadj[aip[al[i]] .. aip[al[i]+1]) (sorted global vertex indices, int32
+   => <= 2^31 vertices; an int64 variant is the documented scale-up),
+   likewise N+(b) in bip/badj. Each common neighbour w closes triangle
+   (a, b, w) exactly once (orientation is acyclic). Per edge, support
+   s = |N+(a) /\ N+(b)| is credited to cnt_a[al[i]] and cnt_b[bl[i]]
+   (pass the SAME buffer for the diagonal a-block == b-block run; locals
+   differ because a != b), and each witness w is appended to wit for the
+   caller's per-task bincount. cnt_a/cnt_b/wit may be NULL (total-only
+   mode skips the stores). Returns total triangles found in the run, or
+   -1 if wit overflows wit_cap (caller sizes it exactly as
+   sum(min(outdeg(a), outdeg(b))) so this is defensive). */
+int64_t tri_run(const int32_t *al, const int32_t *bl, int64_t m,
+                const int64_t *aip, const int32_t *aadj,
+                const int64_t *bip, const int32_t *badj,
+                int64_t *cnt_a, int64_t *cnt_b,
+                int32_t *wit, int64_t wit_cap) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < m; i++) {
+        int64_t pa = aip[al[i]], ea = aip[al[i] + 1];
+        int64_t pb = bip[bl[i]], eb = bip[bl[i] + 1];
+        int64_t s = 0;
+        while (pa < ea && pb < eb) {
+            int32_t x = aadj[pa], y = badj[pb];
+            if (x < y) pa++;
+            else if (y < x) pb++;
+            else {
+                if (wit) {
+                    if (total + s >= wit_cap) return -1;
+                    wit[total + s] = x;
+                }
+                s++; pa++; pb++;
+            }
+        }
+        if (cnt_a && s) { cnt_a[al[i]] += s; cnt_b[bl[i]] += s; }
+        total += s;
+    }
+    return total;
+}
 """
 
 _CHUNK = 1 << 18  # numpy fallback: 256k-edge chunks keep temps ~L2-sized
@@ -244,6 +285,15 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
     ]
     lib.modal_vote.restype = ctypes.c_int
+    lib.tri_run.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.tri_run.restype = ctypes.c_int64
     return lib
 
 
@@ -423,3 +473,88 @@ def scatter_min32(
         s = np.asarray(sl[off:off + _CHUNK]).astype(np.int64, copy=False)
         d = np.asarray(dl[off:off + _CHUNK]).astype(np.int64, copy=False)
         np.minimum.at(acc, d, rs[s])
+
+
+def tri_run(
+    al: np.ndarray,
+    bl: np.ndarray,
+    aip: np.ndarray,
+    aadj: np.ndarray,
+    bip: np.ndarray,
+    badj: np.ndarray,
+    cnt_a: np.ndarray | None = None,
+    cnt_b: np.ndarray | None = None,
+    collect_witness: bool = False,
+) -> "tuple[int, np.ndarray | None]":
+    """Sorted-merge intersection of oriented out-neighbourhoods for one
+    (a-block, b-block) edge run — the blocked triangle-count superkernel.
+
+    Edge i closes |N+(a) ∩ N+(b)| triangles where a = local al[i] in the
+    a-block CSR (aip/aadj, sorted int32 global indices) and b = local
+    bl[i] in the b-block CSR. Per-edge support accrues into cnt_a/cnt_b
+    (int64 dense per-block arrays; pass the SAME array twice for the
+    diagonal run) when given. Returns (total, witnesses) where witnesses
+    is the int32 global index of every third corner (one per triangle, in
+    discovery order) when ``collect_witness`` else None.
+
+    Fallback (LINKGRAPH_NATIVE=0 / no cc): per-edge
+    ``np.intersect1d(assume_unique=True)`` — same results, Python-loop
+    slow; correctness-only.
+    """
+    m = len(al)
+    if m == 0:
+        return 0, (np.empty(0, dtype=np.int32) if collect_witness else None)
+    al = np.ascontiguousarray(al, dtype=np.int32)
+    bl = np.ascontiguousarray(bl, dtype=np.int32)
+    aip = np.ascontiguousarray(aip, dtype=np.int64)
+    bip = np.ascontiguousarray(bip, dtype=np.int64)
+    lib = get_lib()
+    if lib is not None:
+        aadj_c = np.ascontiguousarray(aadj, dtype=np.int32)
+        badj_c = np.ascontiguousarray(badj, dtype=np.int32)
+        i32p, i64p = ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)
+        wit = None
+        wit_p, wit_cap = ctypes.cast(None, i32p), 0
+        if collect_witness:
+            # exact upper bound: an edge's support <= min of the two
+            # out-degrees; sized here so the kernel can never overflow
+            cap = int(
+                np.minimum(
+                    aip[al + 1] - aip[al], bip[bl + 1] - bip[bl]
+                ).sum()
+            )
+            wit = np.empty(max(cap, 1), dtype=np.int32)
+            wit_p, wit_cap = wit.ctypes.data_as(i32p), cap
+        null64 = ctypes.cast(None, i64p)
+        total = lib.tri_run(
+            al.ctypes.data_as(i32p), bl.ctypes.data_as(i32p),
+            ctypes.c_int64(m),
+            aip.ctypes.data_as(i64p), aadj_c.ctypes.data_as(i32p),
+            bip.ctypes.data_as(i64p), badj_c.ctypes.data_as(i32p),
+            cnt_a.ctypes.data_as(i64p) if cnt_a is not None else null64,
+            cnt_b.ctypes.data_as(i64p) if cnt_b is not None else null64,
+            wit_p, ctypes.c_int64(wit_cap),
+        )
+        assert total >= 0, "tri_run witness buffer overflow (sizing bug)"
+        return int(total), (wit[:total].copy() if collect_witness else None)
+
+    aadj = np.asarray(aadj)
+    badj = np.asarray(badj)
+    total = 0
+    wits: list[np.ndarray] = []
+    for i in range(m):
+        na = aadj[aip[al[i]]:aip[al[i] + 1]]
+        nb = badj[bip[bl[i]]:bip[bl[i] + 1]]
+        common = np.intersect1d(na, nb, assume_unique=True)
+        s = len(common)
+        if s:
+            if cnt_a is not None:
+                cnt_a[al[i]] += s
+                cnt_b[bl[i]] += s
+            if collect_witness:
+                wits.append(common.astype(np.int32))
+            total += s
+    wit_out = (
+        np.concatenate(wits) if wits else np.empty(0, dtype=np.int32)
+    ) if collect_witness else None
+    return total, wit_out
