@@ -120,6 +120,16 @@ def _nb_plan(spark, docs):
     return nb_classify(docs.where(coin >= "cccccc"), cond, stats)
 
 
+def _triangles_blocked(spark, edges, verts):
+    """Blocked-path count plan: the store build is out-of-band (one-time
+    compaction, like the PageRank store); the audited plan is the count
+    itself — mapInPandas over the block work frame + one aggregation."""
+    from linkgraph.triangles_csr import build_tri_store, triangle_counts_blocked
+
+    ts = build_tri_store(spark, edges, n_blocks=8)
+    return triangle_counts_blocked(spark, ts, verts)
+
+
 def main() -> None:
     spark = get_spark("plan-audit", cores=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
@@ -156,6 +166,8 @@ def main() -> None:
         "triangles (degree-ordered oriented wedge join)": triangle_counts(
             spark, edges, verts
         ),
+        "triangles blocked (one map stage over oriented-CSR sidecars + "
+        "O(touched) count agg)": _triangles_blocked(spark, edges, verts),
         "exact dedup (single groupBy)": dedup.exact_groups(docs),
         "ngram shingles (zip_with, no per-element slice)": dedup.shingle_table(
             docs
