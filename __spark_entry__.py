@@ -586,6 +586,23 @@ def q_graph_triangles_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_lcc_blocked(spark, sf_dir):
+    """Blocked-store local clustering coefficients: the store's vmap
+    already holds distinct-neighbour degrees, so lcc is the blocked
+    triangle count + one join — same rows as the flat graph_lcc."""
+    from linkgraph.triangles_csr import (
+        build_tri_store, clustering_coefficients_blocked,
+    )
+
+    edges = tpcgraph.supplier_copart_edges(spark, sf_dir)
+    ts = build_tri_store(spark, edges, n_blocks=8)
+    out = clustering_coefficients_blocked(
+        spark, ts, tpcgraph.vertices_of(edges)
+    ).localCheckpoint()
+    ts.delete()
+    return out
+
+
 def q_graph_ktruss(spark, sf_dir):
     """Two bounded 3-truss peel rounds on the supplier co-part graph —
     unrolled triangle-support CTEs replicate each round exactly."""
@@ -2893,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_triangles_blocked": q_graph_triangles_blocked,
         "graph_lcc": q_graph_lcc,
+        "graph_lcc_blocked": q_graph_lcc_blocked,
         "graph_ktruss": q_graph_ktruss,
         "graph_csr": q_graph_csr,
         "graph_quotient": q_graph_quotient,
@@ -4202,6 +4220,34 @@ FROM e1 LEFT JOIN s2 ON e1.u = s2.u AND e1.v = s2.v
 WHERE coalesce(s2.support, 0) >= 1
 """,
         "graph_lcc": """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pe a JOIN pe b ON a.p = b.p AND a.s < b.s
+),
+tv AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1),
+dg AS (
+  SELECT id, count(*) AS deg
+  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+)
+SELECT tv.id,
+  coalesce(dg.deg, 0)::BIGINT AS deg,
+  coalesce(cnt.triangles, 0)::BIGINT AS triangles,
+  CASE WHEN coalesce(dg.deg, 0) >= 2
+       THEN round(2.0 * coalesce(cnt.triangles, 0) / (dg.deg * (dg.deg - 1)), 6)
+       ELSE 0.0 END AS lcc
+FROM tv LEFT JOIN cnt ON tv.id = cnt.id LEFT JOIN dg ON tv.id = dg.id
+""",
+        "graph_lcc_blocked": """
 WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
 e AS (
   SELECT DISTINCT a.s AS u, b.s AS v

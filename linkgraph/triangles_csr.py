@@ -411,6 +411,32 @@ def triangle_counts_blocked(
     return out
 
 
+def clustering_coefficients_blocked(
+    spark, ts: TriStore, vertices: DataFrame | None = None
+) -> DataFrame:
+    """-> (id, deg, triangles, lcc), exactly
+    linkgraph.triangles.clustering_coefficients — the store's vmap
+    already carries each vertex's distinct-neighbour degree (computed for
+    the orientation), so this is the blocked count + ONE join, no extra
+    degree aggregate."""
+    tri = triangle_counts_blocked(spark, ts, vertices)
+    deg = ts.vmap.select("id", "deg")
+    return tri.join(deg, "id", "left").select(
+        "id",
+        F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.when(
+            F.coalesce("deg", F.lit(0)) >= 2,
+            F.round(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
 def triangle_total_blocked(spark, ts: TriStore, stats: dict | None = None) -> int:
     """Total triangle count — the scaling-gate workload: B independent
     map tasks, each one native merge pass over its block's edges; the

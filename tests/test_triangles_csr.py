@@ -155,3 +155,26 @@ def test_self_loops_and_duplicates_ignored(spark):
         assert triangle_total_blocked(spark, ts) == 1
     finally:
         ts.delete()
+
+
+def test_lcc_blocked_matches_flat(spark, small):
+    from linkgraph.triangles import clustering_coefficients
+    from linkgraph.triangles_csr import clustering_coefficients_blocked
+
+    flat = {
+        r["id"]: (r["deg"], r["triangles"], r["lcc"])
+        for r in clustering_coefficients(
+            spark, small.edges, small.vertices
+        ).collect()
+    }
+    ts = build_tri_store(spark, small.edges, n_blocks=8)
+    try:
+        got = {
+            r["id"]: (r["deg"], r["triangles"], r["lcc"])
+            for r in clustering_coefficients_blocked(
+                spark, ts, small.vertices
+            ).collect()
+        }
+        assert got == flat
+    finally:
+        ts.delete()
