@@ -9,10 +9,16 @@ gap from first principles: it implements the PUBLIC Apache Iceberg
 *table spec* (format-version 1) directly —
 
 - table metadata JSON (``metadata/vN.metadata.json``) with schemas,
-  partition specs, snapshots, and snapshot-log, committed via
-  write-tmp + atomic rename of the HadoopTables ``version-hint.text``
-  pointer (the jar-based reader discovers tables exactly this way, so a
-  real Iceberg runtime pointed at these directories would resolve them);
+  partition specs, snapshots, and snapshot-log; multi-writer OPTIMISTIC
+  CONCURRENCY per HadoopTables semantics: a commit targets the version
+  after the one its view was loaded from and installs it by atomic
+  exclusive create (the CAS) — a lost race raises CommitConflictError,
+  snapshot commits rebase on the winner's metadata and retry (snapshot
+  isolation: the winner's manifests are carried over, never clobbered),
+  and the advisory ``version-hint.text`` pointer is written monotonically
+  afterwards (the jar-based reader discovers tables exactly this way, so
+  a real Iceberg runtime pointed at these directories would resolve
+  them);
 - manifest lists and manifest files as Avro object container files
   (``linkgraph.avro_lite``) using the spec's field names and field-ids
   (manifest_path/500, manifest_length/501, partition_spec_id/502,
@@ -65,6 +71,16 @@ from pyspark.sql import types as T
 from . import avro_lite as avro
 
 BLOCK_SIZE = 67108864  # spec'd v1 block_size_in_bytes (deprecated, required)
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the metadata version this commit targeted.
+
+    Snapshot commits (append / delete / overwrite) rebase and retry
+    automatically; operations whose staged files were derived from the
+    replaced snapshot (compaction's replace) surface this to the caller,
+    who re-runs against the fresh table — the same optimistic-concurrency
+    contract as Iceberg's HadoopTables (version-file create is the CAS)."""
 
 # ---------------------------------------------------------------------------
 # schema conversion: Spark <-> Iceberg JSON (flat schemas; nested types are
@@ -356,9 +372,16 @@ class IcebergLiteTable:
     superstep, pages tables are unpartitioned or by crawl batch).
     """
 
-    def __init__(self, location: str, metadata: dict):
+    def __init__(self, location: str, metadata: dict,
+                 base_version: int = 0):
         self.location = location.rstrip("/")
         self.meta = metadata
+        # the metadata version this handle's view was LOADED from: the
+        # CAS target is base+1, so a writer holding a stale view loses
+        # the race even if it reads the directory after the winner wrote
+        # (targeting "latest on disk + 1" would silently skip conflict
+        # detection — the whole point of optimistic concurrency)
+        self._base_version = base_version
 
     # -- creation / loading ------------------------------------------------
 
@@ -410,12 +433,22 @@ class IcebergLiteTable:
     @staticmethod
     def load(location: str) -> "IcebergLiteTable":
         location = location.rstrip("/")
-        hint = os.path.join(location, "metadata", "version-hint.text")
-        with open(hint) as f:
+        mdir = os.path.join(location, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as f:
             version = int(f.read().strip())
-        path = os.path.join(location, "metadata", f"v{version}.metadata.json")
+        # the hint is advisory (HadoopTables semantics): two racing
+        # winners may interleave hint writes, so resolve the TRUE latest
+        # by probing upward from the hinted version — commit files are
+        # created exclusively and never removed, so the first gap is the
+        # frontier
+        while os.path.exists(
+            os.path.join(mdir, f"v{version + 1}.metadata.json")
+        ):
+            version += 1
+        path = os.path.join(mdir, f"v{version}.metadata.json")
         with open(path) as f:
-            return IcebergLiteTable(location, json.load(f))
+            return IcebergLiteTable(location, json.load(f),
+                                    base_version=version)
 
     @staticmethod
     def exists(location: str) -> bool:
@@ -445,21 +478,44 @@ class IcebergLiteTable:
     # -- commits -----------------------------------------------------------
 
     def _commit(self, version: int | None = None) -> None:
+        """Write metadata version N+1 with a compare-and-swap: the
+        version file is hard-linked into place from a fully-written temp,
+        which FAILS if another writer already created that version — the
+        multi-writer conflict detector (HadoopTables commits by the same
+        exclusive-rename-to-versioned-name contract). Raises
+        CommitConflictError; callers rebase+retry or surface it."""
         mdir = os.path.join(self.location, "metadata")
         if version is None:
-            hint = os.path.join(mdir, "version-hint.text")
-            with open(hint) as f:
-                version = int(f.read().strip()) + 1
+            version = self._base_version + 1
         self.meta["last-updated-ms"] = int(time.time() * 1000)
         path = os.path.join(mdir, f"v{version}.metadata.json")
-        tmp = f"{path}.tmp"
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(self.meta, f, indent=1)
-        os.replace(tmp, path)
-        tmp_hint = os.path.join(mdir, "version-hint.text.tmp")
-        with open(tmp_hint, "w") as f:
-            f.write(str(version))
-        os.replace(tmp_hint, os.path.join(mdir, "version-hint.text"))
+        try:
+            os.link(tmp, path)  # atomic exclusive create == the CAS
+        except FileExistsError:
+            raise CommitConflictError(
+                f"metadata version {version} at {self.location} was "
+                "committed by another writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        self._base_version = version
+        # advisory hint, monotonic: never move it backwards over a
+        # concurrent winner's higher version (load() probes past it
+        # regardless, so a lost hint update is self-healing)
+        hint = os.path.join(mdir, "version-hint.text")
+        try:
+            with open(hint) as f:
+                cur = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            cur = -1
+        if version > cur:
+            tmp_hint = f"{hint}.{os.getpid()}.tmp"
+            with open(tmp_hint, "w") as f:
+                f.write(str(version))
+            os.replace(tmp_hint, hint)
 
     def _partition_avro_fields(self) -> list[dict]:
         ice_by_id = {f["id"]: f for f in self.meta["schema"]["fields"]}
@@ -600,52 +656,98 @@ class IcebergLiteTable:
             drop_pred=None, extra_summary: dict[str, str] | None = None,
             content: int = CONTENT_DATA) -> int:
         """Core commit: write the new manifest (+ carried-over previous
-        manifests, optionally filtered by ``drop_pred(entry) -> bool``)."""
+        manifests, optionally filtered by ``drop_pred(entry) -> bool``).
+
+        Optimistic concurrency: on CommitConflictError (another writer
+        won the metadata-version CAS) the SNAPSHOT-isolation rebase
+        reloads the fresh metadata and re-derives everything that depends
+        on the current view — sequence number, parent snapshot, and the
+        carried-over manifest set (so the winner's manifests are
+        preserved, never clobbered) — then retries. The staged NEW
+        manifest (this commit's own entries) is reused as-is: its ADDED
+        entries inherit the sequence number from the manifest LIST, which
+        is rewritten per attempt. ``operation="replace"`` (compaction)
+        does NOT rebase — its rewritten files were derived from the
+        replaced snapshot, so the conflict surfaces to the caller."""
         sid = self._new_snapshot_id()
-        next_seq = int(self.meta.get("last-sequence-number", 0)) + 1
         for e in entries:
             e["snapshot_id"] = sid
-        manifest_files: list[dict] = []
+        new_mf = None
         if entries:
-            manifest_files.append(
-                self._write_manifest(entries, sid, content=content,
-                                     sequence_number=next_seq))
-        dropped_rows = 0
-        if keep_previous:
-            for mf in self._current_manifest_files():
-                if drop_pred is None or \
-                        mf.get("content") == CONTENT_POSITION_DELETES:
-                    # delete manifests carry over untouched: their rows
-                    # key on data-file PATHS, and rows referencing paths
-                    # dropped here simply match nothing on future scans
-                    manifest_files.append(mf)  # reuse by reference
-                    continue
-                _, _, old = avro.read_container(mf["manifest_path"])
-                kept = [e for e in old if not drop_pred(e)]
-                if len(kept) == len(old):
-                    manifest_files.append(mf)  # untouched -> by reference
-                    continue
-                dropped_rows += sum(e["data_file"]["record_count"]
-                                    for e in old if drop_pred(e))
-                if kept:
-                    mseq = mf.get("sequence_number") or 0
-                    for e in kept:
-                        e["status"] = STATUS_EXISTING
-                        # rewritten EXISTING entries must pin their
-                        # ORIGINAL data sequence number explicitly (spec:
-                        # inheritance only applies to the writing
-                        # manifest's own seq) — else old data would
-                        # appear newer than old deletes
-                        if e.get("sequence_number") is None:
-                            e["sequence_number"] = mseq
-                    manifest_files.append(
-                        self._write_manifest(kept, mf["added_snapshot_id"],
-                                             sequence_number=mseq))
-        added_rows = sum(e["data_file"]["record_count"] for e in entries)
-        summary = {"added-records": str(added_rows),
-                   "deleted-records": str(dropped_rows)}
-        summary.update(extra_summary or {})
-        return self._finish_snapshot(sid, manifest_files, operation, summary)
+            new_mf = self._write_manifest(entries, sid, content=content)
+        for attempt in range(6):
+            next_seq = int(self.meta.get("last-sequence-number", 0)) + 1
+            manifest_files: list[dict] = []
+            if new_mf is not None:
+                new_mf["sequence_number"] = next_seq
+                new_mf["min_sequence_number"] = next_seq
+                manifest_files.append(new_mf)
+            dropped_rows = 0
+            if keep_previous:
+                for mf in self._current_manifest_files():
+                    if drop_pred is None or \
+                            mf.get("content") == CONTENT_POSITION_DELETES:
+                        # delete manifests carry over untouched: their rows
+                        # key on data-file PATHS, and rows referencing paths
+                        # dropped here simply match nothing on future scans
+                        manifest_files.append(mf)  # reuse by reference
+                        continue
+                    _, _, old = avro.read_container(mf["manifest_path"])
+                    kept = [e for e in old if not drop_pred(e)]
+                    if len(kept) == len(old):
+                        manifest_files.append(mf)  # untouched -> by reference
+                        continue
+                    dropped_rows += sum(e["data_file"]["record_count"]
+                                        for e in old if drop_pred(e))
+                    if kept:
+                        mseq = mf.get("sequence_number") or 0
+                        for e in kept:
+                            e["status"] = STATUS_EXISTING
+                            # rewritten EXISTING entries must pin their
+                            # ORIGINAL data sequence number explicitly (spec:
+                            # inheritance only applies to the writing
+                            # manifest's own seq) — else old data would
+                            # appear newer than old deletes
+                            if e.get("sequence_number") is None:
+                                e["sequence_number"] = mseq
+                        manifest_files.append(
+                            self._write_manifest(kept, mf["added_snapshot_id"],
+                                                 sequence_number=mseq))
+            added_rows = sum(e["data_file"]["record_count"] for e in entries)
+            summary = {"added-records": str(added_rows),
+                       "deleted-records": str(dropped_rows)}
+            summary.update(extra_summary or {})
+            try:
+                return self._finish_snapshot(
+                    sid, manifest_files, operation, summary)
+            except CommitConflictError:
+                if operation == "replace" or attempt == 5:
+                    raise
+                # discard this attempt's stale meta mutations wholesale
+                # and rebase on the winner's view
+                fresh = IcebergLiteTable.load(self.location)
+                self.meta = fresh.meta
+                self._base_version = fresh._base_version
+        raise AssertionError("unreachable")
+
+    def _retry_meta_commit(self, mutate, attempts: int = 6) -> None:
+        """Metadata-only commit with refresh-retry: ``mutate()`` derives
+        its change from the CURRENT ``self.meta``; on a lost CAS the
+        metadata is reloaded and the mutation re-derived, so it composes
+        with whatever the winner committed (a semantic clash — e.g. both
+        writers adding the same column — surfaces as the mutate's own
+        error against the fresh view)."""
+        for a in range(attempts):
+            mutate()
+            try:
+                self._commit()
+                return
+            except CommitConflictError:
+                if a == attempts - 1:
+                    raise
+                fresh = IcebergLiteTable.load(self.location)
+                self.meta = fresh.meta
+                self._base_version = fresh._base_version
 
     def add_columns(self, new_fields: T.StructType) -> None:
         """Metadata-only schema evolution (Iceberg v1 spec): append
@@ -656,6 +758,9 @@ class IcebergLiteTable:
         metadata version; ``schemas`` keeps the full history with an
         incremented schema-id.
         """
+        self._retry_meta_commit(lambda: self._apply_add_columns(new_fields))
+
+    def _apply_add_columns(self, new_fields: T.StructType) -> None:
         cur = self.meta["schema"]
         names = {f["name"] for f in cur["fields"]}
         last = int(self.meta.get("last-column-id", len(cur["fields"])))
@@ -685,7 +790,6 @@ class IcebergLiteTable:
         self.meta.setdefault("schemas", []).append(new_schema)
         self.meta["current-schema-id"] = new_schema["schema-id"]
         self.meta["last-column-id"] = last
-        self._commit()
 
     def append(self, df: DataFrame,
                partition_values: dict[str, Any] | None = None,
@@ -1001,15 +1105,10 @@ class IcebergLiteTable:
         would be one ``parallelize(paths).foreach(os.remove)`` job.
         Returns {"snapshots": n_expired, "data_files": n, "manifests": n}.
         """
-        snaps = self.meta["snapshots"]
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        if len(snaps) <= keep_last:
+        if len(self.meta["snapshots"]) <= keep_last:
             return {"snapshots": 0, "data_files": 0, "manifests": 0}
-        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
-        cur = self.current_snapshot_id()
-        if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
-            raise ValueError("cannot expire the current snapshot")
 
         def _refs(snapshots: list[dict]) -> tuple[set[str], set[str]]:
             lists_, manifests, data = set(), set(), set()
@@ -1022,26 +1121,42 @@ class IcebergLiteTable:
                     data.update(e["data_file"]["file_path"] for e in es)
             return lists_ | manifests, data
 
-        keep_meta, keep_data = _refs(kept)
-        drop_meta, drop_data = _refs(expired)
-        dead_meta = drop_meta - keep_meta
-        dead_data = drop_data - keep_data
-        keep_ids = {s["snapshot-id"] for s in kept}
-        self.meta["snapshots"] = kept
-        self.meta["snapshot-log"] = [
-            e for e in self.meta["snapshot-log"]
-            if e["snapshot-id"] in keep_ids]
-        # kept snapshots may have expired parents; drop the dangling link
-        for s in self.meta["snapshots"]:
-            if s.get("parent-snapshot-id") not in keep_ids:
-                s.pop("parent-snapshot-id", None)
-        self._commit()
+        # derived per attempt from the CURRENT view (refresh-retry): the
+        # file deletes below run only after a WON commit, against exactly
+        # the snapshot set that commit expired
+        state: dict = {}
+
+        def mutate() -> None:
+            snaps = self.meta["snapshots"]
+            kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+            cur = self.current_snapshot_id()
+            if cur is not None and \
+                    cur not in {s["snapshot-id"] for s in kept}:
+                raise ValueError("cannot expire the current snapshot")
+            keep_meta, keep_data = _refs(kept)
+            drop_meta, drop_data = _refs(expired)
+            state["dead_meta"] = drop_meta - keep_meta
+            state["dead_data"] = drop_data - keep_data
+            state["n_expired"] = len(expired)
+            keep_ids = {s["snapshot-id"] for s in kept}
+            self.meta["snapshots"] = kept
+            self.meta["snapshot-log"] = [
+                e for e in self.meta["snapshot-log"]
+                if e["snapshot-id"] in keep_ids]
+            # kept snapshots may have expired parents; drop dangling links
+            for s in self.meta["snapshots"]:
+                if s.get("parent-snapshot-id") not in keep_ids:
+                    s.pop("parent-snapshot-id", None)
+
+        self._retry_meta_commit(mutate)
+        dead_meta, dead_data = state["dead_meta"], state["dead_data"]
         for path in sorted(dead_meta | dead_data):
             try:
                 os.remove(path)
             except FileNotFoundError:
                 pass
-        return {"snapshots": len(expired), "data_files": len(dead_data),
+        return {"snapshots": state["n_expired"],
+                "data_files": len(dead_data),
                 "manifests": len(dead_meta)}
 
     def files(self, snapshot_id: int | None = None) -> list[dict]:

@@ -728,3 +728,98 @@ def test_delete_with_partition_prune(spark, tmp_path):
     got = sorted(r["id"] for r in t.scan(spark).collect())
     expect = sorted(i for i in range(60) if not (i % 3 == 1 and i < 30))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# multi-writer optimistic concurrency (CAS on the metadata version)
+
+
+def _two_handles(spark, tmp_path, pages):
+    loc = str(tmp_path / "mw_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages.where(F.col("lang") == "en"))
+    # two independent handles loaded from the SAME version => a race
+    return loc, IcebergLiteTable.load(loc), IcebergLiteTable.load(loc)
+
+
+def test_concurrent_append_rebases_and_keeps_both(spark, tmp_path, pages):
+    from linkgraph.iceberg_lite import CommitConflictError  # noqa: F401
+
+    loc, t1, t2 = _two_handles(spark, tmp_path, pages)
+    n_en = pages.where(F.col("lang") == "en").count()
+    n_de = pages.where(F.col("lang") == "de").count()
+    t1.append(pages.where(F.col("lang") == "de").limit(10))
+    # t2's view is now stale: its commit loses the CAS, rebases on t1's
+    # metadata, and retries — t1's snapshot must survive
+    t2.append(pages.where(F.col("lang") == "de").offset(10))
+    final = IcebergLiteTable.load(loc)
+    assert len(final.snapshots()) == 3
+    assert final.scan(spark).count() == n_en + n_de
+    # sequence numbers strictly increase across the racing commits
+    seqs = [s["sequence-number"] for s in final.snapshots()]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    # parent chain follows commit order, not handle-load order
+    snaps = final.snapshots()
+    assert snaps[2]["parent-snapshot-id"] == snaps[1]["snapshot-id"]
+
+
+def test_concurrent_delete_preserves_winner_append(spark, tmp_path, pages):
+    loc, t1, t2 = _two_handles(spark, tmp_path, pages)
+    added = pages.where(F.col("lang") == "de").limit(7)
+    t1.append(added)
+    # stale delete: applies to the rows ITS snapshot saw; t1's freshly
+    # appended rows are carried over untouched (snapshot isolation)
+    t2.delete_where(spark, "lang = 'en'")
+    final = IcebergLiteTable.load(loc)
+    assert final.scan(spark).count() == 7
+    assert final.scan(spark).where("lang = 'de'").count() == 7
+
+
+def test_stale_compact_conflict_surfaces(spark, tmp_path, pages):
+    from linkgraph.iceberg_lite import CommitConflictError
+
+    loc, t1, t2 = _two_handles(spark, tmp_path, pages)
+    t1.append(pages.where(F.col("lang") == "de"))
+    with pytest.raises(CommitConflictError):
+        t2.compact(spark)  # rewrote files from the replaced snapshot
+    # the standard recovery: re-run against a fresh handle
+    fresh = IcebergLiteTable.load(loc)
+    n_before = fresh.scan(spark).count()
+    fresh.compact(spark)
+    assert IcebergLiteTable.load(loc).scan(spark).count() == n_before
+
+
+def test_concurrent_add_columns_composes(spark, tmp_path, pages):
+    loc, t1, t2 = _two_handles(spark, tmp_path, pages)
+    t1.add_columns(T.StructType([T.StructField("score", T.DoubleType())]))
+    t2.add_columns(T.StructType([T.StructField("host", T.StringType())]))
+    final = IcebergLiteTable.load(loc)
+    names = [f.name for f in final.spark_schema.fields]
+    assert "score" in names and "host" in names
+    # field ids stay unique after the rebase re-derivation
+    ids = [f["id"] for f in final.meta["schema"]["fields"]]
+    assert len(ids) == len(set(ids))
+
+
+def test_stale_hint_self_heals(spark, tmp_path, pages):
+    loc, t1, _ = _two_handles(spark, tmp_path, pages)
+    t1.append(pages.where(F.col("lang") == "de"))
+    hint = os.path.join(loc, "metadata", "version-hint.text")
+    with open(hint) as f:
+        latest = int(f.read().strip())
+    with open(hint, "w") as f:
+        f.write("1")  # regress the advisory pointer
+    healed = IcebergLiteTable.load(loc)
+    assert healed._base_version == latest
+    assert healed.current_snapshot_id() == t1.current_snapshot_id()
+
+
+def test_direct_version_collision_raises(spark, tmp_path, pages):
+    from linkgraph.iceberg_lite import CommitConflictError
+
+    loc, t1, t2 = _two_handles(spark, tmp_path, pages)
+    t1.meta["properties"]["a"] = "1"
+    t1._commit()
+    t2.meta["properties"]["b"] = "2"
+    with pytest.raises(CommitConflictError):
+        t2._commit()  # same base version as t1 had -> CAS must fail
