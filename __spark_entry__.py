@@ -586,6 +586,18 @@ def q_graph_triangles_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_tri_total_blocked(spark, sf_dir):
+    """The scaling-gate workload itself: blocked one-pass triangle total
+    (B map tasks, native merge kernel, B scalar rows of traffic)."""
+    from linkgraph.triangles_csr import build_tri_store, triangle_total_blocked
+
+    edges = tpcgraph.supplier_copart_edges(spark, sf_dir)
+    ts = build_tri_store(spark, edges, n_blocks=8)
+    n = triangle_total_blocked(spark, ts)
+    ts.delete()
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
 def q_graph_lcc_blocked(spark, sf_dir):
     """Blocked-store local clustering coefficients: the store's vmap
     already holds distinct-neighbour degrees, so lcc is the blocked
@@ -2911,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles_blocked": q_graph_triangles_blocked,
         "graph_lcc": q_graph_lcc,
         "graph_lcc_blocked": q_graph_lcc_blocked,
+        "graph_tri_total_blocked": q_graph_tri_total_blocked,
         "graph_ktruss": q_graph_ktruss,
         "graph_csr": q_graph_csr,
         "graph_quotient": q_graph_quotient,
@@ -4293,6 +4306,19 @@ corners AS (
 cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1)
 SELECT tv.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
 FROM tv LEFT JOIN cnt ON tv.id = cnt.id
+""",
+        "graph_tri_total_blocked": """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pe a JOIN pe b ON a.p = b.p AND a.s < b.s
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT count(*)::BIGINT AS n_triangles FROM tri
 """,
         # blocked store must reproduce the SAME per-vertex counts
         "graph_triangles_blocked": """
