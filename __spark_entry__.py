@@ -586,6 +586,19 @@ def q_graph_triangles_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_edge_support_blocked(spark, sf_dir):
+    """Per-edge triangle supports (k-truss primitive) off the blocked
+    store: kernel sup array + witness-segment reconstruction credits all
+    three edges of each triangle; one O(T) count aggregation."""
+    from linkgraph.triangles_csr import build_tri_store, edge_supports_blocked
+
+    edges = tpcgraph.supplier_copart_edges(spark, sf_dir)
+    ts = build_tri_store(spark, edges, n_blocks=8)
+    out = edge_supports_blocked(spark, ts).localCheckpoint()
+    ts.delete()
+    return out
+
+
 def q_graph_tri_total_blocked(spark, sf_dir):
     """The scaling-gate workload itself: blocked one-pass triangle total
     (B map tasks, native merge kernel, B scalar rows of traffic)."""
@@ -2924,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc": q_graph_lcc,
         "graph_lcc_blocked": q_graph_lcc_blocked,
         "graph_tri_total_blocked": q_graph_tri_total_blocked,
+        "graph_edge_support_blocked": q_graph_edge_support_blocked,
         "graph_ktruss": q_graph_ktruss,
         "graph_csr": q_graph_csr,
         "graph_quotient": q_graph_quotient,
@@ -4306,6 +4320,24 @@ corners AS (
 cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1)
 SELECT tv.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
 FROM tv LEFT JOIN cnt ON tv.id = cnt.id
+""",
+        "graph_edge_support_blocked": """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pe a JOIN pe b ON a.p = b.p AND a.s < b.s
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tedges AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+  UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+  UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+)
+SELECT u, v, count(*)::BIGINT AS support FROM tedges GROUP BY 1, 2
 """,
         "graph_tri_total_blocked": """
 WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

@@ -165,7 +165,7 @@ int64_t tri_run(const int32_t *al, const int32_t *bl, int64_t m,
                 const int64_t *aip, const int32_t *aadj,
                 const int64_t *bip, const int32_t *badj,
                 int64_t *cnt_a, int64_t *cnt_b,
-                int32_t *wit, int64_t wit_cap) {
+                int32_t *wit, int64_t wit_cap, int64_t *sup) {
     int64_t total = 0;
     for (int64_t i = 0; i < m; i++) {
         int64_t pa = aip[al[i]], ea = aip[al[i] + 1];
@@ -184,6 +184,9 @@ int64_t tri_run(const int32_t *al, const int32_t *bl, int64_t m,
             }
         }
         if (cnt_a && s) { cnt_a[al[i]] += s; cnt_b[bl[i]] += s; }
+        if (sup) sup[i] = s;  /* per-edge support; with wit, edge i's
+                                 witnesses are the s-length run starting
+                                 at the running total (discovery order) */
         total += s;
     }
     return total;
@@ -292,6 +295,7 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
     ]
     lib.tri_run.restype = ctypes.c_int64
     return lib
@@ -485,6 +489,7 @@ def tri_run(
     cnt_a: np.ndarray | None = None,
     cnt_b: np.ndarray | None = None,
     collect_witness: bool = False,
+    sup: np.ndarray | None = None,
 ) -> "tuple[int, np.ndarray | None]":
     """Sorted-merge intersection of oriented out-neighbourhoods for one
     (a-block, b-block) edge run — the blocked triangle-count superkernel.
@@ -493,9 +498,13 @@ def tri_run(
     a-block CSR (aip/aadj, sorted int32 global indices) and b = local
     bl[i] in the b-block CSR. Per-edge support accrues into cnt_a/cnt_b
     (int64 dense per-block arrays; pass the SAME array twice for the
-    diagonal run) when given. Returns (total, witnesses) where witnesses
-    is the int32 global index of every third corner (one per triangle, in
-    discovery order) when ``collect_witness`` else None.
+    diagonal run) when given; ``sup`` (int64[m], caller-zeroed) receives
+    each edge's own support, and with ``collect_witness`` the witness
+    array is segmented by edge via cumsum(sup) — together they
+    reconstruct full (a, b, w) triangle triples with no extra kernel
+    output. Returns (total, witnesses) where witnesses is the int32
+    global index of every third corner (one per triangle, in discovery
+    order) when ``collect_witness`` else None.
 
     Fallback (LINKGRAPH_NATIVE=0 / no cc): per-edge
     ``np.intersect1d(assume_unique=True)`` — same results, Python-loop
@@ -534,6 +543,7 @@ def tri_run(
             cnt_a.ctypes.data_as(i64p) if cnt_a is not None else null64,
             cnt_b.ctypes.data_as(i64p) if cnt_b is not None else null64,
             wit_p, ctypes.c_int64(wit_cap),
+            sup.ctypes.data_as(i64p) if sup is not None else null64,
         )
         assert total >= 0, "tri_run witness buffer overflow (sizing bug)"
         return int(total), (wit[:total].copy() if collect_witness else None)
@@ -547,6 +557,8 @@ def tri_run(
         nb = badj[bip[bl[i]]:bip[bl[i] + 1]]
         common = np.intersect1d(na, nb, assume_unique=True)
         s = len(common)
+        if sup is not None:
+            sup[i] = s
         if s:
             if cnt_a is not None:
                 cnt_a[al[i]] += s

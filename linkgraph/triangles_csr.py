@@ -411,6 +411,86 @@ def triangle_counts_blocked(
     return out
 
 
+def edge_supports_blocked(spark, ts: TriStore) -> DataFrame:
+    """-> (u, v, support) for every undirected edge in >= 1 triangle:
+    support = number of triangles containing the edge (u < v by id) —
+    the k-truss peeling primitive / link-farm cohesion signal, blocked.
+
+    Each triangle (a, b, w) found at apex edge (a, b) credits its THREE
+    edges: (a, b) from the kernel's per-edge ``sup`` array, and (a, w) /
+    (b, w) reconstructed task-side by segmenting the witness buffer with
+    cumsum(sup) (the kernel appends witnesses in edge order). Credits are
+    pre-aggregated per task (np.unique over sorted pair keys), then ONE
+    count aggregation + id joins — the same O(T) shuffle the flat path's
+    triangle-edge explode pays, without the wedge joins before it."""
+    store, token = ts.store_path, ts.build_token
+    goff, sizes = ts.goff, _sizes_from_goff(ts.goff)
+    n = max(ts.n, 1)
+
+    def task(batches):
+        for pdf in batches:
+            for ub in pdf["ub"]:
+                ub = int(ub)
+                vb, al, bl = _read_edge_partition(store, ub)
+                if len(vb) == 0:
+                    continue
+                aip, aadj = _load_adj(store, token, ub, int(sizes[ub]), goff)
+                ag_all = goff[ub] + al
+                keys: list[np.ndarray] = []
+                run_starts = np.flatnonzero(np.r_[True, vb[1:] != vb[:-1]])
+                run_ends = np.r_[run_starts[1:], len(vb)]
+                for s_, e_ in zip(run_starts, run_ends):
+                    b = int(vb[s_])
+                    bip, badj = _load_adj(store, token, b, int(sizes[b]), goff)
+                    m = e_ - s_
+                    sup = np.zeros(m, dtype=np.int64)
+                    _, wit = native.tri_run(
+                        al[s_:e_], bl[s_:e_], aip, aadj, bip, badj,
+                        collect_witness=True, sup=sup,
+                    )
+                    if wit is None or not len(wit):
+                        continue
+                    ag = ag_all[s_:e_]
+                    bg = goff[b] + bl[s_:e_]
+                    wg = wit.astype(np.int64)
+                    # apex edge (a,b): one key per edge weighted by sup;
+                    # (a,w) and (b,w): one key per triangle
+                    a_rep = np.repeat(ag, sup)
+                    b_rep = np.repeat(bg, sup)
+                    for x, y in ((a_rep, b_rep), (a_rep, wg), (b_rep, wg)):
+                        lo, hi = np.minimum(x, y), np.maximum(x, y)
+                        keys.append(lo * n + hi)  # n < 2^31 => fits i64
+                if not keys:
+                    continue
+                uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+                yield pd.DataFrame({
+                    "ug": uk // n, "vg": uk % n, "c": cnt.astype(np.int64)
+                })
+
+    work = _work_frame(spark, ts)
+    counts = (
+        work.mapInPandas(task, "ug long, vg long, c long")
+        .groupBy("ug", "vg")
+        .agg(F.sum("c").alias("support"))
+    )
+    offsets = spark.createDataFrame(
+        [(b, int(goff[b])) for b in range(ts.n_blocks)], "block int, off long"
+    )
+    idmap = ts.vmap.join(F.broadcast(offsets), "block").select(
+        "id", (F.col("off") + F.col("local")).alias("g")
+    )
+    return (
+        counts
+        .join(idmap.select(F.col("g").alias("ug"), F.col("id").alias("iu")), "ug")
+        .join(idmap.select(F.col("g").alias("vg"), F.col("id").alias("iv")), "vg")
+        .select(
+            F.least("iu", "iv").alias("u"),
+            F.greatest("iu", "iv").alias("v"),
+            F.col("support").cast("long").alias("support"),
+        )
+    )
+
+
 def clustering_coefficients_blocked(
     spark, ts: TriStore, vertices: DataFrame | None = None
 ) -> DataFrame:

@@ -178,3 +178,68 @@ def test_lcc_blocked_matches_flat(spark, small):
         assert got == flat
     finally:
         ts.delete()
+
+
+def _flat_supports(spark, edges):
+    """Oracle: per-edge triangle counts from the flat triangle listing."""
+    from linkgraph.triangles import _canon_pairs, _triangles_of
+
+    tris = _triangles_of(_canon_pairs(edges), persist=False)
+    tedges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("a", "b").alias("u"),
+                         F.greatest("a", "b").alias("v")),
+                F.struct(F.least("a", "c").alias("u"),
+                         F.greatest("a", "c").alias("v")),
+                F.struct(F.least("b", "c").alias("u"),
+                         F.greatest("b", "c").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    return {
+        (r["u"], r["v"]): r["s"]
+        for r in tedges.groupBy("u", "v")
+        .agg(F.count("*").alias("s")).collect()
+    }
+
+
+def test_edge_supports_blocked_matches_flat(spark, small):
+    from linkgraph.triangles_csr import edge_supports_blocked
+
+    want = _flat_supports(spark, small.edges)
+    ts = build_tri_store(spark, small.edges, n_blocks=8)
+    try:
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in edge_supports_blocked(spark, ts).collect()
+        }
+        assert got == want
+    finally:
+        ts.delete()
+
+
+def test_edge_supports_blocked_powerlaw(spark):
+    import networkx as nx
+
+    from linkgraph.triangles_csr import edge_supports_blocked
+
+    g = nx.barabasi_albert_graph(200, 4, seed=11)
+    edges = spark.createDataFrame(
+        [(int(u) * 131 + 3, int(v) * 131 + 3) for u, v in g.edges()],
+        "src long, dst long",
+    )
+    want = _flat_supports(spark, edges)
+    ts = build_tri_store(spark, edges, n_blocks=5)
+    try:
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in edge_supports_blocked(spark, ts).collect()
+        }
+        assert got == want
+        # sanity vs networkx total: sum of supports = 3 * n_triangles
+        assert sum(got.values()) == 3 * (
+            sum(nx.triangles(g).values()) // 3
+        )
+    finally:
+        ts.delete()
