@@ -2711,6 +2711,34 @@ def q_iceberg_delete(spark, sf_dir):
                  F.min("doc_id").cast("long").alias("min_doc_id")))
 
 
+def q_iceberg_eq_delete(spark, sf_dir):
+    """v2 equality deletes driving the CDC blind-upsert pattern: append
+    docs, delete every doc_id % 5 == 0 BY KEY VALUE (no data file read),
+    re-append those rows with n_chars bumped +1000. The sequence rule
+    (delete applies only to strictly-older files) keeps exactly the new
+    versions; time travel to the pre-delete snapshot still sees the
+    originals (asserted)."""
+    import tempfile
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    loc = tempfile.mkdtemp(prefix="lg-ice-eqdel-") + "/docs"
+    t = IcebergLiteTable.create(loc, docs.schema)
+    s1 = t.append(docs)
+    n_all = docs.count()
+    victims = docs.where(F.col("doc_id") % 5 == 0)
+    t.delete_where_eq(spark, victims.select("doc_id"))
+    t.append(victims.withColumn(
+        "n_chars", (F.col("n_chars") + 1000).cast(docs.schema["n_chars"].dataType)))
+    assert t.meta["format-version"] == 2
+    assert t.scan(spark, snapshot_id=s1).count() == n_all  # time travel
+    return (t.scan(spark).groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.min("doc_id").cast("long").alias("min_doc_id")))
+
+
 def q_iceberg_partition_prune(spark, sf_dir):
     """Identity-partition pruning from manifest metadata alone: the 'en'
     scan never opens a non-en data file (asserted), then aggregates."""
@@ -2900,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_evolution": q_iceberg_evolution,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_delete": q_iceberg_delete,
+        "iceberg_eq_delete": q_iceberg_eq_delete,
         "iceberg_partition_prune": q_iceberg_partition_prune,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank2": q_graph_pagerank2,
@@ -3686,6 +3715,14 @@ SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
        min(doc_id)::BIGINT AS min_doc_id
 FROM documents
 WHERE n_chars % 3 <> 0 AND doc_id % 7 <> 0
+GROUP BY lang
+""",
+        "iceberg_eq_delete": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                ELSE n_chars END)::BIGINT AS sum_chars,
+       min(doc_id)::BIGINT AS min_doc_id
+FROM documents
 GROUP BY lang
 """,
         "iceberg_partition_prune": """

@@ -38,11 +38,14 @@ gap from first principles: it implements the PUBLIC Apache Iceberg
   pruning / predicate pushdown still come from Spark's native parquet
   source; time travel by snapshot id or timestamp; incremental
   (changelog-style) reads of exactly the files a snapshot ADDED;
-- v2 row-level deletes: ``delete_where`` writes position-delete files
-  ((file_path, pos), sorted, content=deletes manifests, sequence
-  numbers per the spec) and ``scan`` merge-on-reads them via a
-  distributed anti-join; ``compact`` folds pending deletes into the
-  rewritten files (merge-on-write).
+- v2 row-level deletes, both kinds: ``delete_where`` writes
+  position-delete files ((file_path, pos), sorted, content=deletes
+  manifests, sequence numbers per the spec); ``delete_where_eq`` writes
+  equality-delete files (key values + ``equality_ids``, the CDC blind
+  upsert primitive — no data file is read) applied only to data files
+  with strictly older sequence numbers; ``scan`` merge-on-reads both
+  via distributed anti-joins and ``compact`` folds pending deletes into
+  the rewritten files (merge-on-write).
 
 A scan of a 10^12-row table is driver-light: the driver touches only
 metadata (KB-scale avro), never data. What does NOT scale here is
@@ -155,8 +158,11 @@ _MANIFEST_LIST_SCHEMA = {
         _f("min_sequence_number", "long", 516, optional=True),
     ]}
 
-# v2 data_file.content values (spec "Data Files")
-CONTENT_DATA, CONTENT_POSITION_DELETES = 0, 1
+# v2 data_file.content values (spec "Data Files"); at the MANIFEST level
+# the spec only distinguishes 0=data from 1=deletes — both position- and
+# equality-delete files live in content=1 ("deletes") manifests, and the
+# entry's data_file.content says which kind each file is
+CONTENT_DATA, CONTENT_POSITION_DELETES, CONTENT_EQUALITY_DELETES = 0, 1, 2
 
 # position-delete file schema (spec "Position Delete Files": field ids
 # 2147483546 / 2147483545; written as parquet by Spark, names suffice for
@@ -205,8 +211,13 @@ def _manifest_entry_schema(partition_avro_fields: list[dict]) -> dict:
             _kv_array("null_value_counts", 110, 121, 122, "long"),
             _kv_array("lower_bounds", 125, 126, 127, "bytes"),
             _kv_array("upper_bounds", 128, 129, 130, "bytes"),
-            # v2: 0 = data, 1 = position deletes (optional: v1 files omit)
+            # v2: 0 = data, 1 = position deletes, 2 = equality deletes
+            # (optional: v1 files omit)
             _f("content", "int", 134, optional=True),
+            # v2 equality deletes: source field ids of the equality
+            # columns (spec data_file field 135)
+            _f("equality_ids", {"type": "array", "items": "int"}, 135,
+               optional=True),
         ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         _f("status", "int", 0),
@@ -937,32 +948,48 @@ class IcebergLiteTable:
             return spark.createDataFrame([], self.spark_schema)
         dels = self._live_entries(snap, spark=spark,
                                   content=CONTENT_POSITION_DELETES)
-        return self._read_with_deletes(spark, files, dels)
+        return self._read_with_deletes(spark, entries, dels)
 
-    def _read_with_deletes(self, spark: SparkSession, files: list[str],
+    def _read_with_deletes(self, spark: SparkSession,
+                           data_entries: list[dict],
                            delete_entries: list[dict],
                            keep_pos: bool = False) -> DataFrame:
-        """Parquet scan of ``files`` minus rows named by the position-
-        delete entries. A delete row is (file_path, pos); applicability
-        reduces to path equality here because data-file paths are unique
-        (fresh uuid dir per write, never reused) and a delete file can
-        only reference paths live at its commit — so a path match implies
-        delete_seq >= data_seq (the v2 rule; sequence numbers are still
-        recorded per manifest/entry for spec fidelity and debugging).
+        """Parquet scan of the data entries' files minus rows named by
+        the delete entries — both v2 kinds:
+
+        - POSITION deletes ((file_path, pos) rows): applicability reduces
+          to path equality because data-file paths are unique (fresh uuid
+          dir per write, never reused) and a delete file can only
+          reference paths live at its commit — so a path match implies
+          delete_seq >= data_seq (the v2 rule).
+        - EQUALITY deletes (rows of the equality columns' values): the
+          sequence rule is load-bearing — a delete applies only to data
+          files with data_seq STRICTLY BELOW the delete's seq (rows
+          appended after the delete, including compaction rewrites, must
+          survive). Implemented as a null-safe anti-join per equality
+          column set, with each data row carrying its file's inherited
+          sequence number from the manifest metadata (``_seq``).
+
         ``keep_pos`` retains the ``__fp``/``__pos`` helper columns
         (delete_where builds new delete rows from them)."""
+        files = [e["data_file"]["file_path"] for e in data_entries]
+        pos = [e for e in delete_entries
+               if (e["data_file"].get("content") or CONTENT_DATA)
+               != CONTENT_EQUALITY_DELETES]
+        eq = [e for e in delete_entries
+              if (e["data_file"].get("content") or CONTENT_DATA)
+              == CONTENT_EQUALITY_DELETES]
         reader = spark.read.schema(self.spark_schema)
-        if not delete_entries and not keep_pos:
+        if not pos and not eq and not keep_pos:
             return reader.parquet(*files)
         # file-source metadata: URI-form path + per-file row position
         data = (reader.parquet(*files)
                 .withColumn("__fp", F.regexp_replace(
                     F.col("_metadata.file_path"), "^file:/+", "/"))
                 .withColumn("__pos", F.col("_metadata.row_index")))
-        if delete_entries:
-            dpaths = [e["data_file"]["file_path"] for e in delete_entries]
-            n_del = sum(e["data_file"]["record_count"]
-                        for e in delete_entries)
+        if pos:
+            dpaths = [e["data_file"]["file_path"] for e in pos]
+            n_del = sum(e["data_file"]["record_count"] for e in pos)
             dels = (spark.read.schema(_POS_DELETE_SPARK_SCHEMA)
                     .parquet(*dpaths)
                     .select(F.col("file_path").alias("__fp"),
@@ -973,6 +1000,44 @@ class IcebergLiteTable:
             if n_del <= 2_000_000:
                 dels = F.broadcast(dels)
             data = data.join(dels, ["__fp", "__pos"], "left_anti")
+        if eq:
+            id2name = {f["id"]: f["name"]
+                       for f in self.meta["schema"]["fields"]}
+            by_name = {f.name: f for f in self.spark_schema.fields}
+            # O(live files) driver-side rows -> broadcast: the same
+            # metadata the plan already holds
+            seqmap = spark.createDataFrame(
+                [(e["data_file"]["file_path"], int(e.get("_seq") or 0))
+                 for e in data_entries],
+                "__sfp string, __dseq long")
+            data = data.join(
+                F.broadcast(seqmap), data["__fp"] == seqmap["__sfp"]
+            ).drop("__sfp")
+            groups: dict[tuple, list[dict]] = {}
+            for e in eq:
+                cols = tuple(id2name[i]
+                             for i in e["data_file"]["equality_ids"])
+                groups.setdefault(cols, []).append(e)
+            for cols, es in groups.items():
+                kschema = T.StructType([by_name[c] for c in cols])
+                keys = None
+                for e in es:
+                    kd = (spark.read.schema(kschema)
+                          .parquet(e["data_file"]["file_path"])
+                          .select(*[F.col(c).alias(f"__k_{c}")
+                                    for c in cols])
+                          .withColumn(
+                              "__eseq",
+                              F.lit(int(e.get("_seq") or 0))))
+                    keys = kd if keys is None else keys.unionByName(kd)
+                n_keys = sum(e["data_file"]["record_count"] for e in es)
+                if n_keys <= 2_000_000:
+                    keys = F.broadcast(keys)
+                cond = F.col("__dseq") < F.col("__eseq")
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+                data = data.join(keys, cond, "left_anti")
+            data = data.drop("__dseq")
         return data if keep_pos else data.drop("__fp", "__pos")
 
     def delete_where(self, spark: SparkSession, predicate: str,
@@ -1000,7 +1065,7 @@ class IcebergLiteTable:
         # apply prior deletes first so re-deleting a row is a no-op (the
         # new delete file holds only rows live right now)
         matches = (
-            self._read_with_deletes(spark, files, prior, keep_pos=True)
+            self._read_with_deletes(spark, entries, prior, keep_pos=True)
             .where(predicate)
             .select(F.col("__fp").alias("file_path"),
                     F.col("__pos").alias("pos"))
@@ -1027,6 +1092,49 @@ class IcebergLiteTable:
             new_entries, keep_previous=True, operation="delete",
             content=CONTENT_POSITION_DELETES,
             extra_summary={"deleted-position-records": str(n_deleted)})
+
+    def delete_where_eq(self, spark: SparkSession,
+                        keys: DataFrame) -> int | None:
+        """Row-level delete by VALUE (v2 equality deletes): every live
+        row whose ``keys.columns`` tuple appears in ``keys`` is deleted.
+
+        This is the CDC/streaming-writer flavor of v2 deletes: unlike
+        ``delete_where`` it reads NO data files — the writer just records
+        the key values (with the columns' source field ids as
+        ``equality_ids``, spec data_file field 135) and the scan applies
+        them to every data file whose sequence number is STRICTLY below
+        the delete's. Rows for the same keys appended AFTER this commit
+        survive — which is exactly what makes the blind upsert pattern
+        (delete keys + append fresh rows in successive commits) correct.
+        Upgrades the table to format-version 2. Returns the new snapshot
+        id, or None for an empty key frame."""
+        by_name = {f["name"]: f for f in self.meta["schema"]["fields"]}
+        missing = [c for c in keys.columns if c not in by_name]
+        if missing:
+            raise KeyError(f"equality columns not in schema: {missing}")
+        eq_ids = [by_name[c]["id"] for c in keys.columns]
+        out_dir = os.path.join(self.location, "data",
+                               f"eqdeletes-{uuid.uuid4().hex[:12]}")
+        keys.distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
+        dfiles = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                        if f.endswith(".parquet"))
+        infos = [i for i in _spark_file_stats(spark, dfiles, {})
+                 if i.record_count]
+        if not infos:
+            import shutil
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        if int(self.meta.get("format-version", 1)) < 2:
+            self.meta["format-version"] = 2  # committed with the snapshot
+        new_entries = self._entries_for(
+            infos, {}, content=CONTENT_EQUALITY_DELETES)
+        for e in new_entries:
+            e["data_file"]["equality_ids"] = eq_ids
+        n_keys = sum(i.record_count for i in infos)
+        return self._snapshot_with_new_entries(
+            new_entries, keep_previous=True, operation="delete",
+            content=CONTENT_POSITION_DELETES,  # deletes MANIFEST (v2: 1)
+            extra_summary={"equality-delete-keys": str(n_keys)})
 
     def scan_added(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Incremental read: exactly the rows ADDED by ``snapshot_id``
@@ -1079,7 +1187,7 @@ class IcebergLiteTable:
             packed_paths.update(paths)
             total = sum(e["data_file"]["file_size_in_bytes"] for e in group)
             n_out = max(1, -(-total // target_file_size))
-            df = self._read_with_deletes(spark, paths, dels) \
+            df = self._read_with_deletes(spark, group, dels) \
                 .repartition(int(n_out))
             sub = "/".join(f"{k}={v}" for k, v in key) or "compact"
             infos = self._write_data_files(

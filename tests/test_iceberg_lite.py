@@ -823,3 +823,79 @@ def test_direct_version_collision_raises(spark, tmp_path, pages):
     t2.meta["properties"]["b"] = "2"
     with pytest.raises(CommitConflictError):
         t2._commit()  # same base version as t1 had -> CAS must fail
+
+
+# ---------------------------------------------------------------------------
+# v2 equality deletes (the CDC / blind-upsert flavor)
+
+
+def test_equality_delete_merge_on_read(spark, tmp_path, pages):
+    loc = str(tmp_path / "eq_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    s1 = t.append(pages)
+    n_all = pages.count()
+    keys = pages.where(F.col("lang") == "en").select("url")
+    n_en = keys.count()
+    sid = t.delete_where_eq(spark, keys)
+    assert sid is not None and t.meta["format-version"] == 2
+    assert t.scan(spark).count() == n_all - n_en
+    assert t.scan(spark).where("lang = 'en'").count() == 0
+    # time travel to the pre-delete snapshot still sees every row
+    assert t.scan(spark, snapshot_id=s1).count() == n_all
+
+
+def test_equality_delete_blind_upsert(spark, tmp_path, pages):
+    """The CDC upsert pattern: delete keys + append fresh rows. The
+    sequence rule (delete applies only to data files with seq strictly
+    below) is what makes the re-appended rows survive."""
+    loc = str(tmp_path / "upsert_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages)
+    victims = pages.where(F.col("lang") == "en")
+    t.delete_where_eq(spark, victims.select("url"))
+    fresh = victims.withColumn("text", F.concat(F.lit("v2 "), "text"))
+    t.append(fresh)
+    got = t.scan(spark)
+    assert got.count() == pages.count()
+    en_rows = got.where("lang = 'en'")
+    assert en_rows.count() == victims.count()
+    # every surviving en row is the NEW version
+    assert en_rows.where(F.col("text").startswith("v2 ")).count() == \
+        victims.count()
+
+
+def test_equality_and_position_deletes_compose(spark, tmp_path, pages):
+    loc = str(tmp_path / "mixed_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages)
+    t.delete_where(spark, "lang = 'de'")  # position deletes
+    t.delete_where_eq(  # equality deletes on a different slice
+        spark, pages.where(F.col("lang") == "en").limit(5).select("url"))
+    n_de = pages.where("lang = 'de'").count()
+    assert t.scan(spark).count() == pages.count() - n_de - 5
+
+
+def test_compact_folds_equality_deletes(spark, tmp_path, pages):
+    loc = str(tmp_path / "eqcompact_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages.where(F.col("lang") == "en"))
+    t.append(pages.where(F.col("lang") == "de"))
+    t.delete_where_eq(
+        spark, pages.where(F.col("warc_ts") < F.timestamp_seconds(
+            F.lit(1700000000 + 30))).select("url"))
+    before = {r["url"] for r in t.scan(spark).select("url").collect()}
+    assert t.compact(spark) is not None
+    after_tbl = IcebergLiteTable.load(loc)
+    after = {r["url"] for r in after_tbl.scan(spark).select("url").collect()}
+    assert after == before
+    # the rewritten files carry seq ABOVE the delete's: the eq delete no
+    # longer matches anything, and scanning still returns the folded rows
+    assert len(after) == 120 - 30
+
+
+def test_equality_delete_rejects_unknown_columns(spark, tmp_path, pages):
+    loc = str(tmp_path / "eqbad_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages)
+    with pytest.raises(KeyError):
+        t.delete_where_eq(spark, pages.select(F.col("url").alias("nope")))
