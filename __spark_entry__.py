@@ -2822,6 +2822,44 @@ def q_iceberg_stream_ingest(spark, sf_dir):
     )
 
 
+def q_iceberg_stream_upsert(spark, sf_dir):
+    """Streaming CDC upsert sink: crawl v1 streams every doc row into the
+    Iceberg table, then a recrawl batch re-emits doc_id % 4 == 0 with
+    n_chars bumped +1000; upsert_keys=["doc_id"] makes each batch commit
+    an equality-delete of its keys before the append, so the table holds
+    exactly ONE row per doc — the latest version (asserted)."""
+    import tempfile
+
+    from linkgraph.iceberg_lite import IcebergLiteTable  # noqa: F401
+    from linkgraph.streaming import run_into_iceberg
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"))
+    tmp = tempfile.mkdtemp(prefix="lg-stream-ups-q-")
+    src, tbl, ckpt = f"{tmp}/docs", f"{tmp}/docs_tbl", f"{tmp}/ckpt"
+    docs.write.mode("overwrite").parquet(src)
+
+    def stream():
+        return (spark.readStream
+                .schema("doc_id long, lang string, n_chars long")
+                .option("maxFilesPerTrigger", "8")
+                .parquet(src))
+
+    t = run_into_iceberg(stream(), tbl, ckpt, upsert_keys=["doc_id"])
+    n_all = docs.count()
+    assert t.scan(spark).count() == n_all
+    recrawl = docs.where(F.col("doc_id") % 4 == 0).withColumn(
+        "n_chars", (F.col("n_chars") + 1000).cast("long"))
+    recrawl.write.mode("append").parquet(src)
+    t2 = run_into_iceberg(stream(), tbl, ckpt, upsert_keys=["doc_id"])
+    out = t2.scan(spark)
+    assert out.count() == n_all  # one row per doc, latest wins
+    return (out.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministic messy URL spellings over documents: row doc_id is the
     (doc_id % 5)-th alias spelling of page p = doc_id div 5; all five
@@ -2923,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_aliases": q_url_aliases,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_stream_ingest": q_iceberg_stream_ingest,
+        "iceberg_stream_upsert": q_iceberg_stream_upsert,
         "iceberg_bounds_scan": q_iceberg_bounds_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_evolution": q_iceberg_evolution,
@@ -3715,6 +3754,13 @@ SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
        min(doc_id)::BIGINT AS min_doc_id
 FROM documents
 WHERE n_chars % 3 <> 0 AND doc_id % 7 <> 0
+GROUP BY lang
+""",
+        "iceberg_stream_upsert": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+                ELSE n_chars END)::BIGINT AS sum_chars
+FROM documents
 GROUP BY lang
 """,
         "iceberg_eq_delete": """

@@ -171,12 +171,22 @@ def run_into_iceberg(
     table_location: str,
     checkpoint_path: str,
     timeout_sec: int = 300,
+    upsert_keys: "list[str] | None" = None,
 ) -> "IcebergLiteTable":
     """Stream sink into a jar-free Iceberg table: each micro-batch commits
     one append SNAPSHOT (``foreachBatch`` -> ``IcebergLiteTable.append``),
     so downstream consumers get the changelog for free —
     ``scan_added(snapshot_id)`` is exactly one micro-batch, and a periodic
     ``compact()`` heals the small-files sprawl the commit cadence creates.
+
+    ``upsert_keys`` switches the sink to CDC UPSERT semantics (a
+    recrawl's latest page version wins): each batch first commits a v2
+    EQUALITY-delete of its key tuples (``delete_where_eq`` — no data
+    file is read), then appends the batch rows; the strictly-older
+    sequence rule guarantees the freshly appended rows survive their own
+    batch's delete. Idempotent under replay: the batch-id stamp rides
+    the append, and a crash between the two commits just re-deletes the
+    same keys (a no-op on the final state) before the append lands.
 
     Exactly-once story: Structured Streaming's checkpoint makes batch
     replays carry the same ``batchId``; we stamp it into the snapshot
@@ -202,6 +212,9 @@ def run_into_iceberg(
         }
         if str(batch_id) in done:
             return  # replayed batch: already a committed snapshot
+        if upsert_keys:
+            tbl.delete_where_eq(
+                batch_df.sparkSession, batch_df.select(*upsert_keys))
         tbl.append(batch_df, summary={"streaming-batch-id": str(batch_id)})
 
     q = (

@@ -899,3 +899,42 @@ def test_equality_delete_rejects_unknown_columns(spark, tmp_path, pages):
     t.append(pages)
     with pytest.raises(KeyError):
         t.delete_where_eq(spark, pages.select(F.col("url").alias("nope")))
+
+
+def test_stream_upsert_recrawl_latest_wins(spark, tmp_path):
+    """CDC upsert sink: a recrawl batch re-emits existing urls with new
+    content; with upsert_keys the table holds exactly one row per url —
+    the latest version — while plain append mode would hold both."""
+    from linkgraph.streaming import run_into_iceberg, stream_pages
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl_loc = str(tmp_path / "pages_tbl")
+
+    def crawl(version: str, n: int):
+        return spark.range(0, n).select(
+            F.concat(F.lit("https://s/p"), F.col("id").cast("string"))
+            .alias("url"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id"))
+            .alias("warc_ts"),
+            F.encode(F.concat(F.lit(version), F.col("id").cast("string")),
+                     "utf-8").alias("html"),
+        )
+
+    crawl("v1-", 20).write.parquet(src)
+    pages = stream_pages(spark, src)
+    t = run_into_iceberg(pages, tbl_loc, ckpt, upsert_keys=["url"])
+    assert t.scan(spark).count() == 20
+    # recrawl: 10 of the same urls, new content
+    crawl("v2-", 10).write.mode("append").parquet(src)
+    t2 = run_into_iceberg(
+        stream_pages(spark, src), tbl_loc, ckpt, upsert_keys=["url"])
+    got = t2.scan(spark)
+    assert got.count() == 20  # one row per url, not 30
+    v2 = got.where(F.decode("html", "utf-8").startswith("v2-"))
+    assert v2.count() == 10  # the recrawled urls are the NEW versions
+    # replaying the drained checkpoint changes nothing
+    t3 = run_into_iceberg(
+        stream_pages(spark, src), tbl_loc, ckpt, upsert_keys=["url"])
+    assert t3.scan(spark).count() == 20
+    assert len(t3.snapshots()) == len(t2.snapshots())
