@@ -637,6 +637,15 @@ def q_graph_ktruss(spark, sf_dir):
     return ktruss(spark, edges, k=3, rounds=2)
 
 
+def q_graph_ktruss_blocked(spark, sf_dir):
+    """Two bounded 3-truss peel rounds via the blocked support kernel —
+    same survivor set + supports as the flat wedge-join peel."""
+    from linkgraph.triangles_csr import ktruss_blocked
+
+    edges = tpcgraph.supplier_copart_edges(spark, sf_dir)
+    return ktruss_blocked(spark, edges, k=3, rounds=2, n_blocks=8)
+
+
 def q_graph_lcc(spark, sf_dir):
     """Local clustering coefficients on the supplier co-part graph."""
     from linkgraph.triangles import clustering_coefficients
@@ -3007,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tri_total_blocked": q_graph_tri_total_blocked,
         "graph_edge_support_blocked": q_graph_edge_support_blocked,
         "graph_ktruss": q_graph_ktruss,
+        "graph_ktruss_blocked": q_graph_ktruss_blocked,
         "graph_csr": q_graph_csr,
         "graph_quotient": q_graph_quotient,
         "graph_scc": q_graph_scc,
@@ -4291,6 +4301,45 @@ SELECT ds.label, ds.n_nodes::BIGINT AS n_nodes,
 FROM ds LEFT JOIN ie ON ds.label = ie.label
 """,
         "graph_ktruss": """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pe a JOIN pe b ON a.p = b.p AND a.s < b.s
+),
+t1 AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+s1 AS (
+  SELECT u, v, count(*) AS support FROM (
+    SELECT a AS u, b AS v FROM t1
+    UNION ALL SELECT a, c FROM t1
+    UNION ALL SELECT b, c FROM t1
+  ) GROUP BY 1, 2
+),
+e1 AS (
+  SELECT e.u, e.v, coalesce(s.support, 0) AS support
+  FROM e LEFT JOIN s1 s ON e.u = s.u AND e.v = s.v
+  WHERE coalesce(s.support, 0) >= 1
+),
+t2 AS (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e1 x JOIN e1 y ON x.v = y.u
+  JOIN e1 z ON z.u = x.u AND z.v = y.v
+),
+s2 AS (
+  SELECT u, v, count(*) AS support FROM (
+    SELECT a AS u, b AS v FROM t2
+    UNION ALL SELECT a, c FROM t2
+    UNION ALL SELECT b, c FROM t2
+  ) GROUP BY 1, 2
+)
+SELECT e1.u, e1.v, coalesce(s2.support, 0)::BIGINT AS support
+FROM e1 LEFT JOIN s2 ON e1.u = s2.u AND e1.v = s2.v
+WHERE coalesce(s2.support, 0) >= 1
+""",
+        "graph_ktruss_blocked": """
 WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
 e AS (
   SELECT DISTINCT a.s AS u, b.s AS v

@@ -517,6 +517,60 @@ def clustering_coefficients_blocked(
     )
 
 
+def ktruss_blocked(
+    spark,
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int | None = None,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """-> (u, v, support): the k-truss via blocked peeling — same
+    semantics as linkgraph.triangles.ktruss (support in the output is the
+    edge's triangle count within the PREVIOUS round's survivor set;
+    ``rounds=None`` peels to the fixpoint), but each round's support pass
+    is the map-only blocked kernel instead of two wedge-join shuffles.
+    The store is rebuilt per round over the shrinking survivor set — a
+    one-time compaction whose cost drops geometrically as edges peel (the
+    flat path pays its per-round shuffles on the same shrinking set)."""
+    from .lineage import truncate_plan
+
+    def _round(cur: DataFrame) -> "tuple[DataFrame, int]":
+        ts = build_tri_store(
+            spark,
+            cur.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            n_blocks=n_blocks,
+        )
+        supp = edge_supports_blocked(spark, ts)
+        out = truncate_plan(
+            cur.select("u", "v")
+            .join(supp, ["u", "v"], "left")
+            .select(
+                "u", "v",
+                F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            )
+            .where(F.col("support") >= k - 2),
+            eager=False,
+        )
+        # the round's ONE action: materializes the checkpoint blocks
+        # (store can then be deleted) AND is the fixpoint count
+        n = out.count()
+        ts.delete()
+        return out, n
+
+    cur = _canon_pairs(edges)
+    if rounds is not None:
+        for _ in range(rounds):
+            cur, _n = _round(cur)
+        return cur
+    n_prev = cur.count()
+    while True:
+        cur, n_cur = _round(cur)
+        if n_cur == n_prev or n_cur == 0:
+            break
+        n_prev = n_cur
+    return cur
+
+
 def triangle_total_blocked(spark, ts: TriStore, stats: dict | None = None) -> int:
     """Total triangle count — the scaling-gate workload: B independent
     map tasks, each one native merge pass over its block's edges; the

@@ -243,3 +243,21 @@ def test_edge_supports_blocked_powerlaw(spark):
         )
     finally:
         ts.delete()
+
+
+def test_ktruss_blocked_matches_flat(spark, small):
+    from linkgraph.triangles import ktruss
+    from linkgraph.triangles_csr import ktruss_blocked
+
+    for kwargs in ({"k": 3, "rounds": 2}, {"k": 3}, {"k": 4}):
+        flat = {
+            (r["u"], r["v"]): r["support"]
+            for r in ktruss(spark, small.edges, **kwargs).collect()
+        }
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in ktruss_blocked(
+                spark, small.edges, n_blocks=6, **kwargs
+            ).collect()
+        }
+        assert got == flat, kwargs
