@@ -96,12 +96,27 @@ def id_ranks(ids: DataFrame, num_partitions: int | None = None) -> DataFrame:
     )
 
 
+def _lp_completed(rdir: str) -> list[np.ndarray]:
+    """Contiguous prefix of per-step (changed, kernel_secs) marker files —
+    ``part/g<k>.npy`` is written by the driver AFTER superstep k's
+    aggregation returns, so its presence proves every block's step-k+1
+    label file landed (atomic per-block writes happen-before the agg).
+    The prefix length is exactly the resumable position."""
+    out = []
+    k = 0
+    while os.path.exists(f"{rdir}/part/g{k}.npy"):
+        out.append(np.load(f"{rdir}/part/g{k}.npy"))
+        k += 1
+    return out
+
+
 def label_propagation_blocked(
     spark,
     g: BlockedGraph,
     iterations: int = 5,
     keep_steps: int = 2,
     stats: dict | None = None,
+    run_dir: str | None = None,
 ) -> DataFrame:
     """-> (id, label) after exactly ``iterations`` synchronous supersteps;
     ``label`` is a vertex id, bit-identical to the flat path's output.
@@ -112,10 +127,22 @@ def label_propagation_blocked(
     superstep) — the scaling bench reads these, so throughput is measured
     per-superstep INSIDE one run (round-3 estimator fix: no more
     differencing two runs whose base wall swings).
-    """
+
+    ``run_dir`` names the run's checkpoint directory; a killed run handed
+    the same ``run_dir`` RESUMES after its last completed superstep
+    (marker contract of ``_lp_completed``; a partially-written next step
+    is simply recomputed — per-block files are atomic same-bytes
+    rewrites). Resumed supersteps report ``step_secs`` 0.0 and their
+    recorded ``changed`` counts, the PageRank resume convention."""
     n_blocks, store, token = g.n_blocks, g.store_path, g.build_token
-    rdir = f"{_ranks_root(g)}/lp-{uuid.uuid4().hex[:12]}"
-    os.makedirs(rdir, exist_ok=True)
+    rdir = run_dir or f"{_ranks_root(g)}/lp-{uuid.uuid4().hex[:12]}"
+    os.makedirs(f"{rdir}/part", exist_ok=True)
+    done = _lp_completed(rdir) if run_dir else []
+    start = len(done)
+    if start > iterations:
+        raise ValueError(
+            f"run_dir {rdir} already holds {start} completed supersteps "
+            f"> iterations={iterations}; pass iterations >= {start}")
 
     ranks = register_cache(
         truncate_plan(id_ranks(g.vmap.select("id"))).persist()
@@ -134,13 +161,14 @@ def label_propagation_blocked(
         _write_npy_atomic(f"{rdir}/step0/b{b}.npy", arr)
         return pd.DataFrame({"block": [b]})
 
-    (
-        g.vmap.join(ranks, "id")
-        .select("block", "local", "rank")
-        .groupBy("block")
-        .applyInPandas(prep_kernel, "block int")
-        .count()
-    )
+    if start == 0:
+        (
+            g.vmap.join(ranks, "id")
+            .select("block", "local", "rank")
+            .groupBy("block")
+            .applyInPandas(prep_kernel, "block int")
+            .count()
+        )
 
     work = truncate_plan(
         g.block_meta.select(
@@ -148,10 +176,10 @@ def label_propagation_blocked(
         ).repartitionByRange(g.n_blocks, "db")
     )
 
-    step_secs: list[float] = []
-    kernel_secs: list[float] = []  # CPU-side per-block work, summed
-    changed_per_step: list[int] = []
-    for step in range(iterations):
+    step_secs: list[float] = [0.0] * start  # resumed steps: no wall
+    kernel_secs: list[float] = [float(d[1]) for d in done]
+    changed_per_step: list[int] = [int(d[0]) for d in done]
+    for step in range(start, iterations):
         t_step = time.perf_counter()
         cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
 
@@ -213,6 +241,12 @@ def label_propagation_blocked(
         kernel_secs.append(float(agg["k"]))
         step_secs.append(time.perf_counter() - t_step)
         changed_per_step.append(changed)
+        # completion marker AFTER the agg (resume contract, and it
+        # restores this step's changed/kernel stats on resume)
+        _write_npy_atomic(
+            f"{rdir}/part/g{step}.npy",
+            np.array([changed, float(agg["k"])], dtype=np.float64),
+        )
         stale = step - keep_steps + 1
         if stale >= 0:
             shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)

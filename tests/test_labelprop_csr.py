@@ -95,3 +95,60 @@ def test_modal_vote_native_matches_numpy_fallback(monkeypatch):
     hit = np.zeros(dsize, dtype=bool)
     hit[dl] = True
     assert (a_native[~hit] == base[~hit]).all()
+
+
+def test_blocked_lp_run_dir_resume(spark, small, blocked_und, tmp_path):
+    """A killed run handed the same run_dir resumes after its last
+    completed superstep and ends bit-identical to an uninterrupted run."""
+    want = collect_map(
+        label_propagation_blocked(spark, blocked_und, 5), "id", "label"
+    )
+    rdir = str(tmp_path / "lp-run")
+    stats1 = {}
+    label_propagation_blocked(
+        spark, blocked_und, 2, stats=stats1, run_dir=rdir
+    ).count()
+    stats2 = {}
+    got = collect_map(
+        label_propagation_blocked(
+            spark, blocked_und, 5, stats=stats2, run_dir=rdir
+        ),
+        "id", "label",
+    )
+    assert got == want
+    # the first two supersteps were resumed, not re-run
+    assert stats2["step_secs"][:2] == [0.0, 0.0]
+    assert stats2["changed"] == stats1["changed"] + stats2["changed"][2:]
+    assert stats2["steps"] == 5
+
+
+def test_blocked_lp_resume_recomputes_unmarked_step(
+    spark, small, blocked_und, tmp_path
+):
+    """Crash between the step's block writes and its marker: the marker
+    prefix stops earlier, the partial/complete step dir is recomputed
+    (atomic same-bytes rewrites), and the final labels are unchanged."""
+    import os
+
+    want = collect_map(
+        label_propagation_blocked(spark, blocked_und, 4), "id", "label"
+    )
+    rdir = str(tmp_path / "lp-crash")
+    label_propagation_blocked(
+        spark, blocked_und, 3, run_dir=rdir
+    ).count()
+    os.remove(f"{rdir}/part/g2.npy")  # simulate pre-marker crash
+    got = collect_map(
+        label_propagation_blocked(spark, blocked_und, 4, run_dir=rdir),
+        "id", "label",
+    )
+    assert got == want
+
+
+def test_blocked_lp_resume_past_iterations_raises(
+    spark, small, blocked_und, tmp_path
+):
+    rdir = str(tmp_path / "lp-over")
+    label_propagation_blocked(spark, blocked_und, 3, run_dir=rdir).count()
+    with pytest.raises(ValueError):
+        label_propagation_blocked(spark, blocked_und, 2, run_dir=rdir)
