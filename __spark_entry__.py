@@ -271,6 +271,25 @@ def q_graph_hits2(spark, sf_dir):
     )
 
 
+def q_graph_hits2_blocked(spark, sf_dir):
+    """Two HITS rounds on the blocked fwd/rev store pair — zero-shuffle
+    scatter supersteps (hits_csr), same rows as the flat graph_hits2."""
+    from linkgraph.hits_csr import build_hits_stores, hits_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    g_fwd, g_rev = build_hits_stores(
+        spark, edges, tpcgraph.vertices_of(edges), n_blocks=8
+    )
+    out = hits_blocked(spark, g_fwd, g_rev, iterations=2).select(
+        "id",
+        F.round("hub", 9).alias("hub9"),
+        F.round("authority", 9).alias("auth9"),
+    ).localCheckpoint()
+    g_fwd.delete()
+    g_rev.delete()
+    return out
+
+
 def q_graph_salsa2(spark, sf_dir):
     """Two SALSA rounds (degree-normalized HITS — the TKC-resistant
     Lempel-Moran walk): column-stochastic updates conserve L1 mass, so
@@ -2985,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank2_incremental": q_graph_pagerank2_incremental,
         "graph_pagerank2_blocked": q_graph_pagerank2_blocked,
         "graph_hits2": q_graph_hits2,
+        "graph_hits2_blocked": q_graph_hits2_blocked,
         "graph_salsa2": q_graph_salsa2,
         "graph_katz2": q_graph_katz2,
         "graph_kcore": q_graph_kcore,
@@ -3670,7 +3690,7 @@ ranked AS (
 )
 """
 
-    return {
+    out = {
         "dedup_contain": f"""
 WITH {_TOKS}, {_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -6781,3 +6801,7 @@ SELECT doc_id AS media_id, 'image' AS kind,
 FROM dims
 """,
     }
+    # blocked scale-path twins share their flat row's SQL verbatim: the
+    # blocked implementation must reproduce the SAME rows
+    out["graph_hits2_blocked"] = out["graph_hits2"]
+    return out

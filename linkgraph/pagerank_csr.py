@@ -286,7 +286,10 @@ def build_blocked(
         .parquet(f"{store_path}/edges")
     )
     pair_index = truncate_plan(
-        spark.read.parquet(f"{store_path}/edges")
+        # explicit schema: an EDGELESS graph writes zero db= partitions
+        # and schema inference would fail on the empty directory
+        spark.read.schema("sb int, sl int, dl int, db int")
+        .parquet(f"{store_path}/edges")
         .select("sb", "db")
         .distinct()
         .join(
