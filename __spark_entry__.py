@@ -316,6 +316,44 @@ def q_graph_katz2(spark, sf_dir):
     return out.select("id", F.round("katz", 9).alias("katz9"))
 
 
+def q_graph_salsa2_blocked(spark, sf_dir):
+    """Two SALSA rounds on the blocked store pair — per-source 1/degree
+    factors as per-block sidecar vectors, zero-shuffle scatter
+    supersteps; same rows as the flat graph_salsa2."""
+    from linkgraph.hits_csr import build_hits_stores, salsa_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    g_fwd, g_rev = build_hits_stores(
+        spark, edges, tpcgraph.vertices_of(edges), n_blocks=8
+    )
+    out = salsa_blocked(spark, g_fwd, g_rev, iterations=2).select(
+        "id",
+        F.round("hub", 9).alias("hub9"),
+        F.round("authority", 9).alias("auth9"),
+    ).localCheckpoint()
+    g_fwd.delete()
+    g_rev.delete()
+    return out
+
+
+def q_graph_katz2_blocked(spark, sf_dir):
+    """Two Katz rounds on the blocked store — the beta + alpha·gather
+    affine transform applied in-task; same rows as the flat graph_katz2."""
+    from linkgraph.hits_csr import katz_blocked
+    from linkgraph.pagerank_csr import build_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    g = build_blocked(
+        spark, edges.select("src", "dst"),
+        tpcgraph.vertices_of(edges).select("id"), n_blocks=8,
+    )
+    out = katz_blocked(spark, g, iterations=2).select(
+        "id", F.round("katz", 9).alias("katz9")
+    ).localCheckpoint()
+    g.delete()
+    return out
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity over the customer->supplier edges plus a deterministic
     reversed slice (the pure bipartite graph has none, so the fixture
@@ -3006,7 +3044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits2": q_graph_hits2,
         "graph_hits2_blocked": q_graph_hits2_blocked,
         "graph_salsa2": q_graph_salsa2,
+        "graph_salsa2_blocked": q_graph_salsa2_blocked,
         "graph_katz2": q_graph_katz2,
+        "graph_katz2_blocked": q_graph_katz2_blocked,
         "graph_kcore": q_graph_kcore,
         "graph_bfs3": q_graph_bfs3,
         "graph_cocitation": q_graph_cocitation,
@@ -6804,4 +6844,6 @@ FROM dims
     # blocked scale-path twins share their flat row's SQL verbatim: the
     # blocked implementation must reproduce the SAME rows
     out["graph_hits2_blocked"] = out["graph_hits2"]
+    out["graph_salsa2_blocked"] = out["graph_salsa2"]
+    out["graph_katz2_blocked"] = out["graph_katz2"]
     return out

@@ -55,3 +55,79 @@ def test_hits_blocked_edgeless_graph_zeroes(spark):
     finally:
         g_fwd.delete()
         g_rev.delete()
+
+
+def test_katz_blocked_matches_flat(spark, small):
+    from linkgraph.hits import katz
+    from linkgraph.hits_csr import katz_blocked
+    from linkgraph.pagerank_csr import build_blocked
+
+    flat = {
+        r["id"]: r["katz"]
+        for r in katz(
+            spark, small.edges, small.vertices, iterations=3
+        ).collect()
+    }
+    g = build_blocked(
+        spark, small.edges.select("src", "dst"),
+        small.vertices.select("id"), n_blocks=8,
+    )
+    try:
+        got = {
+            r["id"]: r["katz"]
+            for r in katz_blocked(spark, g, iterations=3).collect()
+        }
+        assert set(got) == set(flat)
+        for k in flat:
+            assert got[k] == pytest.approx(flat[k], rel=1e-12), k
+    finally:
+        g.delete()
+
+
+def test_salsa_blocked_matches_flat(spark, small):
+    from linkgraph.hits import salsa
+    from linkgraph.hits_csr import build_hits_stores, salsa_blocked
+
+    flat = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in salsa(
+            spark, small.edges, small.vertices, iterations=2
+        ).collect()
+    }
+    g_fwd, g_rev = build_hits_stores(
+        spark, small.edges, small.vertices, n_blocks=8
+    )
+    try:
+        got = {
+            r["id"]: (r["hub"], r["authority"])
+            for r in salsa_blocked(spark, g_fwd, g_rev, 2).collect()
+        }
+        assert set(got) == set(flat)
+        for k in flat:
+            assert got[k] == pytest.approx(flat[k], abs=1e-12), k
+    finally:
+        g_fwd.delete()
+        g_rev.delete()
+
+
+def test_salsa_blocked_matches_pure_python_oracle(spark, tiny):
+    from linkgraph.hits import salsa_oracle
+    from linkgraph.hits_csr import build_hits_stores, salsa_blocked
+
+    edges = [(r["src"], r["dst"])
+             for r in tiny.edges.select("src", "dst").distinct().collect()]
+    nodes = [r["id"] for r in tiny.vertices.select("id").collect()]
+    want = salsa_oracle(nodes, edges, iterations=3)
+    g_fwd, g_rev = build_hits_stores(
+        spark, tiny.edges, tiny.vertices, n_blocks=4
+    )
+    try:
+        got = {
+            r["id"]: (r["hub"], r["authority"])
+            for r in salsa_blocked(spark, g_fwd, g_rev, 3).collect()
+        }
+        for k, w in want.items():
+            assert got[k] == pytest.approx(w, abs=1e-12), k
+    finally:
+        g_fwd.delete()
+        g_rev.delete()
