@@ -354,6 +354,24 @@ def q_graph_katz2_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_bfs3_blocked(spark, sf_dir):
+    """3-hop BFS from the same seed set, on the blocked store:
+    scatter-min supersteps over distances+1 — same rows as graph_bfs3."""
+    from linkgraph.components_csr import bfs_distances_blocked
+    from linkgraph.pagerank_csr import build_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    seeds = verts.where(
+        (F.col("id") < 1000000) & (F.col("id") % 100 == 0)
+    ).select("id")
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    g = build_blocked(spark, e, verts.select("id"), n_blocks=8)
+    out = bfs_distances_blocked(spark, g, seeds, max_hops=3).localCheckpoint()
+    g.delete()
+    return out
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity over the customer->supplier edges plus a deterministic
     reversed slice (the pure bipartite graph has none, so the fixture
@@ -3049,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz2_blocked": q_graph_katz2_blocked,
         "graph_kcore": q_graph_kcore,
         "graph_bfs3": q_graph_bfs3,
+        "graph_bfs3_blocked": q_graph_bfs3_blocked,
         "graph_cocitation": q_graph_cocitation,
         "text_tfidf": q_text_tfidf,
         "graph_reciprocity": q_graph_reciprocity,
@@ -6846,4 +6865,5 @@ FROM dims
     out["graph_hits2_blocked"] = out["graph_hits2"]
     out["graph_salsa2_blocked"] = out["graph_salsa2"]
     out["graph_katz2_blocked"] = out["graph_katz2"]
+    out["graph_bfs3_blocked"] = out["graph_bfs3"]
     return out

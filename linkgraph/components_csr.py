@@ -188,3 +188,136 @@ def connected_components_blocked(
     # (small) per-component reps
     reps = labels.groupBy("glabel").agg(F.min("id").alias("component"))
     return labels.join(reps, "glabel").select("id", "component")
+
+
+def bfs_distances_blocked(
+    spark,
+    g: BlockedGraph,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    keep_steps: int = 2,
+) -> DataFrame:
+    """-> (id, dist): minimal DIRECTED hop distance from the seed set,
+    bounded at ``max_hops``; unreached vertices absent — exactly
+    linkgraph.graph.bfs_distances, on the blocked store.
+
+    Build ``g`` from ``edges.where(src != dst).distinct()`` (the flat
+    path's edge normalization) WITHOUT symmetrizing — propagation follows
+    stored direction. Distances travel as float64 block vectors (inf =
+    unreached); a superstep scatter-mins every source block's
+    distances + 1 into each destination block ON TOP of the block's
+    current vector — the same single-stage map job as the min-label CC
+    superstep, zero shuffle, with the frontier bound coming from the
+    FIXED unrolled hop count (the scalable bounded-radius form)."""
+    import time as _time  # noqa: F401  (parity with sibling supersteps)
+
+    n_blocks, store, token = g.n_blocks, g.store_path, g.build_token
+    rdir = f"{_ranks_root(g)}/bfs-{uuid.uuid4().hex[:12]}"
+    os.makedirs(rdir, exist_ok=True)
+
+    # step0: inf everywhere, 0 at seed positions. Blocks without seeds
+    # get their all-inf file from the first (sizes-only) job; seed blocks
+    # are then atomically overwritten by the seed job.
+    def inf_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        os.makedirs(f"{rdir}/step0", exist_ok=True)
+        for b, size in zip(pdf["block"], pdf["size"]):
+            _write_npy_atomic(
+                f"{rdir}/step0/b{int(b)}.npy",
+                np.full(int(size), np.inf, dtype=np.float64),
+            )
+        return pd.DataFrame({"block": [int(b) for b in pdf["block"]]})
+
+    g.block_meta.groupBy("block").applyInPandas(
+        inf_kernel, "block int"
+    ).count()
+
+    sizes_by_block = g.block_meta.select("block", "size")
+
+    def seed_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["block"].iloc[0])
+        arr = np.full(int(pdf["size"].iloc[0]), np.inf, dtype=np.float64)
+        arr[pdf["local"].to_numpy(dtype=np.int64)] = 0.0
+        _write_npy_atomic(f"{rdir}/step0/b{b}.npy", arr)
+        return pd.DataFrame({"block": [b]})
+
+    (
+        seeds.select("id").distinct()
+        .join(g.vmap, "id")
+        .join(sizes_by_block, "block")
+        .select("block", "local", "size")
+        .groupBy("block")
+        .applyInPandas(seed_kernel, "block int")
+        .count()
+    )
+
+    work = truncate_plan(
+        g.block_meta.select(
+            F.col("block").alias("db"), F.col("size").alias("dsize")
+        ).repartitionByRange(g.n_blocks, "db")
+    )
+
+    for step in range(max_hops):
+        cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
+
+        def make_step_fn(_cur, _nxt):
+            def step_fn(batches):
+                dfs = [b for b in batches if len(b)]
+                if not dfs:
+                    return
+                pdf = pd.concat(dfs, ignore_index=True)
+                rows = []
+                vec_cache: dict = {}
+                for db in pdf["db"]:
+                    db = int(db)
+                    acc = np.load(f"{_cur}/b{db}.npy").copy()
+                    blk = _load_block(store, token, db, n_blocks)
+                    offs = blk[1]
+                    for sb in np.flatnonzero(np.diff(offs)):
+                        a, b_ = int(offs[sb]), int(offs[sb + 1])
+                        vs = vec_cache.get(sb)
+                        if vs is None:
+                            vs = np.load(f"{_cur}/b{sb}.npy") + 1.0
+                            vec_cache[sb] = vs
+                        if blk[0] == "p":
+                            native.scatter_min_pack16(blk[2][a:b_], vs, acc)
+                        else:
+                            native.scatter_min32(
+                                blk[2][a:b_], blk[3][a:b_], vs, acc
+                            )
+                    os.makedirs(_nxt, exist_ok=True)
+                    _write_npy_atomic(f"{_nxt}/b{db}.npy", acc)
+                    rows.append((db, int(np.isfinite(acc).sum())))
+                yield pd.DataFrame(rows, columns=["block", "reached"])
+
+            return step_fn
+
+        (
+            work.mapInPandas(make_step_fn(cur, nxt), "block int, reached long")
+            .agg(F.sum("reached"))
+            .collect()
+        )
+        stale = step - keep_steps + 1
+        if stale >= 0:
+            shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
+
+    last = f"{rdir}/step{max_hops}"
+
+    def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b in pdf["block"]:
+            b = int(b)
+            out.append((b, np.load(f"{last}/b{b}.npy")))
+        return pd.DataFrame(out, columns=["block", "dv"])
+
+    out = truncate_plan(
+        g.block_meta.groupBy("block")
+        .applyInPandas(read_kernel, "block int, dv array<double>")
+        .select("block", F.posexplode("dv").alias("local", "d"))
+        .where(F.col("d") != float("inf"))
+        .join(g.vmap, ["block", "local"])
+        .select("id", F.col("d").cast("int").alias("dist")),
+        eager=False,
+    )
+    out.count()
+    shutil.rmtree(rdir, ignore_errors=True)
+    return out

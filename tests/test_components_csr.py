@@ -57,3 +57,51 @@ def test_scatter_min_kernels_match_numpy():
     acc2 = np.full(dsize, 2.0)
     native.scatter_min32(sl.astype(np.int32), dl.astype(np.int32), rs, acc2)
     assert (acc2 == ref).all()
+
+
+def test_bfs_blocked_matches_flat(spark, small):
+    from pyspark.sql import functions as F
+
+    from linkgraph.components_csr import bfs_distances_blocked
+    from linkgraph.graph import bfs_distances
+    from linkgraph.pagerank_csr import build_blocked
+
+    seeds = small.vertices.select("id").where(F.pmod("id", F.lit(7)) == 0)
+    for hops in (1, 3):
+        flat = {
+            r["id"]: r["dist"]
+            for r in bfs_distances(
+                spark, small.edges, seeds, max_hops=hops
+            ).collect()
+        }
+        e = small.edges.where(F.col("src") != F.col("dst")) \
+            .select("src", "dst").distinct()
+        g = build_blocked(
+            spark, e, small.vertices.select("id"), n_blocks=8
+        )
+        try:
+            got = {
+                r["id"]: r["dist"]
+                for r in bfs_distances_blocked(
+                    spark, g, seeds, max_hops=hops
+                ).collect()
+            }
+            assert got == flat, hops
+        finally:
+            g.delete()
+
+
+def test_bfs_blocked_no_seeds_empty(spark, small):
+    from pyspark.sql import functions as F
+
+    from linkgraph.components_csr import bfs_distances_blocked
+    from linkgraph.pagerank_csr import build_blocked
+
+    e = small.edges.where(F.col("src") != F.col("dst")) \
+        .select("src", "dst").distinct()
+    g = build_blocked(spark, e, small.vertices.select("id"), n_blocks=4)
+    try:
+        empty = small.vertices.select("id").limit(0)
+        assert bfs_distances_blocked(spark, g, empty, 2).count() == 0
+    finally:
+        g.delete()
