@@ -354,6 +354,25 @@ def q_graph_katz2_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_kcore_blocked(spark, sf_dir):
+    """Two bounded 2-core peel rounds on the blocked store: alive-mask
+    scatter supersteps — same survivors + core degrees as graph_kcore."""
+    from linkgraph.components_csr import kcore_blocked
+    from linkgraph.kcore import undirected_edges
+    from linkgraph.pagerank_csr import build_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir, min_total=SPARSE_MIN_TOTAL)
+    und = undirected_edges(edges).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    g = build_blocked(
+        spark, und, tpcgraph.vertices_of(edges).select("id"), n_blocks=8
+    )
+    out = kcore_blocked(spark, g, k=2, rounds=2).localCheckpoint()
+    g.delete()
+    return out
+
+
 def q_graph_bfs3_blocked(spark, sf_dir):
     """3-hop BFS from the same seed set, on the blocked store:
     scatter-min supersteps over distances+1 — same rows as graph_bfs3."""
@@ -3066,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz2": q_graph_katz2,
         "graph_katz2_blocked": q_graph_katz2_blocked,
         "graph_kcore": q_graph_kcore,
+        "graph_kcore_blocked": q_graph_kcore_blocked,
         "graph_bfs3": q_graph_bfs3,
         "graph_bfs3_blocked": q_graph_bfs3_blocked,
         "graph_cocitation": q_graph_cocitation,
@@ -6866,4 +6886,5 @@ FROM dims
     out["graph_salsa2_blocked"] = out["graph_salsa2"]
     out["graph_katz2_blocked"] = out["graph_katz2"]
     out["graph_bfs3_blocked"] = out["graph_bfs3"]
+    out["graph_kcore_blocked"] = out["graph_kcore"]
     return out

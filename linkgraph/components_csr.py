@@ -321,3 +321,137 @@ def bfs_distances_blocked(
     out.count()
     shutil.rmtree(rdir, ignore_errors=True)
     return out
+
+
+def kcore_blocked(
+    spark,
+    g: BlockedGraph,
+    k: int = 2,
+    rounds: int | None = None,
+    max_iter: int = 200,
+    keep_steps: int = 2,
+) -> DataFrame:
+    """-> (id, core_deg) for every vertex in the k-core — exactly
+    linkgraph.kcore.kcore (``rounds`` = bounded unrolled prefix,
+    ``rounds=None`` = fixpoint), on the blocked store.
+
+    Build ``g`` from ``kcore.undirected_edges(edges)`` (distinct
+    symmetric closure, self-loops dropped). The peel round is ONE
+    map-only job: scatter-add the 0/1 alive mask into each destination
+    block (degree among survivors — the source's aliveness is the
+    summand, the destination's gates the output), then
+    ``alive' = alive AND deg >= k`` in-task; the returned changed count
+    (O(B) scalars) drives the fixpoint. No per-round shuffle, edge set
+    never rewritten — the mask does the filtering the flat path's two
+    semi-joins do."""
+    n_blocks, store, token = g.n_blocks, g.store_path, g.build_token
+    rdir = f"{_ranks_root(g)}/kcore-{uuid.uuid4().hex[:12]}"
+    os.makedirs(rdir, exist_ok=True)
+
+    def ones_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        os.makedirs(f"{rdir}/alive0", exist_ok=True)
+        for b, size in zip(pdf["block"], pdf["size"]):
+            _write_npy_atomic(
+                f"{rdir}/alive0/b{int(b)}.npy",
+                np.ones(int(size), dtype=np.float64),
+            )
+        return pd.DataFrame({"block": [int(b) for b in pdf["block"]]})
+
+    g.block_meta.groupBy("block").applyInPandas(
+        ones_kernel, "block int"
+    ).count()
+
+    work = truncate_plan(
+        g.block_meta.select(
+            F.col("block").alias("db"), F.col("size").alias("dsize")
+        ).repartitionByRange(g.n_blocks, "db")
+    )
+
+    n_rounds = rounds if rounds is not None else max_iter
+    if n_rounds < 1:
+        raise ValueError("kcore_blocked needs rounds >= 1 (or rounds=None)")
+    done = 0
+    for step in range(n_rounds):
+        cur = f"{rdir}/alive{step}"
+        nxt = f"{rdir}/alive{step + 1}"
+        degd = f"{rdir}/deg{step + 1}"
+
+        def make_step_fn(_cur, _nxt, _deg):
+            def step_fn(batches):
+                dfs = [b for b in batches if len(b)]
+                if not dfs:
+                    return
+                pdf = pd.concat(dfs, ignore_index=True)
+                rows = []
+                vec_cache: dict = {}
+                for db, dsize in zip(pdf["db"], pdf["dsize"]):
+                    db, dsize = int(db), int(dsize)
+                    acc = np.zeros(dsize, dtype=np.float64)
+                    blk = _load_block(store, token, db, n_blocks)
+                    offs = blk[1]
+                    for sb in np.flatnonzero(np.diff(offs)):
+                        a, b_ = int(offs[sb]), int(offs[sb + 1])
+                        vs = vec_cache.get(sb)
+                        if vs is None:
+                            vs = np.load(f"{_cur}/b{sb}.npy")
+                            vec_cache[sb] = vs
+                        if blk[0] == "p":
+                            native.scatter_add_pack16(blk[2][a:b_], vs, acc)
+                        else:
+                            native.scatter_add32(
+                                blk[2][a:b_], blk[3][a:b_], vs, acc
+                            )
+                    old = np.load(f"{_cur}/b{db}.npy")
+                    new = old * (acc >= k)
+                    os.makedirs(_nxt, exist_ok=True)
+                    os.makedirs(_deg, exist_ok=True)
+                    _write_npy_atomic(f"{_nxt}/b{db}.npy", new)
+                    _write_npy_atomic(f"{_deg}/b{db}.npy", acc)
+                    rows.append((db, int((new != old).sum())))
+                yield pd.DataFrame(rows, columns=["block", "changed"])
+
+            return step_fn
+
+        changed = int(
+            work.mapInPandas(
+                make_step_fn(cur, nxt, degd), "block int, changed long"
+            )
+            .agg(F.sum("changed").alias("c"))
+            .collect()[0]["c"]
+        )
+        done = step + 1
+        stale = step - keep_steps + 1
+        if stale >= 0:
+            shutil.rmtree(f"{rdir}/alive{stale}", ignore_errors=True)
+            shutil.rmtree(f"{rdir}/deg{stale}", ignore_errors=True)
+        if rounds is None and changed == 0:
+            break
+
+    av, dv = f"{rdir}/alive{done}", f"{rdir}/deg{done}"
+
+    def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b in pdf["block"]:
+            b = int(b)
+            out.append((
+                b, np.load(f"{av}/b{b}.npy"), np.load(f"{dv}/b{b}.npy")
+            ))
+        return pd.DataFrame(out, columns=["block", "av", "dv"])
+
+    out = truncate_plan(
+        g.block_meta.groupBy("block")
+        .applyInPandas(
+            read_kernel, "block int, av array<double>, dv array<double>"
+        )
+        .select(
+            "block", F.posexplode(F.arrays_zip("av", "dv")).alias("local", "z")
+        )
+        .select("block", "local", "z.av", "z.dv")
+        .where(F.col("av") > 0)
+        .join(g.vmap, ["block", "local"])
+        .select("id", F.col("dv").cast("long").alias("core_deg")),
+        eager=False,
+    )
+    out.count()
+    shutil.rmtree(rdir, ignore_errors=True)
+    return out

@@ -105,3 +105,33 @@ def test_bfs_blocked_no_seeds_empty(spark, small):
         assert bfs_distances_blocked(spark, g, empty, 2).count() == 0
     finally:
         g.delete()
+
+
+def test_kcore_blocked_matches_flat(spark, small):
+    from pyspark.sql import functions as F
+
+    from linkgraph.components_csr import kcore_blocked
+    from linkgraph.kcore import kcore, undirected_edges
+    from linkgraph.pagerank_csr import build_blocked
+
+    for kwargs in ({"k": 2, "rounds": 2}, {"k": 2}, {"k": 3}):
+        flat = {
+            r["id"]: r["core_deg"]
+            for r in kcore(
+                spark, small.edges, small.vertices, **kwargs
+            ).collect()
+        }
+        und = undirected_edges(small.edges).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        )
+        g = build_blocked(
+            spark, und, small.vertices.select("id"), n_blocks=8
+        )
+        try:
+            got = {
+                r["id"]: r["core_deg"]
+                for r in kcore_blocked(spark, g, **kwargs).collect()
+            }
+            assert got == flat, kwargs
+        finally:
+            g.delete()
