@@ -783,6 +783,34 @@ def q_graph_scc(spark, sf_dir):
     return strongly_connected_components(spark, e, verts)
 
 
+def q_graph_scc_blocked(spark, sf_dir):
+    """SCC on the blocked store pair (scc_csr): trim/color/settle as
+    map-only mask-vector supersteps — same rows as graph_scc."""
+    from linkgraph.scc_csr import (
+        build_scc_stores, strongly_connected_components_blocked,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 3),
+                lambda j: (F.col("doc_id") * 7 + j * 13) % n,
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    verts = docs.select(F.col("doc_id").alias("id"))
+    g_fwd, g_rev = build_scc_stores(spark, e, verts, n_blocks=8)
+    out = strongly_connected_components_blocked(
+        spark, g_fwd, g_rev
+    ).localCheckpoint()
+    g_fwd.delete()
+    g_rev.delete()
+    return out
+
+
 def q_graph_condensation(spark, sf_dir):
     """SCC condensation DAG of the bow-tie fixture digraph (CORE plus
     IN/OUT/tube/tendril singletons => many classes): class-pair edges
@@ -3119,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_csr": q_graph_csr,
         "graph_quotient": q_graph_quotient,
         "graph_scc": q_graph_scc,
+        "graph_scc_blocked": q_graph_scc_blocked,
         "graph_condensation": q_graph_condensation,
         "graph_simrank2": q_graph_simrank2,
         "graph_host_linkage": q_graph_host_linkage,
@@ -6887,4 +6916,5 @@ FROM dims
     out["graph_katz2_blocked"] = out["graph_katz2"]
     out["graph_bfs3_blocked"] = out["graph_bfs3"]
     out["graph_kcore_blocked"] = out["graph_kcore"]
+    out["graph_scc_blocked"] = out["graph_scc"]
     return out
