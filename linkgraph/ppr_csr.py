@@ -1,0 +1,239 @@
+"""Personalized PageRank on the blocked-CSR store — seed-teleport supersteps.
+
+The scale-path twin of ``linkgraph.pagerank.pagerank(seeds=...)`` (networkx
+``personalization=`` semantics: teleport AND dangling mass both land on the
+seed set, uniformly over seeds ∩ vertices). Same compacted store, packed
+edge words, native scatter-add kernels, and O(B)-scalar driver traffic as
+``pagerank_blocked`` — the only structural difference from plain blocked
+PageRank is that the per-superstep base term is a per-block TELEPORT VECTOR
+sidecar instead of a scalar:
+
+    new_b = (1 - d) * tp_b + d * (acc_b + dm * tp_b)
+
+where ``tp_b`` is block b's slice of the teleport vector (1/|S| at seed
+positions, else 0 — written once at prep, mmap'd per superstep) and ``dm``
+is the previous step's global dangling mass (ONE scalar per superstep, same
+transport as the plain path).
+
+Per-superstep cost is identical to a pagerank_blocked superstep (one
+map-only job, zero shuffle, one extra mmap'd vector read per block), so the
+N→4N scaling evidence for the scatter-add kernel family
+(BENCH/BASELINE.md: PageRank gate, median 1.06) carries over directly.
+
+Use cases this unlocks at web scale: topic-sensitive ranking (Haveliwala,
+WWW'02), TrustRank-style spam demotion from a whitelist, and
+random-walk-with-restart proximity from a single page's context — all of
+which are just different seed sets over the same store.
+
+Reference parity: the reference's graph metrics are global
+(/root/reference/src/ccm/complexity.py); personalization is an engine
+extension in the same spirit as hits_csr / labelprop_csr.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import native
+from .lineage import truncate_plan
+from .checkpoint import StepTimer
+from .pagerank import PageRankResult, SuperstepInfo
+from .pagerank_csr import (
+    BlockedGraph,
+    _load_block,
+    _ranks_root,
+    _write_npy_atomic,
+)
+
+
+def ppr_blocked(
+    spark,
+    g: BlockedGraph,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 100,
+    keep_steps: int = 2,
+) -> PageRankResult:
+    """-> PageRankResult whose .ranks is (id, rank), personalized on seeds.
+
+    ``seeds`` is a DataFrame with an ``id`` column; teleport mass is
+    1/|seeds ∩ vertices| on each seed, 0 elsewhere, and dangling mass is
+    redistributed over the same vector — bit-matching the flat
+    ``linkgraph.pagerank.pagerank(seeds=...)`` path up to float64 summation
+    order (tested allclose 1e-12; the dual-engine oracle row
+    ``graph_ppr_blocked`` pins it to the unrolled DuckDB SQL exactly at
+    round-9).
+    """
+    n, n_blocks = g.n, g.n_blocks
+    store, token = g.store_path, g.build_token
+
+    seed_pos = (
+        seeds.select("id").distinct()
+        .join(g.vmap, "id")
+        .select("block", "local")
+    )
+    n_seeds = seed_pos.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized pagerank needs a non-empty seeds ∩ vertices set"
+        )
+    tp_val = 1.0 / n_seeds
+
+    rdir = f"{_ranks_root(g)}/ppr-{uuid.uuid4().hex[:12]}"
+    os.makedirs(rdir, exist_ok=True)
+
+    # prep job 1 (every block): static inv_od + dangling locals + ZERO
+    # teleport vector + uniform step-0 ranks. Per-block work only — O(V/B)
+    # rows per task, nothing O(V) on the driver.
+    def prep_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        for d in ("step0", "dangling", "static", "tp"):
+            os.makedirs(f"{rdir}/{d}", exist_ok=True)
+        out = []
+        for b, size, od in zip(pdf["block"], pdf["size"], pdf["od"]):
+            b = int(b)
+            od_arr = np.asarray(od, dtype=np.int64)
+            with np.errstate(divide="ignore"):
+                inv = np.where(od_arr > 0, 1.0 / od_arr, 0.0)
+            _write_npy_atomic(f"{rdir}/static/inv{b}.npy", inv)
+            dang = np.flatnonzero(od_arr == 0)
+            _write_npy_atomic(f"{rdir}/dangling/b{b}.npy", dang)
+            _write_npy_atomic(
+                f"{rdir}/tp/b{b}.npy", np.zeros(int(size), dtype=np.float64)
+            )
+            r0 = np.full(int(size), 1.0 / n)
+            _write_npy_atomic(f"{rdir}/step0/b{b}.npy", r0)
+            _write_npy_atomic(f"{rdir}/step0/s{b}.npy", r0 * inv)
+            out.append((b, float(len(dang)) / n))
+        return pd.DataFrame(out, columns=["block", "dm"])
+
+    dangling = float(
+        g.block_meta.groupBy("block")
+        .applyInPandas(prep_kernel, "block int, dm double")
+        .agg(F.sum("dm"))
+        .collect()[0][0]
+        or 0.0
+    )
+
+    # prep job 2 (seed blocks only): overwrite the zero teleport file with
+    # tp_val at seed positions. Runs strictly after job 1 (the aggregate
+    # above is an action), so the atomic rename always wins.
+    sizes_by_block = g.block_meta.select("block", "size")
+
+    def seed_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["block"].iloc[0])
+        arr = np.zeros(int(pdf["size"].iloc[0]), dtype=np.float64)
+        arr[pdf["local"].to_numpy(dtype=np.int64)] = tp_val
+        _write_npy_atomic(f"{rdir}/tp/b{b}.npy", arr)
+        return pd.DataFrame({"block": [b]})
+
+    (
+        seed_pos.join(sizes_by_block, "block")
+        .groupBy("block")
+        .applyInPandas(seed_kernel, "block int")
+        .count()
+    )
+
+    work = truncate_plan(
+        g.block_meta.select(
+            F.col("block").alias("db"), F.col("size").alias("dsize")
+        ).repartitionByRange(g.n_blocks, "db")
+    )
+
+    supersteps: list[SuperstepInfo] = []
+    converged = False
+    for step in range(max_iter):
+        with StepTimer() as t:
+            cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
+
+            def make_step_fn(_cur, _nxt, _dm):
+                def step_fn(batches):
+                    dfs = [b for b in batches if len(b)]
+                    if not dfs:
+                        return
+                    pdf = pd.concat(dfs, ignore_index=True)
+                    rows = []
+                    rs_cache: dict = {}
+                    for db, dsize in zip(pdf["db"], pdf["dsize"]):
+                        db, dsize = int(db), int(dsize)
+                        acc = np.zeros(dsize)
+                        blk = _load_block(store, token, db, n_blocks)
+                        offs = blk[1]
+                        for sb in np.flatnonzero(np.diff(offs)):
+                            a, b_ = int(offs[sb]), int(offs[sb + 1])
+                            rs = rs_cache.get(sb)
+                            if rs is None:
+                                rs = np.load(
+                                    f"{_cur}/s{sb}.npy", mmap_mode="r"
+                                )
+                                rs_cache[sb] = rs
+                            if blk[0] == "p":
+                                native.scatter_add_pack16(
+                                    blk[2][a:b_], rs, acc
+                                )
+                            else:
+                                native.scatter_add32(
+                                    blk[2][a:b_], blk[3][a:b_], rs, acc
+                                )
+                        tp = np.load(f"{rdir}/tp/b{db}.npy", mmap_mode="r")
+                        new = (1.0 - damping) * tp + damping * (
+                            acc + _dm * tp
+                        )
+                        old = np.load(f"{_cur}/b{db}.npy", mmap_mode="r")
+                        l1 = float(np.abs(new - old).sum())
+                        dang = np.load(
+                            f"{rdir}/dangling/b{db}.npy", mmap_mode="r"
+                        )
+                        dm_next = float(new[dang].sum()) if len(dang) else 0.0
+                        inv = np.load(
+                            f"{rdir}/static/inv{db}.npy", mmap_mode="r"
+                        )
+                        os.makedirs(_nxt, exist_ok=True)
+                        _write_npy_atomic(f"{_nxt}/b{db}.npy", new)
+                        _write_npy_atomic(f"{_nxt}/s{db}.npy", new * inv)
+                        rows.append((db, l1, dm_next))
+                    yield pd.DataFrame(rows, columns=["block", "l1", "dm"])
+
+                return step_fn
+
+            row = (
+                work.mapInPandas(
+                    make_step_fn(cur, nxt, dangling),
+                    "block int, l1 double, dm double",
+                )
+                .agg(F.sum("l1").alias("l1"), F.sum("dm").alias("dm"))
+                .collect()[0]
+            )
+            delta, next_dangling = float(row["l1"]), float(row["dm"])
+            stale = step - keep_steps + 1
+            if stale >= 0:
+                shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
+        supersteps.append(SuperstepInfo(step, delta, dangling, t.seconds))
+        dangling = next_dangling
+        if delta < tol:
+            converged = True
+            break
+
+    last = f"{rdir}/step{len(supersteps)}"
+
+    def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b in pdf["block"]:
+            b = int(b)
+            out.append((b, np.load(f"{last}/b{b}.npy")))
+        return pd.DataFrame(out, columns=["block", "rv"])
+
+    flat = (
+        g.block_meta.groupBy("block")
+        .applyInPandas(read_kernel, "block int, rv array<double>")
+        .select("block", F.posexplode("rv").alias("local", "rank"))
+        .join(g.vmap, ["block", "local"])
+        .select("id", "rank")
+    )
+    return PageRankResult(flat, len(supersteps), converged, supersteps)
