@@ -1,0 +1,284 @@
+"""Weighted single-source shortest paths — bounded Bellman-Ford relaxation.
+
+The weighted generalization of ``linkgraph.graph.bfs_distances``: edges
+carry a non-negative float cost (crawl latency, link-distance priors,
+toll-weighted navigation) and each BSP round relaxes every settled
+distance through one more directed edge, re-taking the per-vertex min.
+
+Flat path (``sssp_distances``): join + union + groupBy(min) per round over
+``edges(src, dst, w)`` — a FIXED unrolled prefix of ``max_hops`` rounds, so
+the whole relaxation is one lazy Catalyst plan with zero per-round driver
+actions, SQL-replicable round for round (dual-engine oracle row
+``graph_sssp3``). Bounded-radius queries are the scalable form at web
+scale: the frontier of an unbounded Bellman-Ford on a 10^12-vertex graph
+is the whole graph within ~20 hops, while a crawl/influence query wants a
+small radius anyway; the unbounded fixpoint shape is
+``linkgraph.components.connected_components``' signature-loop pattern.
+
+Blocked path (``sssp_blocked`` + ``build_weight_store``): the scale-path
+twin on the blocked-CSR layout. Weights ride in a WEIGHT-ALIGNED edge
+store — the same per-(db: sb, sl) clustering as the rank store, with the
+per-edge float64 cost as one extra aligned array — decoded once per host
+to mmap'd ``.npy`` sidecars (the exact decode-once/cache-everywhere
+contract of ``pagerank_csr._load_block``). A superstep is ONE map-only
+job: load my distance block, for each in-edge segment take
+``min(acc[dl], dist_src[sl] + w)`` (vectorized ``np.minimum.at`` — the
+per-edge addend makes this a fused gather-add-scatter-min, the weighted
+cousin of ``native.scatter_min32``), write the next distance vector.
+Zero shuffle; O(B) scalar rows of driver traffic per superstep; identical
+N→4N scaling shape to the measured CC/BFS scatter-min gate
+(BENCH/BASELINE.md: CC gate, median 0.93).
+
+At a real 100 TB deployment the weight column would be folded into the
+main store build (one more aligned array in the same parquet write); here
+it is a parallel aligned store so the measured rank-store layout stays
+byte-identical to the one the scaling gates were run on.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .lineage import truncate_plan
+from .pagerank_csr import (
+    BlockedGraph,
+    _npy_cache_dir,
+    _ranks_root,
+    _write_npy_atomic,
+)
+
+
+def sssp_distances(
+    spark, edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """-> (id, dist) — minimal directed WEIGHTED distance from the seed
+    set within ``max_hops`` edges (unreached vertices absent).
+
+    ``edges`` must carry (src, dst, w); self-loops are dropped and
+    parallel edges collapsed to their cheapest cost (the only one a
+    shortest path can use), exactly what the SQL oracle does.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    dist = seeds.select("id", F.lit(0.0).alias("dist")).distinct()
+    for _ in range(max_hops):
+        hop = e.join(
+            dist.select(F.col("id").alias("src"), "dist"), "src"
+        ).select(
+            F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = truncate_plan(
+            dist.unionByName(hop).groupBy("id").agg(F.min("dist").alias("dist")),
+            eager=False,
+        )
+    return dist.select("id", "dist")
+
+
+def build_weight_store(
+    spark, g: BlockedGraph, edges: DataFrame
+) -> str:
+    """Write the weight-aligned edge store for ``g``: per-db parquet of
+    (sb, sl, dl, w) rows — same normalization as ``sssp_distances``
+    (self-loops dropped, parallel edges min-collapsed), same clustering
+    sort as the rank store. Returns the store directory. All heavy
+    lifting is JVM-side (two map-side-able joins + one partitioned
+    write); no Python touches the |E| rows."""
+    wpath = f"{g.store_path}/wedges-{uuid.uuid4().hex[:8]}"
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    src_map = g.vmap.select(
+        F.col("id").alias("src"),
+        F.col("block").alias("sb"),
+        F.col("local").alias("sl"),
+    )
+    dst_map = g.vmap.select(
+        F.col("id").alias("dst"),
+        F.col("block").alias("db"),
+        F.col("local").alias("dl"),
+    )
+    (
+        e.join(src_map, "src")
+        .join(dst_map, "dst")
+        .select(
+            F.col("sb").cast("int"),
+            "db",
+            F.col("sl").cast("int").alias("sl"),
+            F.col("dl").cast("int").alias("dl"),
+            F.col("w").cast("double").alias("w"),
+        )
+        .repartition("db")
+        .sortWithinPartitions("db", "sb", "sl", "dl")
+        .write.mode("overwrite")
+        .partitionBy("db")
+        .parquet(wpath)
+    )
+    return wpath
+
+
+def _load_wblock(wpath: str, token: str, db: int, n_blocks: int):
+    """Worker-side weighted edges for one destination block:
+    (offs, sl_i32, dl_i32, w_f64), offs the B+1 prefix-sum index by source
+    block. First touch decodes parquet -> raw .npy (atomic, idempotent);
+    later loads anywhere on the host are zero-copy mmaps."""
+    cache_dir = _npy_cache_dir(wpath, f"{token}-w")
+    base = f"{cache_dir}/{db}"
+    offs_p = f"{base}.offs.npy"
+    if not os.path.exists(offs_p):
+        import pyarrow.parquet as pq
+
+        part = f"{wpath}/db={db}"
+        if os.path.exists(part):
+            t = pq.read_table(part, columns=["sb", "sl", "dl", "w"])
+            sb = t.column("sb").to_numpy().astype(np.int64, copy=False)
+            sl = t.column("sl").to_numpy().astype(np.int64, copy=False)
+            dl = t.column("dl").to_numpy().astype(np.int64, copy=False)
+            w = t.column("w").to_numpy().astype(np.float64, copy=False)
+        else:
+            sb = sl = dl = np.empty(0, dtype=np.int64)
+            w = np.empty(0, dtype=np.float64)
+        if len(sb) and np.any(np.diff(sb) < 0):
+            order = np.lexsort((dl, sl, sb))
+            sb, sl, dl, w = sb[order], sl[order], dl[order], w[order]
+        offs = np.searchsorted(sb, np.arange(n_blocks + 1)).astype(np.int64)
+        _write_npy_atomic(f"{base}.sl.npy", sl.astype(np.int32))
+        _write_npy_atomic(f"{base}.dl.npy", dl.astype(np.int32))
+        _write_npy_atomic(f"{base}.w.npy", w)
+        _write_npy_atomic(offs_p, offs)  # offs last: presence = decoded
+    return (
+        np.load(offs_p),
+        np.load(f"{base}.sl.npy", mmap_mode="r"),
+        np.load(f"{base}.dl.npy", mmap_mode="r"),
+        np.load(f"{base}.w.npy", mmap_mode="r"),
+    )
+
+
+def sssp_blocked(
+    spark,
+    g: BlockedGraph,
+    wpath: str,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    keep_steps: int = 2,
+) -> DataFrame:
+    """-> (id, dist): bounded weighted shortest distance from the seed
+    set — exactly ``sssp_distances``, on the blocked store. ``wpath`` is
+    the ``build_weight_store`` directory for ``g``'s vertex mapping."""
+    n_blocks, token = g.n_blocks, g.build_token
+    rdir = f"{_ranks_root(g)}/sssp-{uuid.uuid4().hex[:12]}"
+    os.makedirs(rdir, exist_ok=True)
+
+    def inf_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        os.makedirs(f"{rdir}/step0", exist_ok=True)
+        for b, size in zip(pdf["block"], pdf["size"]):
+            _write_npy_atomic(
+                f"{rdir}/step0/b{int(b)}.npy",
+                np.full(int(size), np.inf, dtype=np.float64),
+            )
+        return pd.DataFrame({"block": [int(b) for b in pdf["block"]]})
+
+    g.block_meta.groupBy("block").applyInPandas(
+        inf_kernel, "block int"
+    ).count()
+
+    sizes_by_block = g.block_meta.select("block", "size")
+
+    def seed_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["block"].iloc[0])
+        arr = np.full(int(pdf["size"].iloc[0]), np.inf, dtype=np.float64)
+        arr[pdf["local"].to_numpy(dtype=np.int64)] = 0.0
+        _write_npy_atomic(f"{rdir}/step0/b{b}.npy", arr)
+        return pd.DataFrame({"block": [b]})
+
+    (
+        seeds.select("id").distinct()
+        .join(g.vmap, "id")
+        .join(sizes_by_block, "block")
+        .select("block", "local", "size")
+        .groupBy("block")
+        .applyInPandas(seed_kernel, "block int")
+        .count()
+    )
+
+    work = truncate_plan(
+        g.block_meta.select(
+            F.col("block").alias("db"), F.col("size").alias("dsize")
+        ).repartitionByRange(g.n_blocks, "db")
+    )
+
+    for step in range(max_hops):
+        cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
+
+        def make_step_fn(_cur, _nxt):
+            def step_fn(batches):
+                dfs = [b for b in batches if len(b)]
+                if not dfs:
+                    return
+                pdf = pd.concat(dfs, ignore_index=True)
+                rows = []
+                vec_cache: dict = {}
+                for db in pdf["db"]:
+                    db = int(db)
+                    acc = np.load(f"{_cur}/b{db}.npy").copy()
+                    offs, sl, dl, w = _load_wblock(
+                        wpath, token, db, n_blocks
+                    )
+                    for sb in np.flatnonzero(np.diff(offs)):
+                        a, b_ = int(offs[sb]), int(offs[sb + 1])
+                        vs = vec_cache.get(sb)
+                        if vs is None:
+                            vs = np.load(f"{_cur}/b{sb}.npy")
+                            vec_cache[sb] = vs
+                        seg_sl = np.asarray(sl[a:b_], dtype=np.int64)
+                        seg_dl = np.asarray(dl[a:b_], dtype=np.int64)
+                        # fused gather-add-scatter-min: the weighted
+                        # cousin of native.scatter_min32 (per-edge addend)
+                        np.minimum.at(acc, seg_dl, vs[seg_sl] + w[a:b_])
+                    os.makedirs(_nxt, exist_ok=True)
+                    _write_npy_atomic(f"{_nxt}/b{db}.npy", acc)
+                    rows.append((db, int(np.isfinite(acc).sum())))
+                yield pd.DataFrame(rows, columns=["block", "reached"])
+
+            return step_fn
+
+        (
+            work.mapInPandas(make_step_fn(cur, nxt), "block int, reached long")
+            .agg(F.sum("reached"))
+            .collect()
+        )
+        stale = step - keep_steps + 1
+        if stale >= 0:
+            shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
+
+    last = f"{rdir}/step{max_hops}"
+
+    def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b in pdf["block"]:
+            b = int(b)
+            out.append((b, np.load(f"{last}/b{b}.npy")))
+        return pd.DataFrame(out, columns=["block", "dv"])
+
+    out = truncate_plan(
+        g.block_meta.groupBy("block")
+        .applyInPandas(read_kernel, "block int, dv array<double>")
+        .select("block", F.posexplode("dv").alias("local", "dist"))
+        .where(F.col("dist") != float("inf"))
+        .join(g.vmap, ["block", "local"])
+        .select("id", "dist"),
+        eager=False,
+    )
+    out.count()
+    shutil.rmtree(rdir, ignore_errors=True)
+    return out
