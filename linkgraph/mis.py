@@ -1,0 +1,126 @@
+"""Maximal independent set — deterministic Luby rounds (BSP, shuffle-lean).
+
+Luby's classic parallel MIS (Luby, SIAM J. Comput. 1986): every round, an
+UNDECIDED vertex joins the set iff its priority beats every undecided
+neighbor's; the new members' undecided neighbors are eliminated. With
+distinct priorities two adjacent vertices can never both win a round, so
+the result is independent by construction and maximal once no vertex is
+left undecided (expected O(log n) rounds on any graph).
+
+Determinism (the engine's oracle discipline): the priority is a PORTABLE
+string — ``md5(id) || '-' || id`` — totally ordered, engine-independent,
+and collision-free (the id suffix breaks even md5-prefix ties), so Spark
+and the DuckDB oracle elect byte-identical winners round for round. Never
+engine-native hashes (sketches.py's rule).
+
+Round shape at 100 TB: one join of the undecided set against the
+(symmetrized) edge table + a per-vertex min aggregation + two anti-joins —
+all keyed on vertex id, so AQE handles skew and the edge side can stay
+hash-partitioned across rounds. ``rounds=N`` unrolls a FIXED prefix into
+one lazy plan (SQL-replicable, bounded — the form the dual-engine row
+``graph_mis2`` checks); ``rounds=None`` iterates to the empty-undecided
+fixpoint with one driver-side count per round (the components.py
+fixpoint pattern).
+
+Uses: independent landing-page sampling (no two adjacent pages), parallel
+scheduling of conflicting crawl/update tasks, and the classic reduction
+base for graph coloring.
+
+Reference parity: an engine extension beyond ccm's metric set (the
+reference computes per-graph scalars — /root/reference/src/ccm/
+complexity.py); same extension family as hits.py / kcore.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .lineage import truncate_plan
+
+
+def _priority(col):
+    id_str = F.col(col).cast("string")
+    return F.concat(F.md5(id_str), F.lit("-"), id_str)
+
+
+def maximal_independent_set(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    rounds: int | None = None,
+    max_iter: int = 64,
+) -> DataFrame:
+    """-> (id, state): 'in' (MIS member), 'out' (eliminated neighbor),
+    or 'und' (still undecided — only possible in bounded mode).
+
+    ``edges`` is used undirected (symmetrized, self-loops dropped).
+    ``rounds=None`` runs Luby to the fixpoint (no 'und' rows remain);
+    ``rounds=N`` runs exactly N unrolled rounds as one lazy plan.
+    """
+    nbr = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    pri = vertices.select("id", _priority("id").alias("pri"))
+
+    und = vertices.select("id")
+    members = None  # accumulated 'in' rows
+
+    bounded = rounds is not None
+    n_rounds = rounds if bounded else max_iter
+    for k in range(n_rounds):
+        if not bounded:
+            # fixpoint mode: each round starts from a materialized state
+            und = truncate_plan(und)
+            if und.limit(1).count() == 0:
+                break
+        und_pri = und.join(pri, "id")
+        # min undecided-neighbor priority per undecided vertex
+        nbr_min = (
+            nbr.join(und.select(F.col("id").alias("dst")), "dst")
+            .join(
+                pri.select(F.col("id").alias("dst"), F.col("pri").alias("np")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("np").alias("mn"))
+            .select(F.col("src").alias("id"), "mn")
+        )
+        win = (
+            und_pri.join(nbr_min, "id", "left")
+            .where(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
+            .select("id")
+        )
+        members = win if members is None else members.unionByName(win)
+        # undecided neighbors of this round's winners are eliminated
+        elim = (
+            nbr.join(win.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .join(und, "id")
+            .distinct()
+        )
+        und = und.join(win, "id", "left_anti").join(elim, "id", "left_anti")
+        if bounded:
+            und = truncate_plan(und, eager=False)
+
+    members = (
+        members
+        if members is not None
+        else vertices.select("id").where(F.lit(False))
+    )
+    state = (
+        vertices.select("id")
+        .join(members.select("id", F.lit("in").alias("s_in")), "id", "left")
+        .join(und.select("id", F.lit("und").alias("s_und")), "id", "left")
+        .select(
+            "id",
+            F.coalesce("s_in", "s_und", F.lit("out")).alias("state"),
+        )
+    )
+    return state
