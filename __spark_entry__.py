@@ -231,6 +231,26 @@ def q_graph_pagerank2_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_ppr_blocked(spark, sf_dir):
+    """Two PERSONALIZED supersteps through the scale path — blocked store
+    plus a per-block teleport-vector sidecar (linkgraph.ppr_csr) — against
+    the SAME DuckDB oracle as the flat graph_ppr2: the topic-sensitive /
+    TrustRank seed machinery survives the move to the 100TB layout."""
+    from linkgraph.ppr_csr import ppr_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    seeds = verts.where(
+        (F.col("id") < 1000000) & (F.col("id") % 50 == 0)
+    ).select("id")
+    g = build_blocked(spark, edges, verts.select("id"), n_blocks=8)
+    res = ppr_blocked(spark, g, seeds, tol=0.0, max_iter=2)
+    out = res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+    out = out.localCheckpoint()  # materialize before the store is unpinned
+    g.unpersist()
+    return out
+
+
 def q_graph_pagerank2_incremental(spark, sf_dir):
     """Crawl-refresh path: the blocked store is built on a STALE graph
     (real edges with (src+dst)%7==0 held out, spurious reversed edges
@@ -391,6 +411,17 @@ def q_graph_bfs3_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_mis2(spark, sf_dir):
+    """Two deterministic Luby MIS rounds (portable md5||id priorities) —
+    winner election and neighbor elimination replicated round for round
+    in SQL; 'und' rows mark the frontier the bounded prefix left open."""
+    from linkgraph.mis import maximal_independent_set
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    return maximal_independent_set(spark, edges, verts, rounds=2)
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity over the customer->supplier edges plus a deterministic
     reversed slice (the pure bipartite graph has none, so the fixture
@@ -435,6 +466,52 @@ def q_graph_bfs3(spark, sf_dir):
         (F.col("id") < 1000000) & (F.col("id") % 100 == 0)
     ).select("id")
     return bfs_distances(spark, edges, seeds, max_hops=3)
+
+
+def _sssp_inputs(spark, sf_dir):
+    """Weighted-edge fixture shared by the flat and blocked SSSP rows:
+    deterministic positive costs derivable in both engines."""
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    wedges = edges.select(
+        "src", "dst",
+        (
+            (F.col("src") % 97 + F.col("dst") % 89 + 1).cast("double") / 10.0
+        ).alias("w"),
+    )
+    seeds = verts.where(
+        (F.col("id") < 1000000) & (F.col("id") % 100 == 0)
+    ).select("id")
+    return verts, wedges, seeds
+
+
+def q_graph_sssp3(spark, sf_dir):
+    """3-hop WEIGHTED shortest distances (bounded Bellman-Ford) from the
+    BFS seed set — the weighted frontier relaxation of linkgraph.sssp,
+    replicated round for round in SQL."""
+    from linkgraph.sssp import sssp_distances
+
+    _, wedges, seeds = _sssp_inputs(spark, sf_dir)
+    out = sssp_distances(spark, wedges, seeds, max_hops=3)
+    return out.select("id", F.round("dist", 9).alias("dist9"))
+
+
+def q_graph_sssp3_blocked(spark, sf_dir):
+    """Same weighted relaxation on the blocked store: weight-aligned edge
+    sidecar + fused gather-add-scatter-min supersteps — same rows as
+    graph_sssp3."""
+    from linkgraph.pagerank_csr import build_blocked
+    from linkgraph.sssp import build_weight_store, sssp_blocked
+
+    verts, wedges, seeds = _sssp_inputs(spark, sf_dir)
+    g = build_blocked(
+        spark, wedges.select("src", "dst"), verts.select("id"), n_blocks=8
+    )
+    wpath = build_weight_store(spark, g, wedges)
+    out = sssp_blocked(spark, g, wpath, seeds, max_hops=3)
+    out = out.select("id", F.round("dist", 9).alias("dist9")).localCheckpoint()
+    g.delete()
+    return out
 
 
 def q_text_tfidf(spark, sf_dir):
@@ -3116,6 +3193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore_blocked": q_graph_kcore_blocked,
         "graph_bfs3": q_graph_bfs3,
         "graph_bfs3_blocked": q_graph_bfs3_blocked,
+        "graph_ppr_blocked": q_graph_ppr_blocked,
+        "graph_sssp3": q_graph_sssp3,
+        "graph_sssp3_blocked": q_graph_sssp3_blocked,
+        "graph_mis2": q_graph_mis2,
         "graph_cocitation": q_graph_cocitation,
         "text_tfidf": q_text_tfidf,
         "graph_reciprocity": q_graph_reciprocity,
@@ -4095,6 +4176,99 @@ d3 AS (
   ) GROUP BY id
 )
 SELECT id, dist::INT AS dist FROM d3
+""",
+        "graph_sssp3": f"""
+WITH {_EDGES},
+ew AS (
+  SELECT src, dst, min((src % 97 + dst % 89 + 1) / 10.0) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+d0 AS (
+  SELECT DISTINCT id, 0.0 AS dist FROM verts
+  WHERE id < 1000000 AND id % 100 = 0
+),
+d1 AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d0
+    UNION ALL
+    SELECT ew.dst AS id, d0.dist + ew.w FROM ew JOIN d0 ON ew.src = d0.id
+  ) GROUP BY id
+),
+d2 AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d1
+    UNION ALL
+    SELECT ew.dst AS id, d1.dist + ew.w FROM ew JOIN d1 ON ew.src = d1.id
+  ) GROUP BY id
+),
+d3 AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d2
+    UNION ALL
+    SELECT ew.dst AS id, d2.dist + ew.w FROM ew JOIN d2 ON ew.src = d2.id
+  ) GROUP BY id
+)
+SELECT id, round(dist, 9) AS dist9 FROM d3
+""",
+        "graph_mis2": f"""
+WITH {_EDGES},
+nbr AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+  )
+),
+p AS (
+  SELECT id,
+         md5(CAST(id AS VARCHAR)) || '-' || CAST(id AS VARCHAR) AS pri
+  FROM verts
+),
+u0 AS (SELECT id FROM verts),
+m0 AS (
+  SELECT n.src AS id, min(pp.pri) AS mn
+  FROM nbr n JOIN u0 d ON n.dst = d.id JOIN p pp ON pp.id = n.dst
+  GROUP BY 1
+),
+w0 AS (
+  SELECT u.id FROM u0 u
+  JOIN p pu ON pu.id = u.id
+  LEFT JOIN m0 ON m0.id = u.id
+  WHERE m0.mn IS NULL OR pu.pri < m0.mn
+),
+e0 AS (
+  SELECT DISTINCT n.dst AS id
+  FROM nbr n JOIN w0 w ON n.src = w.id JOIN u0 d ON n.dst = d.id
+),
+u1 AS (
+  SELECT id FROM u0
+  WHERE id NOT IN (SELECT id FROM w0) AND id NOT IN (SELECT id FROM e0)
+),
+m1 AS (
+  SELECT n.src AS id, min(pp.pri) AS mn
+  FROM nbr n JOIN u1 d ON n.dst = d.id JOIN p pp ON pp.id = n.dst
+  GROUP BY 1
+),
+w1 AS (
+  SELECT u.id FROM u1 u
+  JOIN p pu ON pu.id = u.id
+  LEFT JOIN m1 ON m1.id = u.id
+  WHERE m1.mn IS NULL OR pu.pri < m1.mn
+),
+e1 AS (
+  SELECT DISTINCT n.dst AS id
+  FROM nbr n JOIN w1 w ON n.src = w.id JOIN u1 d ON n.dst = d.id
+),
+u2 AS (
+  SELECT id FROM u1
+  WHERE id NOT IN (SELECT id FROM w1) AND id NOT IN (SELECT id FROM e1)
+)
+SELECT v.id,
+       CASE WHEN v.id IN (SELECT id FROM w0 UNION ALL SELECT id FROM w1)
+              THEN 'in'
+            WHEN v.id IN (SELECT id FROM u2) THEN 'und'
+            ELSE 'out' END AS state
+FROM verts v
 """,
         "text_diversity": f"""
 WITH {_TOKS},
@@ -6912,9 +7086,11 @@ FROM dims
     # blocked scale-path twins share their flat row's SQL verbatim: the
     # blocked implementation must reproduce the SAME rows
     out["graph_hits2_blocked"] = out["graph_hits2"]
+    out["graph_ppr_blocked"] = out["graph_ppr2"]
     out["graph_salsa2_blocked"] = out["graph_salsa2"]
     out["graph_katz2_blocked"] = out["graph_katz2"]
     out["graph_bfs3_blocked"] = out["graph_bfs3"]
+    out["graph_sssp3_blocked"] = out["graph_sssp3"]
     out["graph_kcore_blocked"] = out["graph_kcore"]
     out["graph_scc_blocked"] = out["graph_scc"]
     return out
