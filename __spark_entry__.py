@@ -411,6 +411,17 @@ def q_graph_bfs3_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_louvain2(spark, sf_dir):
+    """Two synchronous Louvain local-move rounds from singleton labels —
+    the modularity-gain argmax replayed round for round in SQL (window
+    argmax, smaller-label tie-break)."""
+    from linkgraph.community import louvain_communities
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    return louvain_communities(spark, edges, verts, rounds=2)
+
+
 def q_graph_mis2(spark, sf_dir):
     """Two deterministic Luby MIS rounds (portable md5||id priorities) —
     winner election and neighbor elimination replicated round for round
@@ -3197,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp3": q_graph_sssp3,
         "graph_sssp3_blocked": q_graph_sssp3_blocked,
         "graph_mis2": q_graph_mis2,
+        "graph_louvain2": q_graph_louvain2,
         "graph_cocitation": q_graph_cocitation,
         "text_tfidf": q_text_tfidf,
         "graph_reciprocity": q_graph_reciprocity,
@@ -3699,6 +3711,48 @@ c_{out} AS (
   FROM {prev} p LEFT JOIN c_{out} c ON p.id = c.id
 )
 """
+
+
+def _louvain_round(prev: str, out: str) -> str:
+    """One unrolled SYNCHRONOUS Louvain local-move round (community.py's
+    score(i,c) = kic - k_i*(tot(c) - [c=c_i]*k_i)/(2m), argmax with
+    smaller-label tie-break). Expects CTEs: sym (symmetrized simple
+    edges), deg (id, k), mm (m = undirected edge count)."""
+    return f"""
+tot_{out} AS (
+  SELECT p.label, sum(coalesce(d.k, 0)) AS tot
+  FROM {prev} p LEFT JOIN deg d ON p.id = d.id GROUP BY 1
+),
+kic_{out} AS (
+  SELECT s.src AS id, p.label AS cand, count(*)::DOUBLE AS kic
+  FROM sym s JOIN {prev} p ON s.dst = p.id GROUP BY 1, 2
+),
+cand_{out} AS (
+  SELECT id, cand, max(kic) AS kic FROM (
+    SELECT id, cand, kic FROM kic_{out}
+    UNION ALL
+    SELECT id, label AS cand, 0.0 AS kic FROM {prev}
+  ) GROUP BY 1, 2
+),
+sc_{out} AS (
+  SELECT c.id, c.cand,
+         c.kic - coalesce(d.k, 0)
+           * (t.tot - CASE WHEN c.cand = p.label
+                           THEN coalesce(d.k, 0) ELSE 0.0 END)
+           / (2.0 * (SELECT m FROM mm)) AS score
+  FROM cand_{out} c
+  JOIN {prev} p ON c.id = p.id
+  LEFT JOIN deg d ON c.id = d.id
+  JOIN tot_{out} t ON t.label = c.cand
+),
+{out} AS (
+  SELECT id, cand AS label FROM (
+    SELECT id, cand,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY score DESC, cand ASC) AS rk
+    FROM sc_{out}
+  ) WHERE rk = 1
+)"""
 
 
 def _hits_half(prev: str, out: str, direction: str) -> str:
@@ -4209,6 +4263,23 @@ d3 AS (
   ) GROUP BY id
 )
 SELECT id, round(dist, 9) AS dist9 FROM d3
+""",
+        "graph_louvain2": f"""
+WITH {_EDGES},
+e2 AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+sym AS (
+  SELECT u AS src, v AS dst FROM e2
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e2
+),
+deg AS (SELECT src AS id, count(*)::DOUBLE AS k FROM sym GROUP BY 1),
+mm AS (SELECT count(*)::DOUBLE AS m FROM e2),
+l0 AS (SELECT id, id AS label FROM verts)
+{',' + _louvain_round('l0', 'l1') + ',' + _louvain_round('l1', 'l2')}
+SELECT id, label FROM l2
 """,
         "graph_mis2": f"""
 WITH {_EDGES},
