@@ -1708,6 +1708,38 @@ def q_graph_wpagerank2(spark, sf_dir):
     )
 
 
+def q_graph_wpagerank2_blocked(spark, sf_dir):
+    """The same two weighted supersteps through the scale path: blocked
+    store + sum-collapsed weight-aligned sidecar + fused
+    gather-multiply-scatter-add kernel (linkgraph.wpagerank_csr) —
+    same rows as graph_wpagerank2."""
+    from linkgraph.pagerank import pagerank_weighted  # noqa: F401
+    from linkgraph.pagerank_csr import build_blocked
+    from linkgraph.sssp import build_weight_store
+    from linkgraph.wpagerank_csr import wpagerank_blocked
+
+    li = tpcgraph.load(spark, sf_dir, "lineitem")
+    orders = tpcgraph.load(spark, sf_dir, "orders")
+    wedges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + tpcgraph.SUPP_OFFSET).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    verts = tpcgraph.vertices_of(wedges.select("src", "dst"))
+    g = build_blocked(
+        spark, wedges.select("src", "dst"), verts.select("id"), n_blocks=8
+    )
+    wpath = build_weight_store(spark, g, wedges, agg="sum", keep_self=True)
+    res = wpagerank_blocked(spark, g, wpath, wedges, max_iter=2)
+    out = res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+    out = out.localCheckpoint()
+    g.delete()
+    return out
+
+
 def q_graph_conductance(spark, sf_dir):
     """Per-nation conductance of the order graph under the nation
     grouping — is the host-level rollup cutting real link structure?"""
@@ -3342,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic3": q_graph_harmonic3,
         "graph_conductance": q_graph_conductance,
         "graph_wpagerank2": q_graph_wpagerank2,
+        "graph_wpagerank2_blocked": q_graph_wpagerank2_blocked,
         "graph_top10": q_graph_top10,
         "graph_hostrank2": q_graph_hostrank2,
         "graph_health": q_graph_health,
@@ -7162,6 +7195,7 @@ FROM dims
     out["graph_katz2_blocked"] = out["graph_katz2"]
     out["graph_bfs3_blocked"] = out["graph_bfs3"]
     out["graph_sssp3_blocked"] = out["graph_sssp3"]
+    out["graph_wpagerank2_blocked"] = out["graph_wpagerank2"]
     out["graph_kcore_blocked"] = out["graph_kcore"]
     out["graph_scc_blocked"] = out["graph_scc"]
     return out

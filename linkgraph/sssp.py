@@ -84,20 +84,28 @@ def sssp_distances(
 
 
 def build_weight_store(
-    spark, g: BlockedGraph, edges: DataFrame
+    spark,
+    g: BlockedGraph,
+    edges: DataFrame,
+    agg: str = "min",
+    keep_self: bool = False,
 ) -> str:
     """Write the weight-aligned edge store for ``g``: per-db parquet of
-    (sb, sl, dl, w) rows — same normalization as ``sssp_distances``
-    (self-loops dropped, parallel edges min-collapsed), same clustering
-    sort as the rank store. Returns the store directory. All heavy
-    lifting is JVM-side (two map-side-able joins + one partitioned
-    write); no Python touches the |E| rows."""
+    (sb, sl, dl, w) rows, same clustering sort as the rank store.
+    Normalization is per-consumer: shortest paths want ``agg="min"`` /
+    ``keep_self=False`` (the ``sssp_distances`` contract — only the
+    cheapest parallel edge can be on a shortest path, self-loops never);
+    weighted PageRank wants ``agg="sum"`` / ``keep_self=True``
+    (``pagerank_weighted`` — multiplicities add, self-loops carry rank).
+    Returns the store directory. All heavy lifting is JVM-side (two
+    map-side-able joins + one partitioned write); no Python touches the
+    |E| rows."""
     wpath = f"{g.store_path}/wedges-{uuid.uuid4().hex[:8]}"
-    e = (
-        edges.where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.min("w").alias("w"))
-    )
+    e = edges
+    if not keep_self:
+        e = e.where(F.col("src") != F.col("dst"))
+    aggfn = {"min": F.min, "sum": F.sum}[agg]
+    e = e.groupBy("src", "dst").agg(aggfn("w").alias("w"))
     src_map = g.vmap.select(
         F.col("id").alias("src"),
         F.col("block").alias("sb"),

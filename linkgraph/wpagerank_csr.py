@@ -1,0 +1,203 @@
+"""Weighted PageRank on the blocked-CSR store — weight-aligned supersteps.
+
+The scale-path twin of ``linkgraph.pagerank.pagerank_weighted``: rank
+flows in proportion to edge weight (link multiplicity, anchor counts,
+link-quality priors), contrib = r(src) * w / strength(src) with
+strength = sum of outgoing weights and dangling = zero out-strength.
+
+Rides the SAME weight-aligned edge store as ``linkgraph.sssp``
+(``build_weight_store``: per-(db: sb, sl) clustering + an aligned float64
+cost array, decoded once per host to mmap'd sidecars). The pre-scaled
+rank file per block is ``s = r * inv_strength`` — exactly the plain
+blocked path's ``r * inv_od`` generalized — so a superstep gathers
+``sum_edges s[sl] * w`` per destination, which vectorizes as ONE
+``np.bincount(dl, weights=s[sl] * w)`` per (db, sb) segment: a fused
+gather-multiply-scatter-add, no Python loop over edges, zero shuffle,
+O(B) scalar driver rows per superstep. Scaling shape is the measured
+scatter-add gate's (BENCH/BASELINE.md: PageRank gate, median 1.06).
+
+Dual-engine row ``graph_wpagerank2_blocked`` replays the SAME unrolled
+SQL as the flat weighted path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .checkpoint import StepTimer
+from .lineage import truncate_plan
+from .pagerank import PageRankResult, SuperstepInfo
+from .pagerank_csr import BlockedGraph, _ranks_root, _write_npy_atomic
+from .sssp import _load_wblock
+
+
+def wpagerank_blocked(
+    spark,
+    g: BlockedGraph,
+    wpath: str,
+    wedges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 0.0,
+    max_iter: int = 2,
+    keep_steps: int = 2,
+) -> PageRankResult:
+    """-> PageRankResult over the weighted graph in ``wpath`` (a
+    ``build_weight_store`` directory for ``g``'s vertex mapping).
+    ``wedges(src, dst, w)`` is ONLY used to derive per-vertex
+    out-strengths (one JVM-side aggregation); the superstep edge data
+    comes from the store."""
+    n, n_blocks, token = g.n, g.n_blocks, g.build_token
+    rdir = f"{_ranks_root(g)}/wpr-{uuid.uuid4().hex[:12]}"
+    os.makedirs(rdir, exist_ok=True)
+
+    # per-block out-strength arrays in local order (block_meta's od
+    # pattern, weighted). NO self-loop filter: pagerank_weighted keeps
+    # them (rank may flow to self), so ``wpath`` must be built with
+    # agg="sum", keep_self=True. O(V) total but O(V/B) per task.
+    s = wedges.groupBy("src").agg(F.sum("w").alias("strength"))
+    per_block = (
+        g.vmap.join(s, g.vmap["id"] == s["src"], "left")
+        .groupBy("block")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("local").cast("int").alias("l"),
+                            F.coalesce("strength", F.lit(0.0)).alias("v"),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ).alias("sv"),
+        )
+    )
+
+    def prep_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        for d in ("step0", "dangling", "static"):
+            os.makedirs(f"{rdir}/{d}", exist_ok=True)
+        out = []
+        for b, sv in zip(pdf["block"], pdf["sv"]):
+            b = int(b)
+            sv_arr = np.asarray(sv, dtype=np.float64)
+            with np.errstate(divide="ignore"):
+                inv = np.where(sv_arr > 0, 1.0 / sv_arr, 0.0)
+            _write_npy_atomic(f"{rdir}/static/inv{b}.npy", inv)
+            dang = np.flatnonzero(sv_arr <= 0)
+            _write_npy_atomic(f"{rdir}/dangling/b{b}.npy", dang)
+            r0 = np.full(len(sv_arr), 1.0 / n)
+            _write_npy_atomic(f"{rdir}/step0/b{b}.npy", r0)
+            _write_npy_atomic(f"{rdir}/step0/s{b}.npy", r0 * inv)
+            out.append((b, float(len(dang)) / n))
+        return pd.DataFrame(out, columns=["block", "dm"])
+
+    dangling = float(
+        per_block.groupBy("block")
+        .applyInPandas(prep_kernel, "block int, dm double")
+        .agg(F.sum("dm"))
+        .collect()[0][0]
+        or 0.0
+    )
+
+    work = truncate_plan(
+        g.block_meta.select(
+            F.col("block").alias("db"), F.col("size").alias("dsize")
+        ).repartitionByRange(g.n_blocks, "db")
+    )
+
+    supersteps: list[SuperstepInfo] = []
+    converged = False
+    for step in range(max_iter):
+        with StepTimer() as t:
+            base = (1.0 - damping) / n + damping * dangling / n
+            cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
+
+            def make_step_fn(_cur, _nxt, _base):
+                def step_fn(batches):
+                    dfs = [b for b in batches if len(b)]
+                    if not dfs:
+                        return
+                    pdf = pd.concat(dfs, ignore_index=True)
+                    rows = []
+                    rs_cache: dict = {}
+                    for db, dsize in zip(pdf["db"], pdf["dsize"]):
+                        db, dsize = int(db), int(dsize)
+                        acc = np.zeros(dsize)
+                        offs, sl, dl, w = _load_wblock(
+                            wpath, token, db, n_blocks
+                        )
+                        for sb in np.flatnonzero(np.diff(offs)):
+                            a, b_ = int(offs[sb]), int(offs[sb + 1])
+                            rs = rs_cache.get(sb)
+                            if rs is None:
+                                rs = np.load(
+                                    f"{_cur}/s{sb}.npy", mmap_mode="r"
+                                )
+                                rs_cache[sb] = rs
+                            seg_sl = np.asarray(sl[a:b_], dtype=np.int64)
+                            seg_dl = np.asarray(dl[a:b_], dtype=np.int64)
+                            # fused gather-multiply-scatter-add
+                            acc += np.bincount(
+                                seg_dl,
+                                weights=rs[seg_sl] * w[a:b_],
+                                minlength=dsize,
+                            )
+                        new = _base + damping * acc
+                        old = np.load(f"{_cur}/b{db}.npy", mmap_mode="r")
+                        l1 = float(np.abs(new - old).sum())
+                        dang = np.load(
+                            f"{rdir}/dangling/b{db}.npy", mmap_mode="r"
+                        )
+                        dm = float(new[dang].sum()) if len(dang) else 0.0
+                        inv = np.load(
+                            f"{rdir}/static/inv{db}.npy", mmap_mode="r"
+                        )
+                        os.makedirs(_nxt, exist_ok=True)
+                        _write_npy_atomic(f"{_nxt}/b{db}.npy", new)
+                        _write_npy_atomic(f"{_nxt}/s{db}.npy", new * inv)
+                        rows.append((db, l1, dm))
+                    yield pd.DataFrame(rows, columns=["block", "l1", "dm"])
+
+                return step_fn
+
+            row = (
+                work.mapInPandas(
+                    make_step_fn(cur, nxt, base),
+                    "block int, l1 double, dm double",
+                )
+                .agg(F.sum("l1").alias("l1"), F.sum("dm").alias("dm"))
+                .collect()[0]
+            )
+            delta, next_dangling = float(row["l1"]), float(row["dm"])
+            stale = step - keep_steps + 1
+            if stale >= 0:
+                shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
+        supersteps.append(SuperstepInfo(step, delta, dangling, t.seconds))
+        dangling = next_dangling
+        if tol > 0 and delta < tol:
+            converged = True
+            break
+
+    last = f"{rdir}/step{len(supersteps)}"
+
+    def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b in pdf["block"]:
+            b = int(b)
+            out.append((b, np.load(f"{last}/b{b}.npy")))
+        return pd.DataFrame(out, columns=["block", "rv"])
+
+    flat = (
+        g.block_meta.groupBy("block")
+        .applyInPandas(read_kernel, "block int, rv array<double>")
+        .select("block", F.posexplode("rv").alias("local", "rank"))
+        .join(g.vmap, ["block", "local"])
+        .select("id", "rank")
+    )
+    return PageRankResult(flat, len(supersteps), converged, supersteps)
