@@ -132,3 +132,37 @@ def test_round3_late_ops_empty(spark):
 
     # effective diameter over an empty graph: no rows, no crash
     assert effective_diameter(spark, e, v, b=4, iters=2).count() == 0
+
+
+def test_round4_late_ops_empty(spark):
+    from linkgraph.community import louvain_communities
+    from linkgraph.mis import maximal_independent_set
+    from linkgraph.sssp import sssp_distances
+
+    e = _empty(spark, "src long, dst long")
+    v = _empty(spark, "id long")
+    we = _empty(spark, "src long, dst long, w double")
+
+    # MIS: no vertices -> no rows; no edges -> every vertex 'in'
+    assert maximal_independent_set(spark, e, v).count() == 0
+    verts3 = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    states = {
+        r["state"]
+        for r in maximal_independent_set(spark, e, verts3).collect()
+    }
+    assert states == {"in"}
+
+    # Louvain: no edges -> singleton labels survive; no vertices -> empty
+    got = {
+        r["id"]: r["label"]
+        for r in louvain_communities(spark, e, verts3, rounds=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+    assert louvain_communities(spark, e, v, rounds=1).count() == 0
+
+    # SSSP: no seeds -> no rows; no edges -> seeds only at distance 0
+    seeds = _empty(spark, "id long")
+    assert sssp_distances(spark, we, seeds, max_hops=2).count() == 0
+    one_seed = spark.createDataFrame([(7,)], "id long")
+    rows = sssp_distances(spark, we, one_seed, max_hops=2).collect()
+    assert [(r["id"], r["dist"]) for r in rows] == [(7, 0.0)]
