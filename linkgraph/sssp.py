@@ -55,7 +55,11 @@ from .pagerank_csr import (
 
 
 def sssp_distances(
-    spark, edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    truncate_rounds: bool = True,
 ) -> DataFrame:
     """-> (id, dist) — minimal directed WEIGHTED distance from the seed
     set within ``max_hops`` edges (unreached vertices absent).
@@ -63,6 +67,9 @@ def sssp_distances(
     ``edges`` must carry (src, dst, w); self-loops are dropped and
     parallel edges collapsed to their cheapest cost (the only one a
     shortest path can use), exactly what the SQL oracle does.
+    ``truncate_rounds=False`` keeps the whole unrolled relaxation one
+    inspectable lazy plan (the plan-audit view); the default truncates
+    per round so deep radii don't stack analyzer work.
     """
     e = (
         edges.where(F.col("src") != F.col("dst"))
@@ -76,10 +83,11 @@ def sssp_distances(
         ).select(
             F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        dist = truncate_plan(
-            dist.unionByName(hop).groupBy("id").agg(F.min("dist").alias("dist")),
-            eager=False,
+        dist = dist.unionByName(hop).groupBy("id").agg(
+            F.min("dist").alias("dist")
         )
+        if truncate_rounds:
+            dist = truncate_plan(dist, eager=False)
     return dist.select("id", "dist")
 
 

@@ -266,6 +266,29 @@ def main() -> None:
             __import__("linkgraph.pca", fromlist=["pca_cov"]).pca_cov(
                 embs, dim=64
             ),
+        "weighted SSSP round (frontier join + union + per-vertex min, "
+        "unrolled lazy prefix)": __import__(
+            "linkgraph.sssp", fromlist=["sssp_distances"]
+        ).sssp_distances(
+            spark,
+            edges.select(
+                "src", "dst",
+                (F.pmod("src", F.lit(97)) + 1).cast("double").alias("w"),
+            ),
+            verts.select("id").where(F.pmod("id", F.lit(100)) == 0),
+            max_hops=2,
+            truncate_rounds=False,
+        ),
+        "Luby MIS round (one neighbor-min agg + two anti-joins, bounded "
+        "prefix)": __import__(
+            "linkgraph.mis", fromlist=["maximal_independent_set"]
+        ).maximal_independent_set(spark, edges, verts, rounds=1),
+        "Louvain local move (label-keyed aggs + per-vertex window argmax)":
+            __import__(
+                "linkgraph.community", fromlist=["louvain_communities"]
+            ).louvain_communities(
+                spark, edges, verts, rounds=1, materialize_each=False
+            ),
     }
 
     out = ["# BENCH/PLANS.md — physical-plan audit (headline queries)", ""]
