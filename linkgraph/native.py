@@ -77,6 +77,24 @@ void scatter_min32(const int32_t *sl, const int32_t *dl, int64_t n,
     }
 }
 
+/* weighted add: acc[dl[i]] += rs[sl[i]] * w[i] — weighted PageRank's
+   contrib = scaled_rank(src) * edge_weight over the weight-aligned
+   store (same edge order as an unchunked bincount: bit-compatible) */
+void scatter_addw32(const int32_t *sl, const int32_t *dl, const double *w,
+                    int64_t n, const double *rs, double *acc) {
+    for (int64_t i = 0; i < n; i++) acc[dl[i]] += rs[sl[i]] * w[i];
+}
+
+/* weighted relax: acc[dl[i]] = min(acc[dl[i]], rs[sl[i]] + w[i]) —
+   the bounded Bellman-Ford superstep over the weight-aligned store */
+void scatter_minw32(const int32_t *sl, const int32_t *dl, const double *w,
+                    int64_t n, const double *rs, double *acc) {
+    for (int64_t i = 0; i < n; i++) {
+        double v = rs[sl[i]] + w[i];
+        if (v < acc[dl[i]]) acc[dl[i]] = v;
+    }
+}
+
 /* label gather through packed edge words: lab[i] = rs[e[i] >> 16],
    dl[i] = e[i] & 0xffff — the unpack half of the modal-vote superstep
    (label propagation needs every incoming label materialized per dst
@@ -379,6 +397,58 @@ def scatter_min_pack16(e: np.ndarray, rs: np.ndarray, acc: np.ndarray) -> None:
             (w & np.uint32(0xFFFF)).astype(np.int64),
             rs[(w >> np.uint32(16)).astype(np.int64)],
         )
+
+
+def scatter_addw32(
+    sl: np.ndarray, dl: np.ndarray, w: np.ndarray,
+    rs: np.ndarray, acc: np.ndarray,
+) -> None:
+    """acc[dl[i]] += rs[sl[i]] * w[i] — the weighted-PageRank gather
+    (weight-aligned store). Edge-order accumulation in the native path is
+    bit-compatible with one unchunked bincount; the fallback chunks."""
+    lib = get_lib()
+    if lib is not None:
+        sl = np.ascontiguousarray(sl, dtype=np.int32)
+        dl = np.ascontiguousarray(dl, dtype=np.int32)
+        w = np.ascontiguousarray(w, dtype=np.float64)
+        lib.scatter_addw32(
+            sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _as_f64_ptr(w),
+            ctypes.c_int64(len(sl)), _as_f64_ptr(rs), _as_f64_ptr(acc),
+        )
+        return
+    dsize = len(acc)
+    for off in range(0, len(sl), _CHUNK):
+        s = np.asarray(sl[off:off + _CHUNK]).astype(np.int64, copy=False)
+        d = np.asarray(dl[off:off + _CHUNK]).astype(np.int64, copy=False)
+        ww = np.asarray(w[off:off + _CHUNK], dtype=np.float64)
+        acc += np.bincount(d, weights=rs[s] * ww, minlength=dsize)
+
+
+def scatter_minw32(
+    sl: np.ndarray, dl: np.ndarray, w: np.ndarray,
+    rs: np.ndarray, acc: np.ndarray,
+) -> None:
+    """acc[dl[i]] = min(acc[dl[i]], rs[sl[i]] + w[i]) — the weighted
+    Bellman-Ford relaxation (exact: min is order-free)."""
+    lib = get_lib()
+    if lib is not None:
+        sl = np.ascontiguousarray(sl, dtype=np.int32)
+        dl = np.ascontiguousarray(dl, dtype=np.int32)
+        w = np.ascontiguousarray(w, dtype=np.float64)
+        lib.scatter_minw32(
+            sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _as_f64_ptr(w),
+            ctypes.c_int64(len(sl)), _as_f64_ptr(rs), _as_f64_ptr(acc),
+        )
+        return
+    for off in range(0, len(sl), _CHUNK):
+        s = np.asarray(sl[off:off + _CHUNK]).astype(np.int64, copy=False)
+        d = np.asarray(dl[off:off + _CHUNK]).astype(np.int64, copy=False)
+        ww = np.asarray(w[off:off + _CHUNK], dtype=np.float64)
+        np.minimum.at(acc, d, rs[s] + ww)
 
 
 def gather_labels_pack16(

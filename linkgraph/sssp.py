@@ -22,9 +22,10 @@ per-edge float64 cost as one extra aligned array — decoded once per host
 to mmap'd ``.npy`` sidecars (the exact decode-once/cache-everywhere
 contract of ``pagerank_csr._load_block``). A superstep is ONE map-only
 job: load my distance block, for each in-edge segment take
-``min(acc[dl], dist_src[sl] + w)`` (vectorized ``np.minimum.at`` — the
-per-edge addend makes this a fused gather-add-scatter-min, the weighted
-cousin of ``native.scatter_min32``), write the next distance vector.
+``min(acc[dl], dist_src[sl] + w)`` through the native
+``scatter_minw32`` kernel (the weighted cousin of
+``native.scatter_min32``; ``np.minimum.at`` fallback), write the next
+distance vector.
 Zero shuffle; O(B) scalar rows of driver traffic per superstep; identical
 N→4N scaling shape to the measured CC/BFS scatter-min gate
 (BENCH/BASELINE.md: CC gate, median 0.93).
@@ -45,6 +46,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from . import native
 from .lineage import truncate_plan
 from .pagerank_csr import (
     BlockedGraph,
@@ -256,11 +258,11 @@ def sssp_blocked(
                         if vs is None:
                             vs = np.load(f"{_cur}/b{sb}.npy")
                             vec_cache[sb] = vs
-                        seg_sl = np.asarray(sl[a:b_], dtype=np.int64)
-                        seg_dl = np.asarray(dl[a:b_], dtype=np.int64)
-                        # fused gather-add-scatter-min: the weighted
-                        # cousin of native.scatter_min32 (per-edge addend)
-                        np.minimum.at(acc, seg_dl, vs[seg_sl] + w[a:b_])
+                        # fused gather-add-scatter-min (native kernel;
+                        # chunked-numpy fallback inside)
+                        native.scatter_minw32(
+                            sl[a:b_], dl[a:b_], w[a:b_], vs, acc
+                        )
                     os.makedirs(_nxt, exist_ok=True)
                     _write_npy_atomic(f"{_nxt}/b{db}.npy", acc)
                     rows.append((db, int(np.isfinite(acc).sum())))

@@ -10,9 +10,10 @@ Rides the SAME weight-aligned edge store as ``linkgraph.sssp``
 cost array, decoded once per host to mmap'd sidecars). The pre-scaled
 rank file per block is ``s = r * inv_strength`` — exactly the plain
 blocked path's ``r * inv_od`` generalized — so a superstep gathers
-``sum_edges s[sl] * w`` per destination, which vectorizes as ONE
-``np.bincount(dl, weights=s[sl] * w)`` per (db, sb) segment: a fused
-gather-multiply-scatter-add, no Python loop over edges, zero shuffle,
+``sum_edges s[sl] * w`` per destination through the native
+``scatter_addw32`` kernel (one C loop per (db, sb) segment; chunked
+``np.bincount`` fallback): a fused gather-multiply-scatter-add, no
+Python loop over edges, zero shuffle,
 O(B) scalar driver rows per superstep. Scaling shape is the measured
 scatter-add gate's (BENCH/BASELINE.md: PageRank gate, median 1.06).
 
@@ -31,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .checkpoint import StepTimer
+from . import native
 from .lineage import truncate_plan
 from .pagerank import PageRankResult, SuperstepInfo
 from .pagerank_csr import BlockedGraph, _ranks_root, _write_npy_atomic
@@ -140,13 +142,10 @@ def wpagerank_blocked(
                                     f"{_cur}/s{sb}.npy", mmap_mode="r"
                                 )
                                 rs_cache[sb] = rs
-                            seg_sl = np.asarray(sl[a:b_], dtype=np.int64)
-                            seg_dl = np.asarray(dl[a:b_], dtype=np.int64)
-                            # fused gather-multiply-scatter-add
-                            acc += np.bincount(
-                                seg_dl,
-                                weights=rs[seg_sl] * w[a:b_],
-                                minlength=dsize,
+                            # fused gather-multiply-scatter-add (native
+                            # kernel; chunked-numpy fallback inside)
+                            native.scatter_addw32(
+                                sl[a:b_], dl[a:b_], w[a:b_], rs, acc
                             )
                         new = _base + damping * acc
                         old = np.load(f"{_cur}/b{db}.npy", mmap_mode="r")

@@ -78,3 +78,42 @@ def test_accumulates_into_existing_acc():
     acc = np.full(100, 7.0)
     native.scatter_add32(sl, dl, rs, acc)
     np.testing.assert_allclose(acc, 7.0 + _ref(sl, dl, rs, 100), rtol=1e-12)
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_scatter_addw32_matches_reference(force_fallback, monkeypatch):
+    if force_fallback:
+        monkeypatch.setenv("LINKGRAPH_NATIVE", "0")
+    rng = np.random.default_rng(11)
+    dsize, ssize, n = 4000, 3000, 150_000
+    sl = rng.integers(0, ssize, n).astype(np.int32)
+    dl = rng.integers(0, dsize, n).astype(np.int32)
+    w = rng.random(n)
+    rs = rng.random(ssize)
+    acc = np.zeros(dsize)
+    native.scatter_addw32(sl, dl, w, rs, acc)
+    ref = np.bincount(
+        dl.astype(np.int64),
+        weights=rs[sl.astype(np.int64)] * w,
+        minlength=dsize,
+    )
+    np.testing.assert_allclose(acc, ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_scatter_minw32_matches_reference(force_fallback, monkeypatch):
+    if force_fallback:
+        monkeypatch.setenv("LINKGRAPH_NATIVE", "0")
+    rng = np.random.default_rng(12)
+    dsize, ssize, n = 4000, 3000, 150_000
+    sl = rng.integers(0, ssize, n).astype(np.int32)
+    dl = rng.integers(0, dsize, n).astype(np.int32)
+    w = rng.random(n)
+    rs = rng.random(ssize)
+    acc = np.full(dsize, np.inf)
+    native.scatter_minw32(sl, dl, w, rs, acc)
+    ref = np.full(dsize, np.inf)
+    np.minimum.at(
+        ref, dl.astype(np.int64), rs[sl.astype(np.int64)] + w
+    )
+    assert (acc == ref).all()  # min is order-free: exact equality
