@@ -128,7 +128,14 @@ def label_propagation(
     labels = truncate_plan(labels)
 
     for step in range(start, iterations):
-        lab_rep = _replicate_hub_labels(labels, hub_ids, salt_buckets)
+        # shuffle_hash hint on the (small) label side: without it the
+        # superstep join is a sort-merge that re-sorts all |E| sym rows
+        # EVERY round — same discipline as pagerank's rank-side hint
+        # (pagerank.py:230). Measured at sf0.1, 5 interleaved reps:
+        # hinted beat plain in 5/5 pairs, min 3.94s vs 4.31s.
+        lab_rep = _replicate_hub_labels(labels, hub_ids, salt_buckets).hint(
+            "shuffle_hash"
+        )
         votes = (
             sym.join(
                 lab_rep,
@@ -146,24 +153,54 @@ def label_propagation(
             )
             .select("vid", F.col("best.label").alias("new_label"))
         )
-        labels = (
-            labels.join(winner, labels["id"] == F.col("vid"), "left")
-            .select(
-                "id", F.coalesce("new_label", F.col("label")).alias("label")
-            )
-        )
         if checkpoint is not None:
+            # checkpoint rounds persist FULL per-vertex state (the resume
+            # contract), so fold the winners back over every vertex here
+            labels = (
+                labels.join(
+                    winner.hint("shuffle_hash"),
+                    labels["id"] == F.col("vid"),
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.coalesce("new_label", F.col("label")).alias("label"),
+                )
+            )
             labels = checkpoint.write_state(
                 labels.select("id", "label", F.lit(step).alias("superstep")),
                 "labelprop",
                 step,
             ).select("id", "label")
         else:
-            # lazy truncation: iterations are FIXED (no convergence check
-            # reads a scalar per round), so no per-round driver action is
-            # needed at all — the caller's one action computes the whole
-            # chain, each round's blocks still checkpointed/cached en route
-            labels = truncate_plan(labels, eager=False)
+            # ACTIVE-SET round: sym is symmetric, so `winner` covers
+            # exactly the vertices with >= 1 neighbor — and only those can
+            # ever change label or cast a vote. Carrying just the winners
+            # forward drops the per-round |V| coalesce join entirely;
+            # isolated vertices are re-attached once after the loop
+            # (measured equal output, pairwise faster 4/5 interleaved reps
+            # at sf0.1). Lazy truncation: iterations are FIXED, so the
+            # caller's one action computes the whole chain.
+            labels = truncate_plan(
+                winner.select(
+                    F.col("vid").alias("id"),
+                    F.col("new_label").alias("label"),
+                ),
+                eager=False,
+            )
+    if checkpoint is None and iterations > start:
+        # isolated vertices (never a src in the symmetric closure) keep
+        # their starting label — one anti-join outside the loop
+        isolated = (
+            vertices.select("id")
+            .join(
+                sym.select(F.col("src").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+            .select("id", F.col("id").alias("label"))
+        )
+        labels = labels.unionByName(isolated)
     return labels
 
 
