@@ -422,6 +422,19 @@ def q_graph_louvain2(spark, sf_dir):
     return louvain_communities(spark, edges, verts, rounds=2)
 
 
+def q_graph_louvain_quality(spark, sf_dir):
+    """Composition the community pipeline ships: 2 Louvain local-move
+    rounds feed the Newman-Girvan modularity terms — per-community
+    q_c = m_c/m - (d_c/2m)^2 over the Louvain partition."""
+    from linkgraph.community import louvain_communities
+    from linkgraph.graph import modularity
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    labels = louvain_communities(spark, edges, verts, rounds=2)
+    return modularity(edges, labels)
+
+
 def q_graph_mis2(spark, sf_dir):
     """Two deterministic Luby MIS rounds (portable md5||id priorities) —
     winner election and neighbor elimination replicated round for round
@@ -3241,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp3_blocked": q_graph_sssp3_blocked,
         "graph_mis2": q_graph_mis2,
         "graph_louvain2": q_graph_louvain2,
+        "graph_louvain_quality": q_graph_louvain_quality,
         "graph_cocitation": q_graph_cocitation,
         "text_tfidf": q_text_tfidf,
         "graph_reciprocity": q_graph_reciprocity,
@@ -4313,6 +4327,39 @@ mm AS (SELECT count(*)::DOUBLE AS m FROM e2),
 l0 AS (SELECT id, id AS label FROM verts)
 {',' + _louvain_round('l0', 'l1') + ',' + _louvain_round('l1', 'l2')}
 SELECT id, label FROM l2
+""",
+        "graph_louvain_quality": f"""
+WITH {_EDGES},
+e2 AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+sym AS (
+  SELECT u AS src, v AS dst FROM e2
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e2
+),
+deg AS (SELECT src AS id, count(*)::DOUBLE AS k FROM sym GROUP BY 1),
+mm AS (SELECT count(*)::DOUBLE AS m FROM e2),
+l0 AS (SELECT id, id AS label FROM verts)
+{',' + _louvain_round('l0', 'l1') + ',' + _louvain_round('l1', 'l2')},
+ds AS (
+  SELECT l.label, count(*) AS n_nodes, sum(coalesce(d.k, 0)) AS degree_sum
+  FROM l2 l LEFT JOIN deg d ON l.id = d.id GROUP BY 1
+),
+ie AS (
+  SELECT la.label, count(*) AS intra
+  FROM e2 JOIN l2 la ON e2.u = la.id JOIN l2 lb ON e2.v = lb.id
+  WHERE la.label = lb.label GROUP BY 1
+)
+SELECT ds.label, ds.n_nodes::BIGINT AS n_nodes,
+       coalesce(ie.intra, 0)::BIGINT AS intra_edges,
+       ds.degree_sum::BIGINT AS degree_sum,
+       round(coalesce(ie.intra, 0)::DOUBLE / (SELECT m FROM mm)
+             - (ds.degree_sum::DOUBLE / (2 * (SELECT m FROM mm)))
+               * (ds.degree_sum::DOUBLE / (2 * (SELECT m FROM mm))), 9)
+         AS q_term9
+FROM ds LEFT JOIN ie ON ds.label = ie.label
 """,
         "graph_mis2": f"""
 WITH {_EDGES},
