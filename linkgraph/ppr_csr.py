@@ -60,6 +60,7 @@ def ppr_blocked(
     tol: float = 1e-9,
     max_iter: int = 100,
     keep_steps: int = 2,
+    run_dir: str | None = None,
 ) -> PageRankResult:
     """-> PageRankResult whose .ranks is (id, rank), personalized on seeds.
 
@@ -70,6 +71,15 @@ def ppr_blocked(
     order (tested allclose 1e-12; the dual-engine oracle row
     ``graph_ppr_blocked`` pins it to the unrolled DuckDB SQL exactly at
     round-9).
+
+    ``run_dir`` names the run's checkpoint directory (pagerank_blocked's
+    resume contract): a killed run handed the same ``run_dir`` resumes
+    mid-iteration — the per-step ``part/g<k>.npy`` metric file marks a
+    superstep complete, prep and every finished superstep are skipped,
+    and the result is bit-identical to an uninterrupted run (tested).
+    Prior supersteps appear in the result with seconds=0.0. The seed set
+    must be the same across resumes (the teleport sidecar is only written
+    at step 0).
     """
     n, n_blocks = g.n, g.n_blocks
     store, token = g.store_path, g.build_token
@@ -86,12 +96,19 @@ def ppr_blocked(
         )
     tp_val = 1.0 / n_seeds
 
-    rdir = f"{_ranks_root(g)}/ppr-{uuid.uuid4().hex[:12]}"
-    os.makedirs(rdir, exist_ok=True)
+    rdir = run_dir or f"{_ranks_root(g)}/ppr-{uuid.uuid4().hex[:12]}"
+    os.makedirs(f"{rdir}/part", exist_ok=True)
+    prior = []
+    k = 0
+    while os.path.exists(f"{rdir}/part/g{k}.npy"):
+        prior.append(np.load(f"{rdir}/part/g{k}.npy"))
+        k += 1
+    start_step = len(prior)
 
     # prep job 1 (every block): static inv_od + dangling locals + ZERO
     # teleport vector + uniform step-0 ranks. Per-block work only — O(V/B)
-    # rows per task, nothing O(V) on the driver.
+    # rows per task, nothing O(V) on the driver. Skipped entirely on
+    # resume (the retained step files + sidecars win).
     def prep_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         for d in ("step0", "dangling", "static", "tp"):
             os.makedirs(f"{rdir}/{d}", exist_ok=True)
@@ -113,32 +130,49 @@ def ppr_blocked(
             out.append((b, float(len(dang)) / n))
         return pd.DataFrame(out, columns=["block", "dm"])
 
-    dangling = float(
-        g.block_meta.groupBy("block")
-        .applyInPandas(prep_kernel, "block int, dm double")
-        .agg(F.sum("dm"))
-        .collect()[0][0]
-        or 0.0
-    )
+    if start_step == 0:
+        dangling = float(
+            g.block_meta.groupBy("block")
+            .applyInPandas(prep_kernel, "block int, dm double")
+            .agg(F.sum("dm"))
+            .collect()[0][0]
+            or 0.0
+        )
 
-    # prep job 2 (seed blocks only): overwrite the zero teleport file with
-    # tp_val at seed positions. Runs strictly after job 1 (the aggregate
-    # above is an action), so the atomic rename always wins.
-    sizes_by_block = g.block_meta.select("block", "size")
+        # prep job 2 (seed blocks only): overwrite the zero teleport file
+        # with tp_val at seed positions. Runs strictly after job 1 (the
+        # aggregate above is an action), so the atomic rename always wins.
+        sizes_by_block = g.block_meta.select("block", "size")
 
-    def seed_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(pdf["block"].iloc[0])
-        arr = np.zeros(int(pdf["size"].iloc[0]), dtype=np.float64)
-        arr[pdf["local"].to_numpy(dtype=np.int64)] = tp_val
-        _write_npy_atomic(f"{rdir}/tp/b{b}.npy", arr)
-        return pd.DataFrame({"block": [b]})
+        def seed_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["block"].iloc[0])
+            arr = np.zeros(int(pdf["size"].iloc[0]), dtype=np.float64)
+            arr[pdf["local"].to_numpy(dtype=np.int64)] = tp_val
+            _write_npy_atomic(f"{rdir}/tp/b{b}.npy", arr)
+            return pd.DataFrame({"block": [b]})
 
-    (
-        seed_pos.join(sizes_by_block, "block")
-        .groupBy("block")
-        .applyInPandas(seed_kernel, "block int")
-        .count()
-    )
+        (
+            seed_pos.join(sizes_by_block, "block")
+            .groupBy("block")
+            .applyInPandas(seed_kernel, "block int")
+            .count()
+        )
+    else:
+        # resume: dangling mass of the last completed superstep
+        dangling = float(prior[-1][1])
+
+    # prior steps re-enter the result with seconds=0.0; step 0's incoming
+    # dangling mass is the uniform start's n_dangling/n, later steps carry
+    # the recorded post-step mass forward (pagerank_blocked's convention)
+    prior_info = [
+        SuperstepInfo(
+            k,
+            float(rec[0]),
+            g.n_dangling / n if k == 0 else float(prior[k - 1][1]),
+            0.0,
+        )
+        for k, rec in enumerate(prior)
+    ]
 
     work = truncate_plan(
         g.block_meta.select(
@@ -147,8 +181,10 @@ def ppr_blocked(
     )
 
     supersteps: list[SuperstepInfo] = []
-    converged = False
-    for step in range(max_iter):
+    converged = bool(prior and float(prior[-1][0]) < tol)
+    for step in range(start_step, max_iter):
+        if converged:
+            break
         with StepTimer() as t:
             cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
 
@@ -211,6 +247,12 @@ def ppr_blocked(
                 .collect()[0]
             )
             delta, next_dangling = float(row["l1"]), float(row["dm"])
+            # completion marker: g<k> present == superstep k finished —
+            # the resume position AND the metrics record
+            _write_npy_atomic(
+                f"{rdir}/part/g{step}.npy",
+                np.array([delta, next_dangling]),
+            )
             stale = step - keep_steps + 1
             if stale >= 0:
                 shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
@@ -220,6 +262,7 @@ def ppr_blocked(
             converged = True
             break
 
+    supersteps = prior_info + supersteps
     last = f"{rdir}/step{len(supersteps)}"
 
     def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

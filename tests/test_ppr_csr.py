@@ -98,3 +98,29 @@ def test_ppr_blocked_matches_python_oracle(spark, small, blocked):
     assert set(blk) == set(want)
     for k, v in want.items():
         assert abs(blk[k] - v) < 1e-6, k
+
+
+def test_ppr_blocked_resume_bit_identical(spark, small, blocked, tmp_path):
+    seeds = _seeds(small)
+    rdir = str(tmp_path / "ppr_run")
+    # uninterrupted 8-step reference (fresh run dir)
+    ref = collect_map(
+        ppr_blocked(
+            spark, blocked, seeds, tol=0.0, max_iter=8,
+            run_dir=str(tmp_path / "ppr_ref"),
+        ).ranks,
+        "id", "rank",
+    )
+    # killed-after-3 run + resume to 8 in the same dir
+    r1 = ppr_blocked(
+        spark, blocked, seeds, tol=0.0, max_iter=3, run_dir=rdir
+    )
+    assert r1.iterations == 3
+    r2 = ppr_blocked(
+        spark, blocked, seeds, tol=0.0, max_iter=8, run_dir=rdir
+    )
+    assert r2.iterations == 8
+    # resumed steps re-enter the history with seconds=0.0
+    assert [s.seconds for s in r2.supersteps[:3]] == [0.0, 0.0, 0.0]
+    got = collect_map(r2.ranks, "id", "rank")
+    assert got == ref  # bit-identical, not just allclose
