@@ -124,3 +124,48 @@ def maximal_independent_set(
         )
     )
     return state
+
+
+def greedy_coloring(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_colors: int = 64,
+) -> DataFrame:
+    """-> (id, color): proper vertex coloring by ITERATED Luby — color c
+    is the maximal independent set of the residual graph after colors
+    0..c-1 are removed (the classic MIS→coloring reduction; deterministic
+    because each MIS round uses the same portable priorities).
+
+    Colors used is bounded by degeneracy-order quality, not Δ+1-optimal,
+    but web graphs have tiny degeneracy relative to Δ (hubs color early).
+    Use: conflict-free scheduling of mutually-linked page updates /
+    crawl-politeness batches. Raises if ``max_colors`` rounds leave
+    vertices uncolored (pathological for sane inputs)."""
+    remaining = truncate_plan(vertices.select("id"))
+    colored = None
+    for c in range(max_colors):
+        if remaining.limit(1).count() == 0:
+            break
+        sub_edges = (
+            edges.join(
+                remaining.select(F.col("id").alias("src")), "src"
+            ).join(remaining.select(F.col("id").alias("dst")), "dst")
+        )
+        mis = maximal_independent_set(spark, sub_edges, remaining)
+        chosen = mis.where(F.col("state") == "in").select(
+            "id", F.lit(c).alias("color")
+        )
+        chosen = truncate_plan(chosen)
+        colored = chosen if colored is None else colored.unionByName(chosen)
+        remaining = truncate_plan(
+            remaining.join(chosen.select("id"), "id", "left_anti")
+        )
+    else:
+        if remaining.limit(1).count() > 0:
+            raise ValueError(f"greedy_coloring: > {max_colors} colors needed")
+    return (
+        colored
+        if colored is not None
+        else vertices.select("id", F.lit(0).alias("color")).where(F.lit(False))
+    )

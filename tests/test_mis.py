@@ -106,3 +106,41 @@ def test_mis_triangle_plus_isolate(spark):
     inn = {v for v, s in state.items() if s == "in"}
     assert 4 in inn  # self-loop dropped -> isolated -> always in
     assert len(inn & {1, 2, 3}) == 1  # exactly one of the triangle
+
+
+def test_greedy_coloring_proper_and_deterministic(spark, small):
+    from linkgraph.mis import greedy_coloring
+
+    col = collect_map(
+        greedy_coloring(spark, small.edges, small.vertices), "id", "color"
+    )
+    assert set(col) == set(small.id_of_url.values())  # total
+    adj = _sym_adj(small)
+    for v, c in col.items():
+        for u in adj[v]:
+            assert col[u] != c, (v, u)  # proper
+    col2 = collect_map(
+        greedy_coloring(spark, small.edges, small.vertices), "id", "color"
+    )
+    assert col == col2  # deterministic
+    # color classes are maximal independent sets in their residual graph:
+    # color 0 in particular is the full-graph Luby MIS
+    from linkgraph.mis import maximal_independent_set
+
+    mis0 = {
+        r["id"]
+        for r in maximal_independent_set(spark, small.edges, small.vertices)
+        .where("state = 'in'").collect()
+    }
+    assert {v for v, c in col.items() if c == 0} == mis0
+
+
+def test_greedy_coloring_triangle_needs_three(spark):
+    from linkgraph.mis import greedy_coloring
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3)], "id long")
+    col = collect_map(greedy_coloring(spark, edges, verts), "id", "color")
+    assert sorted(col.values()) == [0, 1, 2]
