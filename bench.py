@@ -132,6 +132,24 @@ def one_pass(spark, entrymod, docs, embs, edges, verts, passno):
     timed("labelprop3",
           lambda: label_propagation(spark, edges, verts, 3).count())
 
+    from linkgraph.community import louvain_communities
+    from linkgraph.mis import maximal_independent_set
+    from linkgraph.sssp import sssp_distances
+
+    timed("louvain2",
+          lambda: louvain_communities(spark, edges, verts, rounds=2).count())
+    timed("mis2",
+          lambda: maximal_independent_set(
+              spark, edges, verts, rounds=2).count())
+    wedges = edges.select(
+        "src", "dst",
+        ((F.col("src") % 97 + F.col("dst") % 89 + 1).cast("double") / 10.0)
+        .alias("w"),
+    )
+    sssp_seeds = verts.select("id").where(F.col("id") % 100 == 0)
+    timed("sssp3",
+          lambda: sssp_distances(spark, wedges, sssp_seeds, 3).count())
+
     tri_edges = tpcgraph.supplier_copart_edges(spark, SF_DIR)
     timed(
         "triangles",
