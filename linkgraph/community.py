@@ -33,7 +33,7 @@ community-quality decomposition used on web link graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .lineage import truncate_plan
 
@@ -49,30 +49,53 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def _prep_graph(edges: DataFrame):
+    """Normalize ONCE for a multi-round run: (sym, deg, m), with the
+    symmetric table and degree map truncated so every round (and every
+    reference within a round) reuses the materialized blocks instead of
+    recomputing the 2|E| distinct."""
+    e = _undirected(edges)
+    sym = truncate_plan(
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    m = sym.count() // 2  # the action that materializes sym's checkpoint
+    deg = truncate_plan(
+        sym.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").cast("double").alias("k")
+        ),
+        eager=False,  # first round's action materializes it off cached sym
+    )
+    return sym, deg, m
+
+
 def louvain_move_round(
-    spark, edges: DataFrame, labels: DataFrame
+    spark, edges: DataFrame, labels: DataFrame, _prepped=None
 ) -> DataFrame:
     """One synchronous local-move round: labels(id, label) -> updated
-    (id, label). ``edges`` is normalized to the undirected simple graph."""
-    e = _undirected(edges)
-    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    m = e.count()
+    (id, label). ``edges`` is normalized to the undirected simple graph
+    (``_prepped`` = a ``_prep_graph`` result reused across rounds)."""
+    sym, deg, m = _prepped if _prepped is not None else _prep_graph(edges)
     if m == 0:
         return labels.select("id", "label")
-    deg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").cast("double").alias("k")
-    )
     la = labels.select("id", "label")
     tot = (
         la.join(deg, "id", "left")
         .groupBy("label")
         .agg(F.sum(F.coalesce("k", F.lit(0.0))).alias("tot"))
     )
-    # edges from i into each neighbor community under the current labels
+    # edges from i into each neighbor community under the current labels.
+    # shuffle_hash hint on the (per-vertex) label side: a sort-merge join
+    # would re-sort all 2|E| sym rows every round (the labelprop.py
+    # finding); the hash join streams sym against a per-partition map.
     kic = (
-        sym.join(la.select(F.col("id").alias("dst"), F.col("label").alias("cand")), "dst")
+        sym.join(
+            la.select(
+                F.col("id").alias("dst"), F.col("label").alias("cand")
+            ).hint("shuffle_hash"),
+            "dst",
+        )
         .groupBy(F.col("src").alias("id"), "cand")
         .agg(F.count("*").cast("double").alias("kic"))
     )
@@ -104,13 +127,23 @@ def louvain_move_round(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("id").orderBy(
-        F.col("score").desc(), F.col("cand").asc()
-    )
+    # argmax by (score desc, cand asc) as ONE hash aggregation: max_by
+    # over the lexicographic struct (score, -cand) — max score wins, ties
+    # fall to the larger negated (= smaller) community label. Same result
+    # as a row_number window (the SQL oracle's formulation) without the
+    # per-round shuffle-and-SORT of the full candidate table.
     moved = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("id", F.col("cand").alias("label"))
+        scored.groupBy("id")
+        .agg(
+            F.max_by(
+                "cand",
+                F.struct(
+                    F.col("score").alias("s"),
+                    (-F.col("cand")).alias("nc"),
+                ),
+            ).alias("label")
+        )
+        .select("id", "label")
     )
     # vertices absent from the candidate table (isolated) keep their label
     return (
@@ -132,8 +165,9 @@ def louvain_communities(
     False to keep the whole unrolled computation one lazy plan (the
     SQL-replicable form the oracle row uses)."""
     labels = vertices.select("id", F.col("id").alias("label"))
+    prepped = _prep_graph(edges)
     for _ in range(rounds):
-        labels = louvain_move_round(spark, edges, labels)
+        labels = louvain_move_round(spark, edges, labels, _prepped=prepped)
         if materialize_each:
             labels = truncate_plan(labels)
     return labels

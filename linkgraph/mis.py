@@ -16,11 +16,13 @@ engine-native hashes (sketches.py's rule).
 Round shape at 100 TB: one join of the undecided set against the
 (symmetrized) edge table + a per-vertex min aggregation + two anti-joins —
 all keyed on vertex id, so AQE handles skew and the edge side can stay
-hash-partitioned across rounds. ``rounds=N`` unrolls a FIXED prefix into
-one lazy plan (SQL-replicable, bounded — the form the dual-engine row
+hash-partitioned across rounds. ``rounds=N`` runs a FIXED bounded prefix
+(SQL-replicable round for round — the form the dual-engine row
 ``graph_mis2`` checks); ``rounds=None`` iterates to the empty-undecided
 fixpoint with one driver-side count per round (the components.py
-fixpoint pattern).
+fixpoint pattern). The static sides (symmetric neighbor table, priority
+map) are materialized once; each round's winner set is truncated lazily
+so its vote aggregation runs once, not once per downstream reference.
 
 Uses: independent landing-page sampling (no two adjacent pages), parallel
 scheduling of conflicting crawl/update tasks, and the classic reduction
@@ -55,9 +57,14 @@ def maximal_independent_set(
 
     ``edges`` is used undirected (symmetrized, self-loops dropped).
     ``rounds=None`` runs Luby to the fixpoint (no 'und' rows remain);
-    ``rounds=N`` runs exactly N unrolled rounds as one lazy plan.
+    ``rounds=N`` runs exactly N bounded rounds.
     """
-    nbr = (
+    # static across rounds: truncate ONCE, lazily (each round references
+    # the neighbor table twice and the priority map three times — the
+    # lazy checkpoint computes the 2|E| symmetric distinct a single time
+    # inside the caller's one action and shares the blocks, without
+    # spending a separate materialization job per static side)
+    nbr = truncate_plan(
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .unionByName(
@@ -65,9 +72,12 @@ def maximal_independent_set(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        .distinct()
+        .distinct(),
+        eager=False,
     )
-    pri = vertices.select("id", _priority("id").alias("pri"))
+    pri = truncate_plan(
+        vertices.select("id", _priority("id").alias("pri")), eager=False
+    )
 
     und = vertices.select("id")
     members = None  # accumulated 'in' rows
@@ -81,11 +91,18 @@ def maximal_independent_set(
             if und.limit(1).count() == 0:
                 break
         und_pri = und.join(pri, "id")
-        # min undecided-neighbor priority per undecided vertex
+        # min undecided-neighbor priority per undecided vertex.
+        # shuffle_hash hints on the per-vertex sides: SMJ would re-sort
+        # the 2|E| neighbor table every round (the labelprop.py finding)
         nbr_min = (
-            nbr.join(und.select(F.col("id").alias("dst")), "dst")
+            nbr.join(
+                und.select(F.col("id").alias("dst")).hint("shuffle_hash"),
+                "dst",
+            )
             .join(
-                pri.select(F.col("id").alias("dst"), F.col("pri").alias("np")),
+                pri.select(
+                    F.col("id").alias("dst"), F.col("pri").alias("np")
+                ).hint("shuffle_hash"),
                 "dst",
             )
             .groupBy("src")
@@ -97,10 +114,16 @@ def maximal_independent_set(
             .where(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
             .select("id")
         )
+        # win feeds members, the elimination join, AND the next und — a
+        # lazy truncation computes the expensive vote once per round
+        win = truncate_plan(win, eager=False)
         members = win if members is None else members.unionByName(win)
         # undecided neighbors of this round's winners are eliminated
         elim = (
-            nbr.join(win.select(F.col("id").alias("src")), "src")
+            nbr.join(
+                win.select(F.col("id").alias("src")).hint("shuffle_hash"),
+                "src",
+            )
             .select(F.col("dst").alias("id"))
             .join(und, "id")
             .distinct()
