@@ -283,7 +283,7 @@ def main() -> None:
         "prefix)": __import__(
             "linkgraph.mis", fromlist=["maximal_independent_set"]
         ).maximal_independent_set(spark, edges, verts, rounds=1),
-        "Louvain local move (label-keyed aggs + per-vertex window argmax)":
+        "Louvain local move (label-keyed aggs + per-vertex max_by argmax)":
             __import__(
                 "linkgraph.community", fromlist=["louvain_communities"]
             ).louvain_communities(
