@@ -104,8 +104,21 @@ def label_propagation(
     # plain 3.8s vs lazy pin 5.2s vs eager pin 4.4s. Same verdict as
     # triangles' oriented-edge cache (caching.py module docstring): pin
     # only when recompute repeats pre-shuffle work.
+    # restrict the neighbor relation to the caller's vertex set ONCE:
+    # votes from non-vertex neighbors never existed (the label join
+    # filtered them), and without this the active-set rounds below would
+    # emit phantom rows for non-vertex edge sources / drop vertices whose
+    # only neighbors are non-vertices (code-review finding). Edge tables
+    # from build_graph always satisfy endpoints ⊆ vertices, making both
+    # semi-joins free after pushdown — this guards the general contract.
+    vset = vertices.select("id")
+    und = (
+        undirected_edges(edges)
+        .join(vset.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(vset.select(F.col("id").alias("dst")), "dst", "left_semi")
+    )
     sym, hub_ids = _salted_sym(
-        truncate_plan(undirected_edges(edges)),  # (src,dst) both ways
+        truncate_plan(und),  # (src,dst) both ways, vertex-restricted
         hub_threshold,
         salt_buckets,
     )

@@ -155,3 +155,24 @@ def _np_adj(src, dst, n):
             adj[s].add(d)
             adj[d].add(s)
     return adj
+
+
+def test_lp_edges_outside_vertex_set(spark):
+    """Edges referencing non-vertex ids: no phantom output rows, and a
+    vertex whose only neighbors are non-vertices keeps its label (the
+    pre-active-set contract — code-review regression test)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.labelprop import label_propagation
+
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    # 99 is not a vertex; vertex 3's only neighbor is 99
+    edges = spark.createDataFrame(
+        [(1, 2), (99, 3)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(spark, edges, verts, 2).collect()
+    }
+    assert set(got) == {1, 2, 3}      # exactly the vertex set
+    assert got[3] == 3                # no votes -> keeps own label
