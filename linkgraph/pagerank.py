@@ -334,7 +334,14 @@ def pagerank_weighted(
     aggregates (no driver actions); each round is the same join+agg shape
     as the flat path, shuffling on src then id.
     """
-    s = wedges.groupBy("src").agg(F.sum("w").alias("strength"))
+    # strength <= 0 (all-zero outgoing weights) is normalized to NULL =
+    # dangling: rank can't flow out over zero weight, and leaving it
+    # non-null would NULL the contrib division and silently LEAK the
+    # vertex's mass from the system (code-review finding; the blocked
+    # twin wpagerank_csr already classifies sv <= 0 as dangling)
+    s = wedges.groupBy("src").agg(
+        F.when(F.sum("w") > 0, F.sum("w")).alias("strength")
+    )
     nn = vertices.agg(F.count("*").cast("double").alias("n"))
     r = (
         vertices.select("id")

@@ -76,3 +76,33 @@ def test_wpr_blocked_self_loop_and_parallel_edges(spark):
         assert abs(sum(blk.values()) - 1.0) < 1e-12
     finally:
         g.delete()
+
+
+def test_wpr_zero_strength_vertex_is_dangling_both_paths(spark):
+    """A vertex whose outgoing weights sum to 0 must be treated as
+    dangling (mass redistributed), not leak its mass via a NULL division
+    — and flat and blocked must agree (code-review regression test)."""
+    rows = [
+        (1, 2, 0.0),   # vertex 1: all-zero out-strength -> dangling
+        (2, 3, 1.0),
+        (3, 2, 1.0),
+    ]
+    wedges = spark.createDataFrame(rows, "src long, dst long, w double")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3)], "id long")
+    flat = collect_map(
+        pagerank_weighted(wedges, verts, iters=4), "id", "r"
+    )
+    assert abs(sum(flat.values()) - 1.0) < 1e-12  # mass conserved
+    g = build_blocked(spark, wedges.select("src", "dst"), verts, n_blocks=2)
+    try:
+        wpath = build_weight_store(
+            spark, g, wedges, agg="sum", keep_self=True
+        )
+        blk = collect_map(
+            wpagerank_blocked(spark, g, wpath, wedges, max_iter=4).ranks,
+            "id", "rank",
+        )
+        for k in flat:
+            assert abs(flat[k] - blk[k]) < 1e-14, k
+    finally:
+        g.delete()
