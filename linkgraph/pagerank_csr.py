@@ -792,6 +792,7 @@ def _superstep_db(
     base: float,
     damping: float,
     rs_cache: dict | None = None,
+    tp_dm: tuple[str, float] | None = None,
 ) -> tuple[float, float]:
     """Kernel for one destination block: gather pre-scaled ranks from every
     source block with in-edges here (the offset index says which), write
@@ -800,6 +801,14 @@ def _superstep_db(
     (per-step, per-worker) memoizes the scaled-rank mmap handles so a
     worker opens each source block's file once per superstep instead of
     once per (db, sb) pair.
+
+    ``tp_dm`` = (teleport_dir, dangling_mass) switches the apply step to
+    PERSONALIZED semantics: the scalar ``base`` is replaced by the
+    per-block teleport vector ``teleport_dir/b<db>.npy`` —
+    ``new = (1-d)*tp + d*(acc + dm*tp)`` — which is the only line that
+    differs between plain and personalized blocked PageRank (ppr_csr
+    shares this kernel instead of copying it). ``None`` = plain path,
+    bit-identical to the historical kernel.
     """
     acc = np.zeros(dsize)
     blk = _load_block(store, token, db, n_blocks)
@@ -815,7 +824,12 @@ def _superstep_db(
             native.scatter_add_pack16(blk[2][a:b], rs, acc)
         else:
             native.scatter_add32(blk[2][a:b], blk[3][a:b], rs, acc)
-    new = base + damping * acc
+    if tp_dm is not None:
+        tp_dir, dm = tp_dm
+        tp = np.load(f"{tp_dir}/b{db}.npy", mmap_mode="r")
+        new = (1.0 - damping) * tp + damping * (acc + dm * tp)
+    else:
+        new = base + damping * acc
     old = np.load(f"{cur}/b{db}.npy", mmap_mode="r")
     l1 = float(np.abs(new - old).sum())
     dang = np.load(f"{rdir}/dangling/b{db}.npy", mmap_mode="r")

@@ -40,14 +40,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from . import native
-from .lineage import truncate_plan
 from .checkpoint import StepTimer
+from .lineage import truncate_plan
 from .pagerank import PageRankResult, SuperstepInfo
 from .pagerank_csr import (
     BlockedGraph,
-    _load_block,
+    _completed_steps,
     _ranks_root,
+    _superstep_db,
     _write_npy_atomic,
 )
 
@@ -98,11 +98,7 @@ def ppr_blocked(
 
     rdir = run_dir or f"{_ranks_root(g)}/ppr-{uuid.uuid4().hex[:12]}"
     os.makedirs(f"{rdir}/part", exist_ok=True)
-    prior = []
-    k = 0
-    while os.path.exists(f"{rdir}/part/g{k}.npy"):
-        prior.append(np.load(f"{rdir}/part/g{k}.npy"))
-        k += 1
+    prior = _completed_steps(rdir)  # pagerank_blocked's resume protocol
     start_step = len(prior)
 
     # prep job 1 (every block): static inv_od + dangling locals + ZERO
@@ -197,43 +193,14 @@ def ppr_blocked(
                     rows = []
                     rs_cache: dict = {}
                     for db, dsize in zip(pdf["db"], pdf["dsize"]):
-                        db, dsize = int(db), int(dsize)
-                        acc = np.zeros(dsize)
-                        blk = _load_block(store, token, db, n_blocks)
-                        offs = blk[1]
-                        for sb in np.flatnonzero(np.diff(offs)):
-                            a, b_ = int(offs[sb]), int(offs[sb + 1])
-                            rs = rs_cache.get(sb)
-                            if rs is None:
-                                rs = np.load(
-                                    f"{_cur}/s{sb}.npy", mmap_mode="r"
-                                )
-                                rs_cache[sb] = rs
-                            if blk[0] == "p":
-                                native.scatter_add_pack16(
-                                    blk[2][a:b_], rs, acc
-                                )
-                            else:
-                                native.scatter_add32(
-                                    blk[2][a:b_], blk[3][a:b_], rs, acc
-                                )
-                        tp = np.load(f"{rdir}/tp/b{db}.npy", mmap_mode="r")
-                        new = (1.0 - damping) * tp + damping * (
-                            acc + _dm * tp
+                        # the SHARED plain-path kernel, switched to the
+                        # teleport vector by tp_dm (pagerank_csr.py)
+                        l1, dm_next = _superstep_db(
+                            store, token, rdir, int(db), int(dsize),
+                            n_blocks, _cur, _nxt, 0.0, damping, rs_cache,
+                            tp_dm=(f"{rdir}/tp", _dm),
                         )
-                        old = np.load(f"{_cur}/b{db}.npy", mmap_mode="r")
-                        l1 = float(np.abs(new - old).sum())
-                        dang = np.load(
-                            f"{rdir}/dangling/b{db}.npy", mmap_mode="r"
-                        )
-                        dm_next = float(new[dang].sum()) if len(dang) else 0.0
-                        inv = np.load(
-                            f"{rdir}/static/inv{db}.npy", mmap_mode="r"
-                        )
-                        os.makedirs(_nxt, exist_ok=True)
-                        _write_npy_atomic(f"{_nxt}/b{db}.npy", new)
-                        _write_npy_atomic(f"{_nxt}/s{db}.npy", new * inv)
-                        rows.append((db, l1, dm_next))
+                        rows.append((int(db), l1, dm_next))
                     yield pd.DataFrame(rows, columns=["block", "l1", "dm"])
 
                 return step_fn
