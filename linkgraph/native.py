@@ -292,6 +292,12 @@ def _compile() -> "ctypes.CDLL | None":
     ]
     lib.scatter_min_pack16.argtypes = lib.scatter_pack16.argtypes
     lib.scatter_min32.argtypes = lib.scatter32.argtypes
+    lib.scatter_addw32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.scatter_minw32.argtypes = lib.scatter_addw32.argtypes
     lib.gather_pack16.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
