@@ -83,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--job", default="all",
                    choices=["extract", "pagerank", "pagerank-blocked",
                             "store-update", "components", "labelprop",
+                            "louvain", "mis",
                             "triangles", "complexity", "all"])
     p.add_argument("--checkpoint-dir", default=None,
                    help="parquet dir, or iceberg://catalog.namespace to "
@@ -270,6 +271,32 @@ def main(argv: list[str] | None = None) -> int:
                                    checkpoint=ckpt, resume=args.resume)
         labels.write.mode("overwrite").parquet(f"{out}/labels")
         print(json.dumps({"job": "labelprop", "iterations": args.iterations}))
+    if "louvain" in jobs:
+        from linkgraph.community import louvain_communities
+        from linkgraph.graph import modularity
+
+        labels = louvain_communities(spark, edges, vertices,
+                                     rounds=args.iterations)
+        labels.write.mode("overwrite").parquet(f"{out}/communities")
+        q = float(
+            modularity(edges, labels).agg(F.sum("q_term9")).collect()[0][0]
+            or 0.0
+        )
+        print(json.dumps({
+            "job": "louvain", "rounds": args.iterations,
+            "n_communities": labels.select("label").distinct().count(),
+            "modularity": round(q, 9),
+        }))
+    if "mis" in jobs:
+        from linkgraph.mis import maximal_independent_set
+
+        state = maximal_independent_set(spark, edges, vertices)
+        state.write.mode("overwrite").parquet(f"{out}/mis")
+        print(json.dumps({
+            "job": "mis",
+            "in": state.where("state = 'in'").count(),
+            "out": state.where("state = 'out'").count(),
+        }))
     if "triangles" in jobs:
         tri = triangle_counts(spark, edges, vertices)
         tri.write.mode("overwrite").parquet(f"{out}/triangles")
