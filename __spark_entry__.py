@@ -520,6 +520,18 @@ def q_graph_sssp3(spark, sf_dir):
     return out.select("id", F.round("dist", 9).alias("dist9"))
 
 
+def q_graph_voronoi3(spark, sf_dir):
+    """Nearest-seed Voronoi partition under bounded weighted relaxation:
+    each reached vertex assigned to its closest seed, ties to the smaller
+    seed id — one ordered struct-min per round, replayed in SQL as
+    min-dist + min-seed-at-min-dist."""
+    from linkgraph.sssp import sssp_voronoi
+
+    _, wedges, seeds = _sssp_inputs(spark, sf_dir)
+    out = sssp_voronoi(spark, wedges, seeds, max_hops=3)
+    return out.select("id", "seed", F.round("dist", 9).alias("dist9"))
+
+
 def q_graph_sssp3_blocked(spark, sf_dir):
     """Same weighted relaxation on the blocked store: weight-aligned edge
     sidecar + fused gather-add-scatter-min supersteps — same rows as
@@ -3252,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr_blocked": q_graph_ppr_blocked,
         "graph_sssp3": q_graph_sssp3,
         "graph_sssp3_blocked": q_graph_sssp3_blocked,
+        "graph_voronoi3": q_graph_voronoi3,
         "graph_mis2": q_graph_mis2,
         "graph_louvain2": q_graph_louvain2,
         "graph_louvain_quality": q_graph_louvain_quality,
@@ -4310,6 +4323,54 @@ d3 AS (
   ) GROUP BY id
 )
 SELECT id, round(dist, 9) AS dist9 FROM d3
+""",
+        "graph_voronoi3": f"""
+WITH {_EDGES},
+ew AS (
+  SELECT src, dst, min((src % 97 + dst % 89 + 1) / 10.0) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+v0 AS (
+  SELECT DISTINCT id, id AS seed, 0.0 AS dist FROM verts
+  WHERE id < 1000000 AND id % 100 = 0
+),
+c1 AS (
+  SELECT id, seed, dist FROM v0
+  UNION ALL
+  SELECT ew.dst AS id, p.seed, p.dist + ew.w AS dist
+  FROM ew JOIN v0 p ON ew.src = p.id
+),
+m1 AS (SELECT id, min(dist) AS dist FROM c1 GROUP BY id),
+v1 AS (
+  SELECT c.id, min(c.seed) AS seed, m.dist
+  FROM c1 c JOIN m1 m ON c.id = m.id AND c.dist = m.dist
+  GROUP BY c.id, m.dist
+),
+c2 AS (
+  SELECT id, seed, dist FROM v1
+  UNION ALL
+  SELECT ew.dst AS id, p.seed, p.dist + ew.w AS dist
+  FROM ew JOIN v1 p ON ew.src = p.id
+),
+m2 AS (SELECT id, min(dist) AS dist FROM c2 GROUP BY id),
+v2 AS (
+  SELECT c.id, min(c.seed) AS seed, m.dist
+  FROM c2 c JOIN m2 m ON c.id = m.id AND c.dist = m.dist
+  GROUP BY c.id, m.dist
+),
+c3 AS (
+  SELECT id, seed, dist FROM v2
+  UNION ALL
+  SELECT ew.dst AS id, p.seed, p.dist + ew.w AS dist
+  FROM ew JOIN v2 p ON ew.src = p.id
+),
+m3 AS (SELECT id, min(dist) AS dist FROM c3 GROUP BY id),
+v3 AS (
+  SELECT c.id, min(c.seed) AS seed, m.dist
+  FROM c3 c JOIN m3 m ON c.id = m.id AND c.dist = m.dist
+  GROUP BY c.id, m.dist
+)
+SELECT id, seed, round(dist, 9) AS dist9 FROM v3
 """,
         "graph_louvain2": f"""
 WITH {_EDGES},

@@ -93,6 +93,58 @@ def sssp_distances(
     return dist.select("id", "dist")
 
 
+def sssp_voronoi(
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    truncate_rounds: bool = True,
+) -> DataFrame:
+    """-> (id, seed, dist): each reached vertex assigned to its NEAREST
+    seed — the weighted-shortest-path Voronoi partition of the graph
+    (crawl sharding by nearest hub, mirror assignment, geo-ish routing).
+    Ties break deterministically to the smaller seed id at equal
+    distance; unreached vertices are absent.
+
+    Same bounded Bellman-Ford rounds as ``sssp_distances`` with the
+    owning seed carried through the relaxation: per round the per-vertex
+    min is taken over the lexicographic (dist, seed) pair — one ordered
+    struct-min aggregation, no window sort (SQL-replicable via a
+    min-dist join + min-seed tie-break; oracle row ``graph_voronoi3``).
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    state = seeds.select(
+        F.col("id"), F.col("id").alias("seed"), F.lit(0.0).alias("dist")
+    ).distinct()
+    for _ in range(max_hops):
+        hop = e.join(
+            state.select(F.col("id").alias("src"), "seed", "dist"), "src"
+        ).select(
+            F.col("dst").alias("id"),
+            "seed",
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        state = (
+            state.unionByName(hop)
+            .groupBy("id")
+            .agg(
+                F.min(F.struct("dist", "seed")).alias("best")
+            )
+            .select(
+                "id",
+                F.col("best.seed").alias("seed"),
+                F.col("best.dist").alias("dist"),
+            )
+        )
+        if truncate_rounds:
+            state = truncate_plan(state, eager=False)
+    return state.select("id", "seed", "dist")
+
+
 def build_weight_store(
     spark,
     g: BlockedGraph,

@@ -119,3 +119,56 @@ def test_sssp_blocked_parallel_edges_min_collapse(spark):
         assert blk == flat
     finally:
         g.delete()
+
+
+def test_sssp_voronoi_matches_reference(spark, small):
+    from linkgraph.sssp import sssp_voronoi
+
+    wedges = _wedges(small)
+    seeds = _seeds(small)
+    seed_ids = sorted(r["id"] for r in seeds.collect())
+    # reference: bounded per-seed Bellman-Ford, then (dist, seed) lexmin
+    g = {}
+    for r in wedges.collect():
+        if r["src"] == r["dst"]:
+            continue
+        key = (r["src"], r["dst"])
+        g[key] = min(g.get(key, float("inf")), r["w"])
+    adj = {}
+    for (u, v), w in g.items():
+        adj.setdefault(u, []).append((v, w))
+    want = {}
+    for s in seed_ids:
+        dist = {s: 0.0}
+        for _ in range(3):
+            nxt = dict(dist)
+            for u, d in dist.items():
+                for v, w in adj.get(u, []):
+                    if d + w < nxt.get(v, float("inf")):
+                        nxt[v] = d + w
+            dist = nxt
+        for v, d in dist.items():
+            cur = want.get(v)
+            if cur is None or (d, s) < cur:
+                want[v] = (d, s)
+    got = {
+        r["id"]: (r["dist"], r["seed"])
+        for r in sssp_voronoi(spark, wedges, seeds, max_hops=3).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][1] == want[k][1], k           # owner exact
+        assert abs(got[k][0] - want[k][0]) < 1e-9   # distance
+
+
+def test_sssp_voronoi_seeds_own_themselves(spark, small):
+    from linkgraph.sssp import sssp_voronoi
+
+    wedges = _wedges(small)
+    seeds = _seeds(small)
+    got = {
+        r["id"]: r["seed"]
+        for r in sssp_voronoi(spark, wedges, seeds, max_hops=2).collect()
+    }
+    for r in seeds.collect():
+        assert got[r["id"]] == r["id"]
