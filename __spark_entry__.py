@@ -532,6 +532,26 @@ def q_graph_voronoi3(spark, sf_dir):
     return out.select("id", "seed", F.round("dist", 9).alias("dist9"))
 
 
+def q_graph_voronoi3_blocked(spark, sf_dir):
+    """Nearest-seed partition on the blocked store: dist/owner vector
+    pairs, native weighted scatter-min + masked owner election — same
+    rows as graph_voronoi3."""
+    from linkgraph.pagerank_csr import build_blocked
+    from linkgraph.sssp import build_weight_store, sssp_voronoi_blocked
+
+    verts, wedges, seeds = _sssp_inputs(spark, sf_dir)
+    g = build_blocked(
+        spark, wedges.select("src", "dst"), verts.select("id"), n_blocks=8
+    )
+    wpath = build_weight_store(spark, g, wedges)
+    out = sssp_voronoi_blocked(spark, g, wpath, seeds, max_hops=3)
+    out = out.select(
+        "id", "seed", F.round("dist", 9).alias("dist9")
+    ).localCheckpoint()
+    g.delete()
+    return out
+
+
 def q_graph_sssp3_blocked(spark, sf_dir):
     """Same weighted relaxation on the blocked store: weight-aligned edge
     sidecar + fused gather-add-scatter-min supersteps — same rows as
@@ -3265,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp3": q_graph_sssp3,
         "graph_sssp3_blocked": q_graph_sssp3_blocked,
         "graph_voronoi3": q_graph_voronoi3,
+        "graph_voronoi3_blocked": q_graph_voronoi3_blocked,
         "graph_mis2": q_graph_mis2,
         "graph_louvain2": q_graph_louvain2,
         "graph_louvain_quality": q_graph_louvain_quality,
@@ -7303,6 +7324,7 @@ FROM dims
     out["graph_katz2_blocked"] = out["graph_katz2"]
     out["graph_bfs3_blocked"] = out["graph_bfs3"]
     out["graph_sssp3_blocked"] = out["graph_sssp3"]
+    out["graph_voronoi3_blocked"] = out["graph_voronoi3"]
     out["graph_wpagerank2_blocked"] = out["graph_wpagerank2"]
     out["graph_kcore_blocked"] = out["graph_kcore"]
     out["graph_scc_blocked"] = out["graph_scc"]

@@ -172,3 +172,34 @@ def test_sssp_voronoi_seeds_own_themselves(spark, small):
     }
     for r in seeds.collect():
         assert got[r["id"]] == r["id"]
+
+
+def test_sssp_voronoi_blocked_matches_flat(spark, small):
+    from linkgraph.sssp import sssp_voronoi, sssp_voronoi_blocked
+
+    wedges = _wedges(small)
+    seeds = _seeds(small)
+    g = build_blocked(
+        spark, small.edges, small.vertices.select("id"), n_blocks=8
+    )
+    try:
+        wpath = build_weight_store(spark, g, wedges)
+        for hops in (1, 3):
+            flat = {
+                r["id"]: (r["seed"], r["dist"])
+                for r in sssp_voronoi(
+                    spark, wedges, seeds, max_hops=hops
+                ).collect()
+            }
+            blk = {
+                r["id"]: (r["seed"], r["dist"])
+                for r in sssp_voronoi_blocked(
+                    spark, g, wpath, seeds, max_hops=hops
+                ).collect()
+            }
+            assert flat.keys() == blk.keys()
+            for k in flat:
+                assert flat[k][0] == blk[k][0], k  # owner exact
+                assert abs(flat[k][1] - blk[k][1]) < 1e-12, k
+    finally:
+        g.delete()
