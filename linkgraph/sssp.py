@@ -151,6 +151,7 @@ def build_weight_store(
     edges: DataFrame,
     agg: str = "min",
     keep_self: bool = False,
+    wpath: str | None = None,
 ) -> str:
     """Write the weight-aligned edge store for ``g``: per-db parquet of
     (sb, sl, dl, w) rows, same clustering sort as the rank store.
@@ -161,8 +162,18 @@ def build_weight_store(
     (``pagerank_weighted`` — multiplicities add, self-loops carry rank).
     Returns the store directory. All heavy lifting is JVM-side (two
     map-side-able joins + one partitioned write); no Python touches the
-    |E| rows."""
-    wpath = f"{g.store_path}/wedges-{uuid.uuid4().hex[:8]}"
+    |E| rows.
+
+    ``wpath`` names the store directory explicitly; an existing COMPLETE
+    store there (parquet ``_SUCCESS`` marker) is reused as-is — the
+    cross-session path for bench stores whose graph is already
+    fingerprint-checked by the enclosing BlockedGraph. Default: a fresh
+    anonymous dir under the graph store."""
+    if wpath is not None:
+        if os.path.exists(f"{wpath}/_SUCCESS"):
+            return wpath
+    else:
+        wpath = f"{g.store_path}/wedges-{uuid.uuid4().hex[:8]}"
     e = edges
     if not keep_self:
         e = e.where(F.col("src") != F.col("dst"))
@@ -414,10 +425,21 @@ def sssp_blocked(
     seeds: DataFrame,
     max_hops: int = 3,
     keep_steps: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """-> (id, dist): bounded weighted shortest distance from the seed
     set — exactly ``sssp_distances``, on the blocked store. ``wpath`` is
-    the ``build_weight_store`` directory for ``g``'s vertex mapping."""
+    the ``build_weight_store`` directory for ``g``'s vertex mapping.
+
+    ``stats``, if given, is filled with ``step_secs`` (wall seconds per
+    relaxation superstep job — every superstep scatters ALL stored edges
+    regardless of frontier size, so per-step wall IS throughput),
+    ``steps``, ``reached`` (per-step global reached counts — a
+    cross-level agreement signal for the scaling bench), and
+    ``final_dir``/``run_dir`` (the final distance vectors; cleanup
+    becomes the CALLER's job so it can checksum them first)."""
+    import time as _time
+
     n_blocks, token = g.n_blocks, g.build_token
     rdir = f"{_ranks_root(g)}/sssp-{uuid.uuid4().hex[:12]}"
     os.makedirs(rdir, exist_ok=True)
@@ -460,7 +482,10 @@ def sssp_blocked(
         ).repartitionByRange(g.n_blocks, "db")
     )
 
+    step_secs: list[float] = []
+    reached_per_step: list[int] = []
     for step in range(max_hops):
+        t_step = _time.perf_counter()
         cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
 
         def make_step_fn(_cur, _nxt):
@@ -495,16 +520,25 @@ def sssp_blocked(
 
             return step_fn
 
-        (
+        reached = int(
             work.mapInPandas(make_step_fn(cur, nxt), "block int, reached long")
             .agg(F.sum("reached"))
-            .collect()
+            .collect()[0][0]
+            or 0
         )
+        step_secs.append(_time.perf_counter() - t_step)
+        reached_per_step.append(reached)
         stale = step - keep_steps + 1
         if stale >= 0:
             shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
 
     last = f"{rdir}/step{max_hops}"
+    if stats is not None:
+        stats["step_secs"] = [round(s, 3) for s in step_secs]
+        stats["steps"] = max_hops
+        stats["reached"] = reached_per_step
+        stats["final_dir"] = last
+        stats["run_dir"] = rdir
 
     def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -523,5 +557,6 @@ def sssp_blocked(
         eager=False,
     )
     out.count()
-    shutil.rmtree(rdir, ignore_errors=True)
+    if stats is None:  # with stats the caller checksums final_dir first
+        shutil.rmtree(rdir, ignore_errors=True)
     return out

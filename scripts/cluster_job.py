@@ -192,6 +192,80 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode in ("prep-sspblk", "run-sspblk"):
+        # weighted SSSP on the blocked store: native scatter_minw32
+        # supersteps over the weight-aligned sidecar. The graph store is
+        # DIRECTED (the relaxation follows edge direction); weights are
+        # the deterministic (src%97 + dst%89 + 1)/10 fixture, built ONCE
+        # at full width next to the store. supersteps = bounded hop count
+        # (every superstep scatters ALL stored edges, so per-step wall IS
+        # throughput); seeds = ids % 1009 == 0.
+        import numpy as np
+
+        from linkgraph.sssp import build_weight_store, sssp_blocked
+
+        g, build_info = ensure_store(
+            spark, n_vertices, avg_deg, n_blocks, store_path, intra_host,
+        )
+        edges = synth_edges(
+            spark, n_vertices, avg_deg, num_partitions=parts,
+            intra_host=intra_host,
+        ).select(
+            "src", "dst",
+            (
+                (F.col("src") % 97 + F.col("dst") % 89 + 1).cast("double")
+                / 10.0
+            ).alias("w"),
+        )
+        wpath = build_weight_store(
+            spark, g, edges, wpath=f"{g.store_path}/wedges-bench"
+        )
+        seeds = synth_vertices(spark, n_vertices).select("id").where(
+            F.col("id") % 1009 == 0
+        )
+        stats: dict = {}
+        hops = 1 if mode == "prep-sspblk" else supersteps
+        sssp_blocked(spark, g, wpath, seeds, max_hops=hops, stats=stats)
+        if mode == "prep-sspblk":
+            import shutil
+
+            shutil.rmtree(stats["run_dir"], ignore_errors=True)
+            # the 1-hop run decode-warms the weight-store npy sidecars
+            print("RESULT " + json.dumps({
+                "mode": "prep-sspblk", **(build_info or {}),
+            }))
+            spark.stop()
+            return
+        n_edges = spark.read.schema("sb int, sl int, dl int, w double, db int") \
+            .parquet(wpath).count()
+        tail = sorted(stats["step_secs"][len(stats["step_secs"]) // 2:])
+        ssp_sec = tail[len(tail) // 2]
+        # cross-level agreement: reached counts per step + a distance
+        # checksum over the final vectors (sum of micro-unit dists mod p)
+        tot, cnt, p = 0, 0, (1 << 31) - 1
+        fdir = stats["final_dir"]
+        for fn in sorted(os.listdir(fdir)):
+            arr = np.load(f"{fdir}/{fn}")
+            fin = arr[np.isfinite(arr)]
+            tot += int(np.sum(np.rint(fin * 10.0).astype(np.int64) % p))
+            cnt += int(len(fin))
+        import shutil
+
+        shutil.rmtree(stats["run_dir"], ignore_errors=True)
+        print("RESULT " + json.dumps({
+            "n_edges": n_edges,
+            "n_blocks": g.n_blocks,
+            **(build_info or {}),
+            "ssp_steps": stats["step_secs"],
+            "ssp_n_steps": stats["steps"],
+            "ssp_reached": stats["reached"],
+            "ssp_sec_per_superstep": round(ssp_sec, 3),
+            "ssp_edges_per_sec": round(n_edges / ssp_sec, 1),
+            "ssp_check": [tot % p, cnt],
+        }))
+        spark.stop()
+        return
+
     if mode in ("prep-triblk", "run-triblk"):
         # triangle counting on the blocked oriented-CSR store
         # (linkgraph.triangles_csr): ONE map-only stage of native
