@@ -251,6 +251,33 @@ def q_graph_ppr_blocked(spark, sf_dir):
     return out
 
 
+def q_graph_ppr_resume(spark, sf_dir):
+    """Mid-iteration resume under the oracle: a 1-superstep personalized
+    run is 'killed', then resumed to 2 supersteps in the same run_dir —
+    the result must hash-match the SAME straight-2-superstep SQL as
+    graph_ppr2 (resume is bit-identical, not merely close)."""
+    import tempfile
+
+    from linkgraph.ppr_csr import ppr_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    seeds = verts.where(
+        (F.col("id") < 1000000) & (F.col("id") % 50 == 0)
+    ).select("id")
+    g = build_blocked(spark, edges, verts.select("id"), n_blocks=8)
+    rdir = tempfile.mkdtemp(prefix="lg-ppr-resume-")
+    ppr_blocked(spark, g, seeds, tol=0.0, max_iter=1, run_dir=rdir)
+    res = ppr_blocked(spark, g, seeds, tol=0.0, max_iter=2, run_dir=rdir)
+    out = res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+    out = out.localCheckpoint()
+    g.unpersist()
+    import shutil
+
+    shutil.rmtree(rdir, ignore_errors=True)
+    return out
+
+
 def q_graph_pagerank2_incremental(spark, sf_dir):
     """Crawl-refresh path: the blocked store is built on a STALE graph
     (real edges with (src+dst)%7==0 held out, spurious reversed edges
@@ -3282,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs3": q_graph_bfs3,
         "graph_bfs3_blocked": q_graph_bfs3_blocked,
         "graph_ppr_blocked": q_graph_ppr_blocked,
+        "graph_ppr_resume": q_graph_ppr_resume,
         "graph_sssp3": q_graph_sssp3,
         "graph_sssp3_blocked": q_graph_sssp3_blocked,
         "graph_voronoi3": q_graph_voronoi3,
@@ -7320,6 +7348,7 @@ FROM dims
     # blocked implementation must reproduce the SAME rows
     out["graph_hits2_blocked"] = out["graph_hits2"]
     out["graph_ppr_blocked"] = out["graph_ppr2"]
+    out["graph_ppr_resume"] = out["graph_ppr2"]
     out["graph_salsa2_blocked"] = out["graph_salsa2"]
     out["graph_katz2_blocked"] = out["graph_katz2"]
     out["graph_bfs3_blocked"] = out["graph_bfs3"]
