@@ -48,12 +48,20 @@ def wpagerank_blocked(
     tol: float = 0.0,
     max_iter: int = 2,
     keep_steps: int = 2,
+    stats: dict | None = None,
 ) -> PageRankResult:
     """-> PageRankResult over the weighted graph in ``wpath`` (a
     ``build_weight_store`` directory for ``g``'s vertex mapping).
     ``wedges(src, dst, w)`` is ONLY used to derive per-vertex
     out-strengths (one JVM-side aggregation); the superstep edge data
-    comes from the store."""
+    comes from the store.
+
+    ``stats``, if given, is filled with ``step_secs`` (wall seconds per
+    superstep job — every superstep streams ALL stored weighted edges, so
+    per-step wall IS throughput), ``steps``, and ``final_dir``/``run_dir``
+    (final rank vectors for the scaling bench's cross-level checksum;
+    per-block vectors are a pure function of step inputs, hence
+    bit-identical across cluster sizes)."""
     n, n_blocks, token = g.n, g.n_blocks, g.build_token
     rdir = f"{_ranks_root(g)}/wpr-{uuid.uuid4().hex[:12]}"
     os.makedirs(rdir, exist_ok=True)
@@ -115,7 +123,11 @@ def wpagerank_blocked(
 
     supersteps: list[SuperstepInfo] = []
     converged = False
+    import time as _time
+
+    step_secs: list[float] = []
     for step in range(max_iter):
+        t_step = _time.perf_counter()
         with StepTimer() as t:
             base = (1.0 - damping) / n + damping * dangling / n
             cur, nxt = f"{rdir}/step{step}", f"{rdir}/step{step + 1}"
@@ -177,6 +189,7 @@ def wpagerank_blocked(
             stale = step - keep_steps + 1
             if stale >= 0:
                 shutil.rmtree(f"{rdir}/step{stale}", ignore_errors=True)
+        step_secs.append(_time.perf_counter() - t_step)
         supersteps.append(SuperstepInfo(step, delta, dangling, t.seconds))
         dangling = next_dangling
         if tol > 0 and delta < tol:
@@ -184,6 +197,11 @@ def wpagerank_blocked(
             break
 
     last = f"{rdir}/step{len(supersteps)}"
+    if stats is not None:
+        stats["step_secs"] = [round(s, 3) for s in step_secs]
+        stats["steps"] = len(supersteps)
+        stats["final_dir"] = last
+        stats["run_dir"] = rdir
 
     def read_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []

@@ -266,6 +266,75 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode in ("prep-wprblk", "run-wprblk"):
+        # weighted PageRank on the blocked store: native scatter_addw32
+        # (fused gather-multiply-scatter-add) over the SUM-collapsed
+        # weight sidecar; strengths from the same deterministic weight
+        # fixture. supersteps = fixed count (throughput, not convergence).
+        import numpy as np
+
+        from linkgraph.sssp import build_weight_store
+        from linkgraph.wpagerank_csr import wpagerank_blocked
+
+        g, build_info = ensure_store(
+            spark, n_vertices, avg_deg, n_blocks, store_path, intra_host,
+        )
+        wedges = synth_edges(
+            spark, n_vertices, avg_deg, num_partitions=parts,
+            intra_host=intra_host,
+        ).select(
+            "src", "dst",
+            (
+                (F.col("src") % 97 + F.col("dst") % 89 + 1).cast("double")
+                / 10.0
+            ).alias("w"),
+        )
+        wpath = build_weight_store(
+            spark, g, wedges, agg="sum", keep_self=True,
+            wpath=f"{g.store_path}/wedges-bench-sum",
+        )
+        stats: dict = {}
+        iters = 1 if mode == "prep-wprblk" else supersteps
+        wpagerank_blocked(
+            spark, g, wpath, wedges, max_iter=iters, stats=stats
+        )
+        import shutil
+
+        if mode == "prep-wprblk":
+            shutil.rmtree(stats["run_dir"], ignore_errors=True)
+            print("RESULT " + json.dumps({
+                "mode": "prep-wprblk", **(build_info or {}),
+            }))
+            spark.stop()
+            return
+        n_edges = spark.read.schema("sb int, sl int, dl int, w double, db int") \
+            .parquet(wpath).count()
+        tail = sorted(stats["step_secs"][len(stats["step_secs"]) // 2:])
+        wpr_sec = tail[len(tail) // 2]
+        # cross-level agreement: per-block rank vectors are pure functions
+        # of step inputs -> bit-identical across levels; checksum raw bits
+        tot, cnt, p = 0, 0, (1 << 31) - 1
+        fdir = stats["final_dir"]
+        for fn in sorted(os.listdir(fdir)):
+            if not fn.startswith("b"):
+                continue  # skip the pre-scaled s*.npy twins
+            arr = np.load(f"{fdir}/{fn}")
+            tot = (tot + int(np.sum(arr.view(np.int64) % p))) % p
+            cnt += len(arr)
+        shutil.rmtree(stats["run_dir"], ignore_errors=True)
+        print("RESULT " + json.dumps({
+            "n_edges": n_edges,
+            "n_blocks": g.n_blocks,
+            **(build_info or {}),
+            "wpr_steps": stats["step_secs"],
+            "wpr_n_steps": stats["steps"],
+            "wpr_sec_per_superstep": round(wpr_sec, 3),
+            "wpr_edges_per_sec": round(n_edges / wpr_sec, 1),
+            "wpr_check": [tot, cnt],
+        }))
+        spark.stop()
+        return
+
     if mode in ("prep-triblk", "run-triblk"):
         # triangle counting on the blocked oriented-CSR store
         # (linkgraph.triangles_csr): ONE map-only stage of native
