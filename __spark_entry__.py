@@ -256,6 +256,7 @@ def q_graph_ppr_resume(spark, sf_dir):
     run is 'killed', then resumed to 2 supersteps in the same run_dir —
     the result must hash-match the SAME straight-2-superstep SQL as
     graph_ppr2 (resume is bit-identical, not merely close)."""
+    import shutil
     import tempfile
 
     from linkgraph.ppr_csr import ppr_blocked
@@ -267,14 +268,17 @@ def q_graph_ppr_resume(spark, sf_dir):
     ).select("id")
     g = build_blocked(spark, edges, verts.select("id"), n_blocks=8)
     rdir = tempfile.mkdtemp(prefix="lg-ppr-resume-")
-    ppr_blocked(spark, g, seeds, tol=0.0, max_iter=1, run_dir=rdir)
-    res = ppr_blocked(spark, g, seeds, tol=0.0, max_iter=2, run_dir=rdir)
-    out = res.ranks.select("id", F.round("rank", 9).alias("rank9"))
-    out = out.localCheckpoint()
+    try:
+        ppr_blocked(spark, g, seeds, tol=0.0, max_iter=1, run_dir=rdir)
+        res = ppr_blocked(spark, g, seeds, tol=0.0, max_iter=2,
+                          run_dir=rdir)
+        out = res.ranks.select("id", F.round("rank", 9).alias("rank9"))
+        out = out.localCheckpoint()
+    finally:
+        # round-4 ADVICE: without the finally, an exception in either
+        # ppr_blocked call leaked the mkdtemp dir across oracle runs
+        shutil.rmtree(rdir, ignore_errors=True)
     g.unpersist()
-    import shutil
-
-    shutil.rmtree(rdir, ignore_errors=True)
     return out
 
 

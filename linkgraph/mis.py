@@ -35,9 +35,13 @@ complexity.py); same extension family as hits.py / kcore.py.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from .lineage import truncate_plan
+
+log = logging.getLogger(__name__)
 
 
 def _priority(col):
@@ -56,8 +60,19 @@ def maximal_independent_set(
     or 'und' (still undecided — only possible in bounded mode).
 
     ``edges`` is used undirected (symmetrized, self-loops dropped).
-    ``rounds=None`` runs Luby to the fixpoint (no 'und' rows remain);
-    ``rounds=N`` runs exactly N bounded rounds.
+    ``rounds=None`` runs Luby to the fixpoint — iteration continues until
+    NO 'und' rows remain, so the no-partial-state guarantee holds
+    unconditionally (round-4 ADVICE: the old code silently stopped at
+    ``max_iter`` and could return 'und' rows). Termination is guaranteed:
+    with distinct priorities the globally-minimum undecided priority
+    always wins its round, so every round strictly shrinks the undecided
+    set; deterministic (fixed) priorities make this greedy-lex MIS whose
+    WORST case is O(n) rounds (e.g. a path with monotone priorities) —
+    past ``max_iter`` rounds a warning is logged once per extra round,
+    and a round that fails to shrink the undecided set (impossible
+    without a bug) raises rather than looping forever.
+    ``rounds=N`` runs exactly N bounded rounds ('und' rows mark the open
+    frontier — the SQL-replicable prefix the oracle row checks).
     """
     # static across rounds: truncate ONCE, lazily (each round references
     # the neighbor table twice and the priority map three times — the
@@ -83,13 +98,38 @@ def maximal_independent_set(
     members = None  # accumulated 'in' rows
 
     bounded = rounds is not None
-    n_rounds = rounds if bounded else max_iter
-    for k in range(n_rounds):
-        if not bounded:
-            # fixpoint mode: each round starts from a materialized state
-            und = truncate_plan(und)
-            if und.limit(1).count() == 0:
+    prev_und = None  # fixpoint progress guard
+    k = 0
+    while True:
+        if bounded:
+            if k >= rounds:
                 break
+        else:
+            # fixpoint mode: each round starts from a materialized state;
+            # run to EMPTINESS (never return partial 'und' state). The
+            # count doubles as the materializing action and the progress
+            # guard: a non-shrinking round means the winner election is
+            # broken (can't happen with distinct priorities) — raise
+            # instead of spinning.
+            und = truncate_plan(und)
+            n_und = und.count()
+            if n_und == 0:
+                break
+            if prev_und is not None and n_und >= prev_und:
+                raise RuntimeError(
+                    f"maximal_independent_set: round {k} left "
+                    f"{n_und} >= {prev_und} undecided vertices — "
+                    "no progress; winner election is broken"
+                )
+            prev_und = n_und
+            if k >= max_iter:
+                log.warning(
+                    "maximal_independent_set: fixpoint still has %d "
+                    "undecided vertices after %d rounds (> max_iter=%d); "
+                    "continuing to emptiness (greedy-lex worst case is "
+                    "O(n) rounds)", n_und, k, max_iter,
+                )
+        k += 1
         und_pri = und.join(pri, "id")
         # min undecided-neighbor priority per undecided vertex.
         # shuffle_hash hints on the per-vertex sides: SMJ would re-sort

@@ -32,6 +32,7 @@ extension in the same spirit as hits_csr / labelprop_csr.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -78,8 +79,9 @@ def ppr_blocked(
     superstep complete, prep and every finished superstep are skipped,
     and the result is bit-identical to an uninterrupted run (tested).
     Prior supersteps appear in the result with seconds=0.0. The seed set
-    must be the same across resumes (the teleport sidecar is only written
-    at step 0).
+    must be the same across resumes — the teleport sidecar is only
+    written at step 0, so a ``seeds.json`` fingerprint recorded at prep
+    is VALIDATED on every resume and a mismatch raises.
     """
     n, n_blocks = g.n, g.n_blocks
     store, token = g.store_path, g.build_token
@@ -89,7 +91,22 @@ def ppr_blocked(
         .join(g.vmap, "id")
         .select("block", "local")
     )
-    n_seeds = seed_pos.count()
+    # one action: |seeds| + an order-independent fingerprint (sum of
+    # per-seed hashes) — cheap, and the fingerprint pins the seed SET to
+    # the run_dir so a resume with different seeds fails loudly instead
+    # of silently personalizing on the step-0 teleport sidecar's old
+    # seeds (round-4 ADVICE)
+    fp_row = seed_pos.agg(
+        F.count("*").alias("c"),
+        # per-seed hash reduced mod 2^31-1 before the sum so the long
+        # aggregate can't overflow under ANSI mode even at huge |S|
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("block", "local"),
+                         F.lit(2147483647))),
+            F.lit(0),
+        ).alias("h"),
+    ).collect()[0]
+    n_seeds, seed_fp = int(fp_row["c"]), int(fp_row["h"])
     if n_seeds == 0:
         raise ValueError(
             "personalized pagerank needs a non-empty seeds ∩ vertices set"
@@ -100,6 +117,25 @@ def ppr_blocked(
     os.makedirs(f"{rdir}/part", exist_ok=True)
     prior = _completed_steps(rdir)  # pagerank_blocked's resume protocol
     start_step = len(prior)
+    seeds_sidecar = f"{rdir}/part/seeds.json"
+    if start_step > 0:
+        # resuming: the teleport vectors on disk encode the ORIGINAL seed
+        # set; require the recorded fingerprint to match this call's
+        if not os.path.exists(seeds_sidecar):
+            raise ValueError(
+                f"run_dir {rdir} has completed supersteps but no seed "
+                "fingerprint sidecar (predates the seed-set check) — "
+                "restart in a fresh run_dir"
+            )
+        with open(seeds_sidecar) as f:
+            rec = json.load(f)
+        if rec != {"n_seeds": n_seeds, "fp": seed_fp}:
+            raise ValueError(
+                f"run_dir {rdir} was started with a different seed set "
+                f"(recorded {rec}, this call has n_seeds={n_seeds}, "
+                f"fp={seed_fp}) — resuming would return ranks "
+                "personalized on the old seeds"
+            )
 
     # prep job 1 (every block): static inv_od + dangling locals + ZERO
     # teleport vector + uniform step-0 ranks. Per-block work only — O(V/B)
@@ -153,6 +189,11 @@ def ppr_blocked(
             .applyInPandas(seed_kernel, "block int")
             .count()
         )
+        # seed fingerprint AFTER the teleport sidecars land: a run killed
+        # mid-prep re-runs prep (no completed-step marker yet), so the
+        # sidecar is always consistent with the tp/ files it describes
+        with open(seeds_sidecar, "w") as f:
+            json.dump({"n_seeds": n_seeds, "fp": seed_fp}, f)
     else:
         # resume: dangling mass of the last completed superstep
         dangling = float(prior[-1][1])

@@ -38,6 +38,7 @@ byte-identical to the one the scaling gates were run on.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -165,12 +166,32 @@ def build_weight_store(
     |E| rows.
 
     ``wpath`` names the store directory explicitly; an existing COMPLETE
-    store there (parquet ``_SUCCESS`` marker) is reused as-is — the
-    cross-session path for bench stores whose graph is already
-    fingerprint-checked by the enclosing BlockedGraph. Default: a fresh
-    anonymous dir under the graph store."""
+    store there (parquet ``_SUCCESS`` marker plus a ``_wmeta.json``
+    sidecar recording how it was built) is reused ONLY when the sidecar's
+    ``agg``/``keep_self``/graph token match this call — a min-collapsed
+    SSSP store silently fed to weighted PageRank (which needs agg="sum",
+    keep_self=True) would produce wrong ranks, so a mismatch (or a store
+    predating the sidecar) raises instead of reusing (round-4 ADVICE).
+    Default: a fresh anonymous dir under the graph store."""
+    want = {"agg": agg, "keep_self": bool(keep_self),
+            "token": g.build_token}
     if wpath is not None:
         if os.path.exists(f"{wpath}/_SUCCESS"):
+            mpath = f"{wpath}/_wmeta.json"
+            if not os.path.exists(mpath):
+                raise ValueError(
+                    f"weight store {wpath} has no _wmeta.json sidecar — "
+                    "it predates the build-parameter check; delete and "
+                    "rebuild it (cannot verify agg/keep_self)"
+                )
+            with open(mpath) as f:
+                have = json.load(f)
+            if have != want:
+                raise ValueError(
+                    f"weight store {wpath} was built with {have}, but "
+                    f"this call needs {want} — refusing to reuse "
+                    "(agg/keep_self mismatches silently corrupt results)"
+                )
             return wpath
     else:
         wpath = f"{g.store_path}/wedges-{uuid.uuid4().hex[:8]}"
@@ -205,6 +226,10 @@ def build_weight_store(
         .partitionBy("db")
         .parquet(wpath)
     )
+    # build-parameter sidecar, written AFTER the parquet commit so a
+    # killed build never leaves a validated-looking store behind
+    with open(f"{wpath}/_wmeta.json", "w") as f:
+        json.dump(want, f)
     return wpath
 
 

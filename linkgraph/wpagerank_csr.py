@@ -23,6 +23,7 @@ SQL as the flat weighted path.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -43,7 +44,7 @@ def wpagerank_blocked(
     spark,
     g: BlockedGraph,
     wpath: str,
-    wedges: DataFrame,
+    wedges: DataFrame | None = None,
     damping: float = 0.85,
     tol: float = 0.0,
     max_iter: int = 2,
@@ -51,10 +52,22 @@ def wpagerank_blocked(
     stats: dict | None = None,
 ) -> PageRankResult:
     """-> PageRankResult over the weighted graph in ``wpath`` (a
-    ``build_weight_store`` directory for ``g``'s vertex mapping).
-    ``wedges(src, dst, w)`` is ONLY used to derive per-vertex
-    out-strengths (one JVM-side aggregation); the superstep edge data
-    comes from the store.
+    ``build_weight_store`` directory for ``g``'s vertex mapping, built
+    with ``agg="sum"``/``keep_self=True`` — the store's ``_wmeta.json``
+    sidecar is validated here, raising on mismatch or absence).
+
+    Per-vertex out-strengths are derived FROM THE STORE (one JVM-side
+    aggregation over its (sb, sl, w) rows), so the superstep edge data
+    and the strengths can never disagree — round-4 ADVICE: deriving
+    strengths from a separately-passed ``wedges`` frame let an
+    inconsistent (wedges, wpath) pair silently leak or double-count rank
+    mass. ``wedges`` is accepted for caller compatibility but unused.
+    Strength equivalence vs the flat ``pagerank_weighted`` (which sums
+    the raw wedges): agg="sum" collapses parallel (src, dst) rows first,
+    so with parallel edges the float64 summation ASSOCIATION differs —
+    exact when weights sum exactly (integer-valued, or wedges already
+    per-(src,dst) collapsed, both true of every engine fixture), last-bit
+    otherwise; the oracle rows round to 9 decimals either way.
 
     ``stats``, if given, is filled with ``step_secs`` (wall seconds per
     superstep job — every superstep streams ALL stored weighted edges, so
@@ -63,16 +76,43 @@ def wpagerank_blocked(
     per-block vectors are a pure function of step inputs, hence
     bit-identical across cluster sizes)."""
     n, n_blocks, token = g.n, g.n_blocks, g.build_token
+    mpath = f"{wpath}/_wmeta.json"
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"weight store {wpath} has no _wmeta.json sidecar — rebuild "
+            "it with build_weight_store(agg='sum', keep_self=True)"
+        )
+    with open(mpath) as f:
+        wmeta = json.load(f)
+    want = {"agg": "sum", "keep_self": True, "token": token}
+    if wmeta != want:
+        raise ValueError(
+            f"weight store {wpath} was built with {wmeta}, but weighted "
+            f"PageRank needs {want} (rank mass leaks or double-counts "
+            "otherwise)"
+        )
     rdir = f"{_ranks_root(g)}/wpr-{uuid.uuid4().hex[:12]}"
     os.makedirs(rdir, exist_ok=True)
 
     # per-block out-strength arrays in local order (block_meta's od
-    # pattern, weighted). NO self-loop filter: pagerank_weighted keeps
-    # them (rank may flow to self), so ``wpath`` must be built with
-    # agg="sum", keep_self=True. O(V) total but O(V/B) per task.
-    s = wedges.groupBy("src").agg(F.sum("w").alias("strength"))
+    # pattern, weighted), summed from the STORE's own rows: strength of
+    # (block=sb, local=sl) = sum of w over its stored out-edges. NO
+    # self-loop filter: pagerank_weighted keeps them (rank may flow to
+    # self) — guaranteed present by the sidecar check above. O(V) total
+    # but O(V/B) per task; vertices with no out-edges get 0 (dangling).
+    # basePath + explicit db=* glob: the store dir also holds the decoded
+    # .npy sidecar cache, which plain recursive parquet discovery trips on
+    s = (
+        spark.read.schema("sb int, sl int, dl int, w double, db int")
+        .option("basePath", wpath)
+        .parquet(f"{wpath}/db=*")
+        .groupBy(F.col("sb").alias("block"), F.col("sl").alias("local"))
+        .agg(F.sum("w").alias("strength"))
+    )
     per_block = (
-        g.vmap.join(s, g.vmap["id"] == s["src"], "left")
+        g.vmap.withColumn("block", F.col("block").cast("int"))
+        .withColumn("local", F.col("local").cast("int"))
+        .join(s, ["block", "local"], "left")
         .groupBy("block")
         .agg(
             F.transform(
