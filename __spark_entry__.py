@@ -466,6 +466,25 @@ def q_graph_louvain_quality(spark, sf_dir):
     return modularity(edges, labels)
 
 
+def q_graph_louvain_blocked(spark, sf_dir):
+    """The same two synchronous Louvain local-move rounds through the
+    blocked-CSR scale path (two map-only jobs per round: stripe-summed
+    Σtot sidecar + the louvain_vote kernel, zero shuffle) vs the SAME
+    iterated-SQL oracle as the flat graph_louvain2 row — bit-identical
+    labels are the contract (round-4 verdict item #1)."""
+    from linkgraph.community_csr import louvain_blocked
+    from linkgraph.graph import undirected_edges
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    g = build_blocked(
+        spark, undirected_edges(edges), verts.select("id"), n_blocks=8
+    )
+    out = louvain_blocked(spark, g, rounds=2).localCheckpoint()
+    g.delete()
+    return out
+
+
 def q_graph_mis2(spark, sf_dir):
     """Two deterministic Luby MIS rounds (portable md5||id priorities) —
     winner election and neighbor elimination replicated round for round
@@ -3320,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_voronoi3_blocked": q_graph_voronoi3_blocked,
         "graph_mis2": q_graph_mis2,
         "graph_louvain2": q_graph_louvain2,
+        "graph_louvain_blocked": q_graph_louvain_blocked,
         "graph_louvain_quality": q_graph_louvain_quality,
         "graph_cocitation": q_graph_cocitation,
         "text_tfidf": q_text_tfidf,
@@ -7361,4 +7381,5 @@ FROM dims
     out["graph_wpagerank2_blocked"] = out["graph_wpagerank2"]
     out["graph_kcore_blocked"] = out["graph_kcore"]
     out["graph_scc_blocked"] = out["graph_scc"]
+    out["graph_louvain_blocked"] = out["graph_louvain2"]
     return out

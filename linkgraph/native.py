@@ -166,6 +166,88 @@ int modal_vote(const int32_t *dl, const double *lab, int64_t n,
     return 0;
 }
 
+/* Louvain local-move vote: for each dst local d, pick the community c
+   maximizing the synchronous-Louvain gain score
+       score(d, c) = k_dc - (kdeg[d] * (tot(c) - adj)) / two_m,
+       adj = (c == old[d]) ? kdeg[d] : 0.0
+   over candidates = {labels of d's neighbors} \/ {old[d]}, ties to the
+   SMALLER label. Votes arrive as (dl, lab, totv) triples, totv[i] =
+   tot(lab[i]) pre-gathered by the caller; the own candidate's tot is
+   totown[d]. acc is pre-filled with old, so voteless vertices keep
+   their label. The expression tree mirrors the flat SQL's
+   kic - k*(tot - adj)/(2m) exactly (same IEEE ops on the same exact
+   integer-valued inputs => bit-identical argmax). Same counting-sort +
+   per-segment sort + run-scan skeleton as modal_vote, with the
+   (lab, tot) pair carried through the sort. Returns 0, or -1 on alloc
+   failure (caller falls back to numpy). */
+static int cmp_pair(const void *a, const void *b) {
+    double x = *(const double *)a, y = *(const double *)b;
+    return (x > y) - (x < y);
+}
+
+int louvain_vote(const int32_t *dl, const double *lab, const double *totv,
+                 int64_t n, int32_t dsize, const double *kdeg,
+                 const double *old, const double *totown, double two_m,
+                 double *acc) {
+    if (n == 0) return 0;
+    int64_t *offs = (int64_t *)calloc((size_t)dsize + 1, sizeof(int64_t));
+    double *buf = (double *)malloc((size_t)n * 2 * sizeof(double));
+    int64_t *cur = (int64_t *)malloc((size_t)dsize * sizeof(int64_t));
+    if (!offs || !buf || !cur) {
+        free(offs); free(buf); free(cur);
+        return -1;
+    }
+    for (int64_t i = 0; i < n; i++) offs[dl[i] + 1]++;
+    for (int32_t d = 0; d < dsize; d++) offs[d + 1] += offs[d];
+    memcpy(cur, offs, (size_t)dsize * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        int64_t p = cur[dl[i]]++;
+        buf[2 * p] = lab[i];
+        buf[2 * p + 1] = totv[i];
+    }
+    for (int32_t d = 0; d < dsize; d++) {
+        int64_t a = offs[d], m = offs[d + 1] - a;
+        if (m == 0) continue;  /* voteless: acc[d] stays old */
+        double *seg = buf + 2 * a;
+        if (m <= 32) {  /* insertion sort on (lab, tot) pairs by lab */
+            for (int64_t i = 1; i < m; i++) {
+                double v0 = seg[2 * i], v1 = seg[2 * i + 1];
+                int64_t j = i - 1;
+                while (j >= 0 && seg[2 * j] > v0) {
+                    seg[2 * j + 2] = seg[2 * j];
+                    seg[2 * j + 3] = seg[2 * j + 1];
+                    j--;
+                }
+                seg[2 * j + 2] = v0;
+                seg[2 * j + 3] = v1;
+            }
+        } else {
+            qsort(seg, (size_t)m, 2 * sizeof(double), cmp_pair);
+        }
+        double kd = kdeg[d], od = old[d];
+        /* own candidate, k_dc = 0 (a neighbor run with c == od and
+           cnt > 0 beats this by cnt exactly — flat's max(kic) union) */
+        double best = 0.0 - (kd * (totown[d] - kd)) / two_m;
+        double bestc = od;
+        int64_t i = 0;
+        while (i < m) {
+            double c = seg[2 * i], tc = seg[2 * i + 1];
+            int64_t cnt = 1;
+            while (i + cnt < m && seg[2 * (i + cnt)] == c) cnt++;
+            double adj = (c == od) ? kd : 0.0;
+            double score = (double)cnt - (kd * (tc - adj)) / two_m;
+            if (score > best || (score == best && c < bestc)) {
+                best = score;
+                bestc = c;
+            }
+            i += cnt;
+        }
+        acc[d] = bestc;
+    }
+    free(offs); free(buf); free(cur);
+    return 0;
+}
+
 /* oriented-adjacency intersection for one (a-block, b-block) edge run.
    Edge i joins a-local al[i] to b-local bl[i]; N+(a) rows are
    aadj[aip[al[i]] .. aip[al[i]+1]) (sorted global vertex indices, int32
@@ -312,6 +394,14 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
     ]
     lib.modal_vote.restype = ctypes.c_int
+    lib.louvain_vote.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.louvain_vote.restype = ctypes.c_int
     lib.tri_run.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64,
@@ -533,6 +623,86 @@ def modal_vote(dl: np.ndarray, lab: np.ndarray, acc: np.ndarray) -> None:
     rd2 = rd[order2]
     first = np.flatnonzero(np.r_[True, rd2[1:] != rd2[:-1]])
     acc[rd2[first].astype(np.int64)] = rl[order2][first]
+
+
+def louvain_vote(
+    dl: np.ndarray,
+    lab: np.ndarray,
+    totv: np.ndarray,
+    kdeg: np.ndarray,
+    old: np.ndarray,
+    totown: np.ndarray,
+    two_m: float,
+    acc: np.ndarray,
+) -> None:
+    """Synchronous Louvain local-move argmax per dst local: acc[d] = the
+    community c maximizing ``cnt - (kdeg[d] * (tot(c) - adj)) / two_m``
+    (adj = kdeg[d] iff c == old[d]) over d's neighbor-label votes plus
+    the own-community candidate at cnt=0; ties -> smaller label. ``acc``
+    must be pre-filled with ``old`` (voteless keep their label).
+    ``totv[i]`` = tot(lab[i]) pre-gathered; ``totown[d]`` = tot(old[d]).
+    Exact for integer-valued labels/counts (< 2^53): the score expression
+    tree matches the flat SQL's ``kic - k*(tot-adj)/(2m)`` op for op, so
+    the argmax is bit-identical to the flat path (community.py).
+
+    Native path: counting-sort by dst carrying (lab, tot) pairs +
+    per-segment sort + run scan (see _C_SRC). Fallback: lexsort to
+    run-length counts, synthetic own rows for every d, then one lexsort
+    argmax over (dst, -score, label) — identical results."""
+    n = len(dl)
+    dsize = len(acc)
+    lib = get_lib()
+    if lib is not None and n:
+        dl_c = np.ascontiguousarray(dl, dtype=np.int32)
+        lab_c = np.ascontiguousarray(lab, dtype=np.float64)
+        totv_c = np.ascontiguousarray(totv, dtype=np.float64)
+        kdeg_c = np.ascontiguousarray(kdeg, dtype=np.float64)
+        old_c = np.ascontiguousarray(old, dtype=np.float64)
+        totown_c = np.ascontiguousarray(totown, dtype=np.float64)
+        rc = lib.louvain_vote(
+            dl_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _as_f64_ptr(lab_c), _as_f64_ptr(totv_c),
+            ctypes.c_int64(n), ctypes.c_int32(dsize),
+            _as_f64_ptr(kdeg_c), _as_f64_ptr(old_c),
+            _as_f64_ptr(totown_c), ctypes.c_double(two_m),
+            _as_f64_ptr(acc),
+        )
+        if rc == 0:
+            return
+        # alloc failure in the kernel: fall through to numpy
+    dl64 = np.asarray(dl).astype(np.int64, copy=False)
+    lab_ = np.asarray(lab, dtype=np.float64)
+    tv_ = np.asarray(totv, dtype=np.float64)
+    if n:
+        order = np.lexsort((lab_, dl64))
+        d = dl64[order]
+        l_ = lab_[order]
+        t_ = tv_[order]
+        starts = np.flatnonzero(
+            np.r_[True, (d[1:] != d[:-1]) | (l_[1:] != l_[:-1])]
+        )
+        cnt = np.diff(np.r_[starts, n]).astype(np.float64)
+        rd, rl, rt = d[starts], l_[starts], t_[starts]
+    else:
+        rd = np.empty(0, dtype=np.int64)
+        rl = rt = cnt = np.empty(0, dtype=np.float64)
+    # own-candidate rows for EVERY d (cnt = 0): voteless vertices argmax
+    # to their own label == keep it, matching the C path's skip
+    alld = np.arange(dsize, dtype=np.int64)
+    rd = np.r_[rd, alld]
+    rl = np.r_[rl, np.asarray(old, dtype=np.float64)]
+    rt = np.r_[rt, np.asarray(totown, dtype=np.float64)]
+    cnt = np.r_[cnt, np.zeros(dsize)]
+    k = np.asarray(kdeg, dtype=np.float64)[rd]
+    ov = np.asarray(old, dtype=np.float64)[rd]
+    adj = np.where(rl == ov, k, 0.0)
+    score = cnt - (k * (rt - adj)) / two_m
+    # argmax per dst by (score desc, label asc): -0.0 == 0.0 under the
+    # sort's comparisons, so equal scores still fall through to the label
+    o2 = np.lexsort((rl, -score, rd))
+    rd2 = rd[o2]
+    first = np.flatnonzero(np.r_[True, rd2[1:] != rd2[:-1]])
+    acc[rd2[first]] = rl[o2][first]
 
 
 def scatter_min32(
