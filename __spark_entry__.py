@@ -496,6 +496,25 @@ def q_graph_mis2(spark, sf_dir):
     return maximal_independent_set(spark, edges, verts, rounds=2)
 
 
+def q_graph_mis_blocked(spark, sf_dir):
+    """The same two bounded Luby rounds through the blocked-CSR scale
+    path (scatter-min of priority RANKS with state-masked sources — the
+    0.93-gated connected-components kernel) vs the SAME iterated-SQL
+    oracle as the flat graph_mis2 row — identical states are the
+    contract (round-4 verdict item #2)."""
+    from linkgraph.graph import undirected_edges
+    from linkgraph.mis_csr import mis_blocked
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    g = build_blocked(
+        spark, undirected_edges(edges), verts.select("id"), n_blocks=8
+    )
+    out = mis_blocked(spark, g, rounds=2).localCheckpoint()
+    g.delete()
+    return out
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity over the customer->supplier edges plus a deterministic
     reversed slice (the pure bipartite graph has none, so the fixture
@@ -3338,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_voronoi3": q_graph_voronoi3,
         "graph_voronoi3_blocked": q_graph_voronoi3_blocked,
         "graph_mis2": q_graph_mis2,
+        "graph_mis_blocked": q_graph_mis_blocked,
         "graph_louvain2": q_graph_louvain2,
         "graph_louvain_blocked": q_graph_louvain_blocked,
         "graph_louvain_quality": q_graph_louvain_quality,
@@ -7382,4 +7402,5 @@ FROM dims
     out["graph_kcore_blocked"] = out["graph_kcore"]
     out["graph_scc_blocked"] = out["graph_scc"]
     out["graph_louvain_blocked"] = out["graph_louvain2"]
+    out["graph_mis_blocked"] = out["graph_mis2"]
     return out
