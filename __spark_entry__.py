@@ -453,6 +453,18 @@ def q_graph_louvain2(spark, sf_dir):
     return louvain_communities(spark, edges, verts, rounds=2)
 
 
+def q_graph_louvain_hier(spark, sf_dir):
+    """Two-level Louvain: 2 local-move rounds, coalesce by community
+    into the weighted quotient (intra-community self-loops), 2 WEIGHTED
+    local-move rounds on the coarse graph, compose — Blondel's phase 2,
+    replayed level for level in SQL."""
+    from linkgraph.community import louvain_hierarchy
+
+    edges = tpcgraph.order_edges(spark, sf_dir)
+    verts = tpcgraph.vertices_of(edges)
+    return louvain_hierarchy(spark, edges, verts, rounds=2)
+
+
 def q_graph_louvain_quality(spark, sf_dir):
     """Composition the community pipeline ships: 2 Louvain local-move
     rounds feed the Newman-Girvan modularity terms — per-community
@@ -3360,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis_blocked": q_graph_mis_blocked,
         "graph_louvain2": q_graph_louvain2,
         "graph_louvain_blocked": q_graph_louvain_blocked,
+        "graph_louvain_hier": q_graph_louvain_hier,
         "graph_louvain_quality": q_graph_louvain_quality,
         "graph_cocitation": q_graph_cocitation,
         "text_tfidf": q_text_tfidf,
@@ -3866,11 +3879,17 @@ c_{out} AS (
 """
 
 
-def _louvain_round(prev: str, out: str) -> str:
+def _louvain_round(prev: str, out: str, materialized: bool = False) -> str:
     """One unrolled SYNCHRONOUS Louvain local-move round (community.py's
     score(i,c) = kic - k_i*(tot(c) - [c=c_i]*k_i)/(2m), argmax with
     smaller-label tie-break). Expects CTEs: sym (symmetrized simple
-    edges), deg (id, k), mm (m = undirected edge count)."""
+    edges), deg (id, k), mm (m = undirected edge count).
+    ``materialized`` pins the round output as a MATERIALIZED CTE —
+    required when rounds chain deep (the hierarchy row): DuckDB inlines
+    plain CTEs per reference, and each round references its predecessor
+    three times, so inlining grows the parquet-scan count geometrically
+    until the fd limit trips."""
+    mat = "MATERIALIZED " if materialized else ""
     return f"""
 tot_{out} AS (
   SELECT p.label, sum(coalesce(d.k, 0)) AS tot
@@ -3898,7 +3917,53 @@ sc_{out} AS (
   LEFT JOIN deg d ON c.id = d.id
   JOIN tot_{out} t ON t.label = c.cand
 ),
-{out} AS (
+{out} AS {mat}(
+  SELECT id, cand AS label FROM (
+    SELECT id, cand,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY score DESC, cand ASC) AS rk
+    FROM sc_{out}
+  ) WHERE rk = 1
+)"""
+
+
+def _louvain_round_w(
+    prev: str, out: str, materialized: bool = False
+) -> str:
+    """One unrolled WEIGHTED synchronous Louvain local-move round
+    (community.louvain_move_round_weighted). Expects CTEs: wsym
+    (symmetric non-self weighted closure), wdeg (id, k weighted degree
+    incl. 2×self-loop), wmm (m = total weight). ``materialized`` as in
+    ``_louvain_round``."""
+    mat = "MATERIALIZED " if materialized else ""
+    return f"""
+tot_{out} AS (
+  SELECT p.label, sum(coalesce(d.k, 0)) AS tot
+  FROM {prev} p LEFT JOIN wdeg d ON p.id = d.id GROUP BY 1
+),
+kic_{out} AS (
+  SELECT s.src AS id, p.label AS cand, sum(s.w)::DOUBLE AS kic
+  FROM wsym s JOIN {prev} p ON s.dst = p.id GROUP BY 1, 2
+),
+cand_{out} AS (
+  SELECT id, cand, max(kic) AS kic FROM (
+    SELECT id, cand, kic FROM kic_{out}
+    UNION ALL
+    SELECT id, label AS cand, 0.0 AS kic FROM {prev}
+  ) GROUP BY 1, 2
+),
+sc_{out} AS (
+  SELECT c.id, c.cand,
+         c.kic - coalesce(d.k, 0)
+           * (t.tot - CASE WHEN c.cand = p.label
+                           THEN coalesce(d.k, 0) ELSE 0.0 END)
+           / (2.0 * (SELECT m FROM wmm)) AS score
+  FROM cand_{out} c
+  JOIN {prev} p ON c.id = p.id
+  LEFT JOIN wdeg d ON c.id = d.id
+  JOIN tot_{out} t ON t.label = c.cand
+),
+{out} AS {mat}(
   SELECT id, cand AS label FROM (
     SELECT id, cand,
            row_number() OVER (PARTITION BY id
@@ -4481,6 +4546,53 @@ mm AS (SELECT count(*)::DOUBLE AS m FROM e2),
 l0 AS (SELECT id, id AS label FROM verts)
 {',' + _louvain_round('l0', 'l1') + ',' + _louvain_round('l1', 'l2')}
 SELECT id, label FROM l2
+""",
+        "graph_louvain_hier": f"""
+WITH {_EDGES},
+e2 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e2
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e2
+),
+deg AS MATERIALIZED (
+  SELECT src AS id, count(*)::DOUBLE AS k FROM sym GROUP BY 1
+),
+mm AS MATERIALIZED (SELECT count(*)::DOUBLE AS m FROM e2),
+l0 AS (SELECT id, id AS label FROM verts)
+{',' + _louvain_round('l0', 'l1', materialized=True)
+ + ',' + _louvain_round('l1', 'l2', materialized=True)},
+wq AS MATERIALIZED (
+  SELECT least(la.label, lb.label) AS u,
+         greatest(la.label, lb.label) AS v, count(*)::DOUBLE AS w
+  FROM e2 JOIN l2 la ON e2.u = la.id JOIN l2 lb ON e2.v = lb.id
+  GROUP BY 1, 2
+),
+wsym AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM wq WHERE u <> v
+  UNION ALL
+  SELECT v AS src, u AS dst, w FROM wq WHERE u <> v
+),
+wdeg AS MATERIALIZED (
+  SELECT coalesce(a.id, b.id) AS id,
+         coalesce(a.kn, 0) + 2 * coalesce(b.sw, 0) AS k
+  FROM (SELECT src AS id, sum(w) AS kn FROM wsym GROUP BY 1) a
+  FULL JOIN (SELECT u AS id, w AS sw FROM wq WHERE u = v) b
+    ON a.id = b.id
+),
+wmm AS MATERIALIZED (SELECT sum(w)::DOUBLE AS m FROM wq),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT id, id AS label FROM (
+    SELECT u AS id FROM wq UNION ALL SELECT v AS id FROM wq
+  )
+)
+{',' + _louvain_round_w('h0', 'h1', materialized=True)
+ + ',' + _louvain_round_w('h1', 'h2', materialized=True)}
+SELECT l.id, coalesce(h.label, l.label) AS label
+FROM l2 l LEFT JOIN h2 h ON l.label = h.id
 """,
         "graph_louvain_quality": f"""
 WITH {_EDGES},

@@ -152,6 +152,196 @@ def louvain_move_round(
     )
 
 
+def _prep_weighted(wedges: DataFrame):
+    """wedges(u, v, w) — canonical weighted undirected simple graph
+    (u <= v, one row per pair; u == v rows are self-loop weights, the
+    coarsened-graph intra-community mass) -> (sym_w, deg, m):
+    symmetric non-self weighted closure, weighted degrees
+    k_i = Σ_{j≠i} w(i,j) + 2·w(i,i), and total weight m. Both static
+    sides truncated once for a multi-round run (the _prep_graph rule)."""
+    nonself = wedges.where(F.col("u") != F.col("v"))
+    sym_w = truncate_plan(
+        nonself.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+        ).unionByName(
+            nonself.select(
+                F.col("v").alias("src"), F.col("u").alias("dst"), "w"
+            )
+        )
+    )
+    m = float(
+        wedges.agg(F.sum(F.col("w").cast("double"))).collect()[0][0] or 0.0
+    )
+    selfw = wedges.where(F.col("u") == F.col("v")).select(
+        F.col("u").alias("id"), F.col("w").alias("sw")
+    )
+    deg = truncate_plan(
+        sym_w.groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.col("w").cast("double")).alias("kn"))
+        .join(selfw, "id", "full")
+        .select(
+            "id",
+            (
+                F.coalesce("kn", F.lit(0.0))
+                + 2.0 * F.coalesce(F.col("sw").cast("double"), F.lit(0.0))
+            ).alias("k"),
+        ),
+        eager=False,
+    )
+    return sym_w, deg, m
+
+
+def louvain_move_round_weighted(
+    spark, wedges: DataFrame, labels: DataFrame, _prepped=None
+) -> DataFrame:
+    """One synchronous WEIGHTED local-move round over the canonical
+    weighted graph ``wedges(u, v, w)`` (see ``_prep_weighted``):
+    score(i, c) = w_{i,c} - k_i·(Σtot(c) − [c=c_i]·k_i)/(2m) with
+    w_{i,c} = Σ weight from i into community c (j ≠ i — self-loop mass
+    is move-invariant and enters only through k_i / Σtot), argmax with
+    the smaller-label tie-break. The unweighted round is the w = 1,
+    no-self-loop special case. Same round shape at 100 TB: one weighted
+    join + three bounded-key aggregations + one max_by argmax."""
+    sym_w, deg, m = _prepped if _prepped is not None else _prep_weighted(
+        wedges
+    )
+    if m == 0:
+        return labels.select("id", "label")
+    la = labels.select("id", "label")
+    tot = (
+        la.join(deg, "id", "left")
+        .groupBy("label")
+        .agg(F.sum(F.coalesce("k", F.lit(0.0))).alias("tot"))
+    )
+    wic = (
+        sym_w.join(
+            la.select(
+                F.col("id").alias("dst"), F.col("label").alias("cand")
+            ).hint("shuffle_hash"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"), "cand")
+        .agg(F.sum(F.col("w").cast("double")).alias("kic"))
+    )
+    own = la.select("id", F.col("label").alias("cand"), F.lit(0.0).alias("kic"))
+    cand = (
+        wic.unionByName(own)
+        .groupBy("id", "cand")
+        .agg(F.max("kic").alias("kic"))
+    )
+    scored = (
+        cand.join(la, "id")
+        .join(deg, "id", "left")
+        .join(tot.select(F.col("label").alias("cand"), "tot"), "cand")
+        .select(
+            "id",
+            "cand",
+            (
+                F.col("kic")
+                - F.coalesce("k", F.lit(0.0))
+                * (
+                    F.col("tot")
+                    - F.when(
+                        F.col("cand") == F.col("label"),
+                        F.coalesce("k", F.lit(0.0)),
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.lit(2.0 * m)
+            ).alias("score"),
+        )
+    )
+    moved = (
+        scored.groupBy("id")
+        .agg(
+            F.max_by(
+                "cand",
+                F.struct(
+                    F.col("score").alias("s"),
+                    (-F.col("cand")).alias("nc"),
+                ),
+            ).alias("label")
+        )
+        .select("id", "label")
+    )
+    return (
+        la.join(moved.select("id", F.col("label").alias("nl")), "id", "left")
+        .select("id", F.coalesce("nl", "label").alias("label"))
+    )
+
+
+def community_quotient(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Coarsen the undirected simple graph by ``labels(id, label)`` ->
+    canonical weighted community graph (u, v, w): w = number of
+    fine-graph edges between communities u and v (u <= v; u == v rows
+    carry the intra-community edge count — the coarse self-loops), the
+    standard Louvain phase-2 aggregation. Two dictionary joins + one
+    bounded-key aggregation; the fine-graph modularity of a coarse
+    labeling equals its coarse-graph modularity, which is what makes
+    phase-2 moves meaningful on the original graph."""
+    e = _undirected(edges)
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("cv"))
+    return (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .select(
+            F.least("cu", "cv").alias("u"),
+            F.greatest("cu", "cv").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def louvain_hierarchy(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    rounds: int = 2,
+    materialize_each: bool = True,
+) -> DataFrame:
+    """Two-level Louvain (Blondel et al. phase 1 + phase 2): ``rounds``
+    synchronous local-move rounds from singletons, then the graph is
+    coalesced by community (``community_quotient`` — weighted, with
+    intra-community self-loops) and ``rounds`` WEIGHTED local-move
+    rounds run on the coarse graph; the coarse labels compose back onto
+    the vertices with one join. -> (id, label); modularity is
+    non-decreasing across levels on real inputs (asserted over the test
+    fixtures — the synchronous variant has no per-move monotonicity
+    theorem, exactly like phase 1 itself)."""
+    l1 = louvain_communities(
+        spark, edges, vertices, rounds=rounds,
+        materialize_each=materialize_each,
+    )
+    if materialize_each:
+        l1 = truncate_plan(l1)
+    wq = community_quotient(edges, l1)
+    if materialize_each:
+        wq = truncate_plan(wq)
+    comms = wq.select(F.col("u").alias("id")).unionByName(
+        wq.select(F.col("v").alias("id"))
+    ).distinct()
+    l2 = comms.select("id", F.col("id").alias("label"))
+    prepped = _prep_weighted(wq)
+    for _ in range(rounds):
+        l2 = louvain_move_round_weighted(spark, wq, l2, _prepped=prepped)
+        if materialize_each:
+            l2 = truncate_plan(l2)
+    # compose: vertex -> level-1 community -> level-2 community; isolated
+    # vertices (community absent from the quotient) keep their level-1
+    # label
+    return (
+        l1.join(
+            l2.select(
+                F.col("id").alias("label"), F.col("label").alias("l2")
+            ),
+            "label",
+            "left",
+        )
+        .select("id", F.coalesce("l2", "label").alias("label"))
+    )
+
+
 def louvain_communities(
     spark,
     edges: DataFrame,
