@@ -192,6 +192,62 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode in ("prep-louvblk", "run-louvblk"):
+        # synchronous Louvain local moves on the blocked-CSR store (the
+        # scale path that replaced the flat join+agg round — the same
+        # exchange shape that measured 0.40 as flat LP). Same DISTINCT-
+        # symmetric-closure store as the lpblk gate (identical
+        # fingerprint, so the prebuilt store is shared); per-round walls
+        # (tot job + move job) come from INSIDE one run.
+        import numpy as np
+
+        from linkgraph.caching import release_caches
+        from linkgraph.community_csr import louvain_blocked
+
+        g, build_info = ensure_store(
+            spark, n_vertices, avg_deg, n_blocks, store_path, intra_host,
+            und=True,
+        )
+        stats: dict = {}
+        iters = 1 if mode == "prep-louvblk" else supersteps
+        louvain_blocked(spark, g, rounds=iters, stats=stats)
+        release_caches()
+        if mode == "prep-louvblk":
+            # one round at full width decode-warms the npy sidecars
+            print("RESULT " + json.dumps({
+                "mode": "prep-louvblk", **(build_info or {}),
+            }))
+            spark.stop()
+            return
+        n_edges = spark.read.parquet(f"{g.store_path}/edges").count()
+        tail = sorted(stats["step_secs"][len(stats["step_secs"]) // 2:])
+        lv_sec = tail[len(tail) // 2]
+        # cross-level agreement: labels live in dense-rank space
+        # (identical at both levels); checksum the final label files
+        tot, cnt, p = 0, 0, (1 << 31) - 1
+        fdir = stats["final_dir"]
+        for fn in sorted(os.listdir(fdir)):
+            arr = np.load(f"{fdir}/{fn}")
+            tot += int(np.sum(arr.astype(np.int64) % p))
+            cnt += len(arr)
+        import shutil
+
+        shutil.rmtree(stats["run_dir"], ignore_errors=True)
+        print("RESULT " + json.dumps({
+            "n_edges": n_edges,
+            "n_blocks": g.n_blocks,
+            **(build_info or {}),
+            "lv_steps": stats["step_secs"],
+            "lv_kernel_secs": stats.get("kernel_secs"),
+            "lv_n_steps": stats["steps"],
+            "lv_changed": stats["changed"],
+            "lv_sec_per_superstep": round(lv_sec, 3),
+            "lv_edges_per_sec": round(n_edges / lv_sec, 1),
+            "lv_check": [tot, cnt],
+        }))
+        spark.stop()
+        return
+
     if mode in ("prep-sspblk", "run-sspblk"):
         # weighted SSSP on the blocked store: native scatter_minw32
         # supersteps over the weight-aligned sidecar. The graph store is
