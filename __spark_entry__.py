@@ -1183,6 +1183,12 @@ def _bowtie_fixture_edges(spark, sf_dir):
         docs.where(m == 9).select(d.alias("src"), ((d + 4) % n).alias("dst")),
         docs.where(m.between(3, 9)).select(
             d.alias("src"), core_of((d * 7) % n).alias("dst")),
+        # second intra-core chord: halves the core diameter so the SCC
+        # color/settle fixpoints converge in ~half the BSP rounds
+        # (battery-tail trim, round-4 verdict item #5); core->core edges
+        # only, so every bow-tie class is unchanged
+        docs.where(m.between(3, 9)).select(
+            d.alias("src"), core_of((d * 11) % n).alias("dst")),
         docs.where(m == 0).select(
             d.alias("src"), core_of((d * 3) % n).alias("dst")),
         docs.where(m == 3).select(d.alias("src"), (d - 2).alias("dst")),
@@ -1207,9 +1213,19 @@ def q_graph_bowtie(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     edges = _bowtie_fixture_edges(spark, sf_dir)
     verts = docs.select(F.col("doc_id").alias("id"))
-    return bowtie(spark, edges, verts).select(
-        F.col("id").cast("long").alias("id"), "cls"
-    )
+    # ~40 BSP rounds over a 500-vertex fixture: per-round task-launch
+    # overhead dominates, so run the rounds at 4 reducers instead of the
+    # session's 16 (battery-tail trim, round-4 verdict item #5; the
+    # result is partitioning-invariant) and restore the session setting
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = bowtie(spark, edges, verts).select(
+            F.col("id").cast("long").alias("id"), "cls"
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
 
 
 def q_graph_subgraph(spark, sf_dir):
@@ -1532,8 +1548,13 @@ def q_text_langid_confusion(spark, sf_dir):
 
 
 def q_text_repetition(spark, sf_dir):
-    """Gopher-style repetition signals (map-only array lambdas)."""
-    return textops.repetition(_docs(spark, sf_dir))
+    """Gopher-style repetition signals (map-only array lambdas). The
+    fixture keeps every third doc: the per-doc n-gram arrays make this
+    the battery's Spark-side outlier at full width (round-4 verdict
+    item #5 — trim the tail, keep the answers non-trivial)."""
+    return textops.repetition(
+        _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    )
 
 
 def q_text_c4_clean(spark, sf_dir):
@@ -3116,6 +3137,40 @@ def q_iceberg_eq_delete(spark, sf_dir):
                  F.min("doc_id").cast("long").alias("min_doc_id")))
 
 
+def q_iceberg_compact_deletes(spark, sf_dir):
+    """Compaction retires merge-on-read debt (round-4 verdict item #6):
+    append docs over several files, lay down BOTH v2 delete kinds
+    (position via predicate, equality via key set), then `compact` —
+    the rewritten files physically exclude the deleted rows, the scan is
+    identical before/after (asserted), and the now-dead delete FILES are
+    dropped from the new snapshot in the same commit (asserted: zero
+    content=deletes entries survive a full pack)."""
+    import tempfile
+
+    from linkgraph.iceberg_lite import IcebergLiteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    loc = tempfile.mkdtemp(prefix="lg-ice-cmpdel-") + "/docs"
+    t = IcebergLiteTable.create(loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") % 2 == 0).repartition(3))
+    t.append(docs.where(F.col("doc_id") % 2 == 1).repartition(3))
+    t.delete_where(spark, "n_chars % 3 = 0")
+    t.delete_where_eq(
+        spark,
+        docs.where(F.col("doc_id") % 5 == 0).select("doc_id"),
+    )
+    before = t.scan(spark).count()
+    assert t.compact(spark) is not None
+    t = IcebergLiteTable.load(loc)
+    assert all(f["content"] == 0 for f in t.files()), \
+        "full pack must retire every delete file"
+    assert t.scan(spark).count() == before  # scan identical post-compact
+    return (t.scan(spark).groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.min("doc_id").cast("long").alias("min_doc_id")))
+
+
 def q_iceberg_partition_prune(spark, sf_dir):
     """Identity-partition pruning from manifest metadata alone: the 'en'
     scan never opens a non-en data file (asserted), then aggregates."""
@@ -3324,9 +3379,18 @@ def q_graph_linkpred(spark, sf_dir):
 def q_dedup_contain(spark, sf_dir):
     """Asymmetric shingle containment (dedup.containment_pairs): the
     quote/boilerplate-superset detector — |sh(a) ∩ sh(b)| / |sh(a)|, both
-    directions, exact df_cap=None closure for the oracle."""
+    directions. df_cap=100 (mirrored in the SQL as the same HAVING
+    filter, so the check stays EXACT — both engines drop the same hot
+    shingles): the uncapped closure is quadratic in the shared-shingle
+    groups and was the battery's second Spark-side outlier (round-4
+    verdict item #5); on this corpus the capped answer equals the
+    uncapped one bit for bit (54 rows — hot shingles never reach the
+    0.2 threshold), so the cap costs zero recall here while exercising
+    the actual scale path."""
     docs = _docs(spark, sf_dir)
-    return dedup.containment_pairs(docs, n=3, threshold=0.2, df_cap=None)
+    return dedup.containment_pairs(
+        docs, n=3, threshold=0.2, df_cap=100, log_drops=False
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3344,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_evolution": q_iceberg_evolution,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_delete": q_iceberg_delete,
+        "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "iceberg_eq_delete": q_iceberg_eq_delete,
         "iceberg_partition_prune": q_iceberg_partition_prune,
         "graph_degrees": q_graph_degrees,
@@ -3976,19 +4041,25 @@ sc_{out} AS (
 def _hits_half(prev: str, out: str, direction: str) -> str:
     """One unrolled HITS half-step (sum over in- or out-edges, then L1
     normalize; zero-fill vertices with no contribution — mirrors
-    linkgraph.hits._l1_normalize)."""
+    linkgraph.hits._l1_normalize). Both CTEs are MATERIALIZED: each
+    half-step references its predecessor and its own raw table several
+    times, and DuckDB's per-reference CTE inlining re-evaluates the
+    whole upstream chain each time — geometric blowup over 4 chained
+    half-steps (the battery's 27s graph_hits2 outlier; round-4 verdict
+    item #5). Pinning the step outputs makes the oracle linear in
+    steps; the result is unchanged (a hint, not semantics)."""
     jc, gc = ("src", "dst") if direction == "auth" else ("dst", "src")
     col = "authority" if direction == "auth" else "hub"
     pcol = "hub" if direction == "auth" else "authority"
     return f"""
-{out}r AS (
+{out}r AS MATERIALIZED (
   SELECT v.id, coalesce(s.x, 0.0) AS raw FROM verts v
   LEFT JOIN (
     SELECT e.{gc} AS id, sum(p.{pcol}) AS x
     FROM edges e JOIN {prev} p ON e.{jc} = p.id GROUP BY 1
   ) s ON v.id = s.id
 ),
-{out} AS (
+{out} AS MATERIALIZED (
   SELECT id, CASE WHEN (SELECT sum(raw) FROM {out}r) > 0
     THEN raw / (SELECT sum(raw) FROM {out}r) ELSE 0.0 END AS {col}
   FROM {out}r
@@ -4154,10 +4225,12 @@ ranked AS (
     out = {
         "dedup_contain": f"""
 WITH {_TOKS}, {_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shk AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+sh2 AS (SELECT s.* FROM sh s JOIN shk USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS m
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 ),
 dirs AS (
@@ -4245,6 +4318,13 @@ SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
        min(doc_id)::BIGINT AS min_doc_id
 FROM documents
 WHERE n_chars % 3 <> 0 AND doc_id % 7 <> 0
+GROUP BY lang
+""",
+        "iceberg_compact_deletes": """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id)::BIGINT AS min_doc_id
+FROM documents
+WHERE n_chars % 3 <> 0 AND doc_id % 5 <> 0
 GROUP BY lang
 """,
         "iceberg_stream_upsert": """
@@ -5296,6 +5376,9 @@ e0 AS (
   SELECT d, ((d*7)%n) - ((d*7)%n) % 10 + 3 + ((d*7)%n) % 7
   FROM base WHERE m BETWEEN 3 AND 9
   UNION ALL
+  SELECT d, ((d*11)%n) - ((d*11)%n) % 10 + 3 + ((d*11)%n) % 7
+  FROM base WHERE m BETWEEN 3 AND 9
+  UNION ALL
   SELECT d, ((d*3)%n) - ((d*3)%n) % 10 + 3 + ((d*3)%n) % 7
   FROM base WHERE m = 0
   UNION ALL SELECT d, d-2 FROM base WHERE m = 3
@@ -5491,6 +5574,9 @@ e0 AS (
   SELECT d, ((d*7)%n) - ((d*7)%n) % 10 + 3 + ((d*7)%n) % 7
   FROM base WHERE m BETWEEN 3 AND 9
   UNION ALL
+  SELECT d, ((d*11)%n) - ((d*11)%n) % 10 + 3 + ((d*11)%n) % 7
+  FROM base WHERE m BETWEEN 3 AND 9
+  UNION ALL
   SELECT d, ((d*3)%n) - ((d*3)%n) % 10 + 3 + ((d*3)%n) % 7
   FROM base WHERE m = 0
   UNION ALL SELECT d, d-2 FROM base WHERE m = 3
@@ -5499,18 +5585,22 @@ e0 AS (
   UNION ALL SELECT d-2, d FROM base WHERE d % 40 = 12
   UNION ALL SELECT d, d-1 FROM base WHERE d % 40 = 22
 ),
-edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-reach(a, b) AS (
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+reach0(a, b) AS (
   SELECT src, dst FROM edges
   UNION
-  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+  SELECT r.a, e.dst FROM reach0 r JOIN edges e ON r.b = e.src
 ),
-mutual AS (
+-- pin the closure once: every consumer below references it, and
+-- per-reference inlining would re-run the whole recursion each time
+-- (the battery's 41s graph_bowtie outlier; round-4 verdict item #5)
+reach AS MATERIALIZED (SELECT a, b FROM reach0),
+mutual AS MATERIALIZED (
   SELECT r1.a AS id, min(r1.b) AS mm
   FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
   GROUP BY 1
 ),
-scc AS (
+scc AS MATERIALIZED (
   SELECT b.d AS id, least(b.d, coalesce(mu.mm, b.d)) AS component
   FROM base b LEFT JOIN mutual mu ON b.d = mu.id
 ),
@@ -5518,21 +5608,23 @@ giant AS (
   SELECT component FROM scc GROUP BY component
   ORDER BY count(*) DESC, component ASC LIMIT 1
 ),
-core AS (SELECT id FROM scc WHERE component = (SELECT component FROM giant)),
-innodes AS (
+core AS MATERIALIZED (
+  SELECT id FROM scc WHERE component = (SELECT component FROM giant)
+),
+innodes AS MATERIALIZED (
   SELECT DISTINCT r.a AS id FROM reach r JOIN core c ON r.b = c.id
   WHERE r.a NOT IN (SELECT id FROM core)
 ),
-outnodes AS (
+outnodes AS MATERIALIZED (
   SELECT DISTINCT r.b AS id FROM reach r JOIN core c ON r.a = c.id
   WHERE r.b NOT IN (SELECT id FROM core)
 ),
-from_in AS (
+from_in AS MATERIALIZED (
   SELECT id FROM innodes
   UNION
   SELECT DISTINCT r.b FROM reach r JOIN innodes i ON r.a = i.id
 ),
-to_out AS (
+to_out AS MATERIALIZED (
   SELECT id FROM outnodes
   UNION
   SELECT DISTINCT r.a FROM reach r JOIN outnodes o ON r.b = o.id
@@ -5735,6 +5827,7 @@ lx AS (
     list_filter(list_transform(string_split(d.text, chr(10)), x -> trim(x)),
                 x -> x <> '') AS lines
   FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+  WHERE d.doc_id % 3 = 0
 ),
 gx AS (
   SELECT doc_id, lines, nrm,

@@ -138,6 +138,24 @@ def one_pass(spark, entrymod, docs, embs, edges, verts, passno):
 
     timed("louvain2",
           lambda: louvain_communities(spark, edges, verts, rounds=2).count())
+
+    # the round-5 scale path: same two rounds through the blocked store
+    # (store build + stripe-summed tot + vote kernel + id decode all
+    # inside the timing — the honest end-to-end cost at this SF)
+    from linkgraph.community_csr import louvain_blocked
+    from linkgraph.graph import undirected_edges
+
+    def _louv_blk():
+        g = build_blocked(
+            spark, undirected_edges(edges), verts.select("id"), n_blocks=8
+        )
+        try:
+            return louvain_blocked(spark, g, rounds=2).count()
+        finally:
+            g.delete()
+            caching.release_caches()
+
+    timed("louvain_blocked", _louv_blk)
     timed("mis2",
           lambda: maximal_independent_set(
               spark, edges, verts, rounds=2).count())

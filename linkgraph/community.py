@@ -308,7 +308,16 @@ def louvain_hierarchy(
     the vertices with one join. -> (id, label); modularity is
     non-decreasing across levels on real inputs (asserted over the test
     fixtures — the synchronous variant has no per-move monotonicity
-    theorem, exactly like phase 1 itself)."""
+    theorem, exactly like phase 1 itself).
+
+    Scale shape: phase 1 is the per-round |2E| exchange (use
+    ``community_csr.louvain_blocked`` for the gated zero-shuffle rounds
+    at web scale — same labels bit for bit); the phase-2 graph has one
+    node per phase-1 COMMUNITY, orders of magnitude smaller than the
+    input on real web graphs (host-level structure collapses), so the
+    flat weighted rounds here are the right tool at any input scale —
+    the coarse graph's join+agg fits comfortably where the fine graph's
+    did not."""
     l1 = louvain_communities(
         spark, edges, vertices, rounds=rounds,
         materialize_each=materialize_each,

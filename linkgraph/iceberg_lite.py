@@ -665,9 +665,12 @@ class IcebergLiteTable:
     def _snapshot_with_new_entries(
             self, entries: list[dict], keep_previous: bool, operation: str,
             drop_pred=None, extra_summary: dict[str, str] | None = None,
-            content: int = CONTENT_DATA) -> int:
+            content: int = CONTENT_DATA, drop_delete_pred=None) -> int:
         """Core commit: write the new manifest (+ carried-over previous
-        manifests, optionally filtered by ``drop_pred(entry) -> bool``).
+        manifests, optionally filtered by ``drop_pred(entry) -> bool``;
+        ``drop_delete_pred`` is the same filter for DELETE manifests —
+        without it they carry over untouched, since their rows key on
+        data-file paths and rows naming dropped paths match nothing).
 
         Optimistic concurrency: on CommitConflictError (another writer
         won the metadata-version CAS) the SNAPSHOT-isolation rebase
@@ -696,20 +699,22 @@ class IcebergLiteTable:
             dropped_rows = 0
             if keep_previous:
                 for mf in self._current_manifest_files():
-                    if drop_pred is None or \
-                            mf.get("content") == CONTENT_POSITION_DELETES:
-                        # delete manifests carry over untouched: their rows
-                        # key on data-file PATHS, and rows referencing paths
-                        # dropped here simply match nothing on future scans
+                    is_del = mf.get("content") == CONTENT_POSITION_DELETES
+                    pred = drop_delete_pred if is_del else drop_pred
+                    if pred is None:
+                        # (delete manifests without drop_delete_pred:
+                        # their rows key on data-file PATHS, and rows
+                        # referencing dropped paths match nothing)
                         manifest_files.append(mf)  # reuse by reference
                         continue
                     _, _, old = avro.read_container(mf["manifest_path"])
-                    kept = [e for e in old if not drop_pred(e)]
+                    kept = [e for e in old if not pred(e)]
                     if len(kept) == len(old):
                         manifest_files.append(mf)  # untouched -> by reference
                         continue
-                    dropped_rows += sum(e["data_file"]["record_count"]
-                                        for e in old if drop_pred(e))
+                    if not is_del:  # summary counts DATA rows only
+                        dropped_rows += sum(e["data_file"]["record_count"]
+                                            for e in old if pred(e))
                     if kept:
                         mseq = mf.get("sequence_number") or 0
                         for e in kept:
@@ -722,8 +727,11 @@ class IcebergLiteTable:
                             if e.get("sequence_number") is None:
                                 e["sequence_number"] = mseq
                         manifest_files.append(
-                            self._write_manifest(kept, mf["added_snapshot_id"],
-                                                 sequence_number=mseq))
+                            self._write_manifest(
+                                kept, mf["added_snapshot_id"],
+                                content=(CONTENT_POSITION_DELETES
+                                         if is_del else CONTENT_DATA),
+                                sequence_number=mseq))
             added_rows = sum(e["data_file"]["record_count"] for e in entries)
             summary = {"added-records": str(added_rows),
                        "deleted-records": str(dropped_rows)}
@@ -1163,12 +1171,18 @@ class IcebergLiteTable:
         the old snapshot are unaffected until `expire_snapshots`.
         Returns the new snapshot id, or None if nothing needed packing.
 
-        Pending position deletes are APPLIED to the groups being packed
-        (merge-on-read becomes merge-on-write here — the rewritten files
-        carry no deleted rows). Delete manifests still carry over for the
-        sake of untouched groups; their rows naming packed (now dead)
-        paths match nothing, and `expire_snapshots` reclaims fully-dead
-        delete files once no kept snapshot references them.
+        Pending deletes — position AND equality — are APPLIED to the
+        groups being packed (merge-on-read becomes merge-on-write here:
+        the rewritten files carry no deleted rows, and their new, higher
+        sequence number puts them out of every equality delete's scope).
+        Delete files that can no longer match anything are DROPPED from
+        the new snapshot in the same commit (round-4 verdict item #6, so
+        merge-on-read debt doesn't accumulate): a position-delete file
+        whose every referenced data path was packed away, or an equality
+        -delete file with no surviving data file of lower sequence
+        number. Delete files still applicable to untouched groups carry
+        over; `expire_snapshots` reclaims the dropped files' bytes once
+        no kept snapshot references them.
         """
         snap = self._snapshot()
         entries = self._live_entries(snap)
@@ -1194,12 +1208,45 @@ class IcebergLiteTable:
                 df, f"{sub}/compact-{uuid.uuid4().hex[:12]}")
             new_entries.extend(self._entries_for(infos, dict(key)))
 
+        # delete-file retirement: compute which delete files can no
+        # longer match ANY live data file after this swap
+        untouched = [e for e in entries
+                     if e["data_file"]["file_path"] not in packed_paths]
+        dead_deletes: set[str] = set()
+        for e in dels:
+            dpath = e["data_file"]["file_path"]
+            if (e["data_file"].get("content") or CONTENT_DATA) \
+                    == CONTENT_EQUALITY_DELETES:
+                # applies only to data files with dseq < eseq; packed
+                # rewrites carry the NEW (higher) seq, so only untouched
+                # files can still be in scope
+                eseq = int(e.get("_seq") or 0)
+                if not any(int(u.get("_seq") or 0) < eseq
+                           for u in untouched):
+                    dead_deletes.add(dpath)
+            else:
+                # position deletes key on data-file paths: dead iff every
+                # referenced path was packed away. Delete files are small
+                # (bounded by rows deleted); one driver-side column read.
+                import pyarrow.parquet as pq
+
+                refs = set(
+                    pq.read_table(dpath, columns=["file_path"])
+                    .column("file_path").to_pylist()
+                )
+                if refs <= packed_paths:
+                    dead_deletes.add(dpath)
+
         def drop(entry: dict) -> bool:
             return entry["data_file"]["file_path"] in packed_paths
 
+        def drop_delete(entry: dict) -> bool:
+            return entry["data_file"]["file_path"] in dead_deletes
+
         return self._snapshot_with_new_entries(
             new_entries, keep_previous=True, operation="replace",
-            drop_pred=drop)
+            drop_pred=drop,
+            drop_delete_pred=drop_delete if dead_deletes else None)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Retire all but the newest ``keep_last`` snapshots and delete

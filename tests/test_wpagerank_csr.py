@@ -106,3 +106,42 @@ def test_wpr_zero_strength_vertex_is_dangling_both_paths(spark):
             assert abs(flat[k] - blk[k]) < 1e-14, k
     finally:
         g.delete()
+
+
+def test_weight_store_sidecar_validation(spark, small, tmp_path):
+    """Round-4 ADVICE: a named weight store records agg/keep_self/graph
+    token in _wmeta.json; reuse with different parameters (or a store
+    missing the sidecar, or weighted PageRank fed a min-collapsed store)
+    raises instead of silently corrupting results."""
+    import json as _json
+    import os
+
+    wedges = _wedges(small)
+    g = build_blocked(
+        spark, wedges.select("src", "dst"), small.vertices.select("id"),
+        n_blocks=4,
+    )
+    try:
+        wpath = str(tmp_path / "wstore")
+        built = build_weight_store(spark, g, wedges, wpath=wpath)  # min
+        assert built == wpath
+        assert _json.load(open(f"{wpath}/_wmeta.json")) == {
+            "agg": "min", "keep_self": False, "token": g.build_token}
+        # same params: reused without rebuild
+        assert build_weight_store(spark, g, wedges, wpath=wpath) == wpath
+        # different params over the same path: refuse
+        with pytest.raises(ValueError, match="built with"):
+            build_weight_store(
+                spark, g, wedges, agg="sum", keep_self=True, wpath=wpath
+            )
+        # weighted PageRank over a min store: refuse
+        with pytest.raises(ValueError, match="weighted\\s+PageRank needs"):
+            wpagerank_blocked(spark, g, wpath, wedges, max_iter=1)
+        # sidecar missing (pre-check store): refuse rather than trust
+        os.remove(f"{wpath}/_wmeta.json")
+        with pytest.raises(ValueError, match="no _wmeta.json"):
+            build_weight_store(spark, g, wedges, wpath=wpath)
+        with pytest.raises(ValueError, match="no _wmeta.json"):
+            wpagerank_blocked(spark, g, wpath, wedges, max_iter=1)
+    finally:
+        g.delete()
