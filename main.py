@@ -83,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--job", default="all",
                    choices=["extract", "pagerank", "pagerank-blocked",
                             "store-update", "components", "labelprop",
-                            "louvain", "mis",
+                            "louvain", "louvain-blocked", "louvain-hier",
+                            "mis", "mis-blocked",
                             "triangles", "complexity", "all"])
     p.add_argument("--checkpoint-dir", default=None,
                    help="parquet dir, or iceberg://catalog.namespace to "
@@ -287,13 +288,73 @@ def main(argv: list[str] | None = None) -> int:
             "n_communities": labels.select("label").distinct().count(),
             "modularity": round(q, 9),
         }))
+    if "louvain-blocked" in jobs:
+        # the scale path: zero-shuffle local-move rounds on an anonymous
+        # blocked store built from the distinct symmetric closure
+        from linkgraph.community_csr import louvain_blocked
+        from linkgraph.graph import modularity, undirected_edges
+        from linkgraph.pagerank_csr import build_blocked
+
+        g = build_blocked(spark, undirected_edges(edges),
+                          vertices.select("id"), n_blocks=args.n_blocks)
+        try:
+            labels = louvain_blocked(
+                spark, g, rounds=args.iterations
+            ).localCheckpoint()
+        finally:
+            g.delete()
+        labels.write.mode("overwrite").parquet(f"{out}/communities_blocked")
+        q = float(
+            modularity(edges, labels).agg(F.sum("q_term9")).collect()[0][0]
+            or 0.0
+        )
+        print(json.dumps({
+            "job": "louvain-blocked", "rounds": args.iterations,
+            "n_communities": labels.select("label").distinct().count(),
+            "modularity": round(q, 9),
+        }))
+    if "louvain-hier" in jobs:
+        from linkgraph.community import louvain_hierarchy
+        from linkgraph.graph import modularity
+
+        labels = louvain_hierarchy(spark, edges, vertices,
+                                   rounds=args.iterations)
+        labels.write.mode("overwrite").parquet(f"{out}/communities_hier")
+        q = float(
+            modularity(edges, labels).agg(F.sum("q_term9")).collect()[0][0]
+            or 0.0
+        )
+        print(json.dumps({
+            "job": "louvain-hier", "rounds": args.iterations,
+            "n_communities": labels.select("label").distinct().count(),
+            "modularity": round(q, 9),
+        }))
     if "mis" in jobs:
         from linkgraph.mis import maximal_independent_set
 
         state = maximal_independent_set(spark, edges, vertices)
         state.write.mode("overwrite").parquet(f"{out}/mis")
+        # fixpoint mode guarantees NO 'und' rows (round-4 ADVICE fix),
+        # so in + out is the full vertex count by construction
         print(json.dumps({
             "job": "mis",
+            "in": state.where("state = 'in'").count(),
+            "out": state.where("state = 'out'").count(),
+        }))
+    if "mis-blocked" in jobs:
+        from linkgraph.graph import undirected_edges
+        from linkgraph.mis_csr import mis_blocked
+        from linkgraph.pagerank_csr import build_blocked
+
+        g = build_blocked(spark, undirected_edges(edges),
+                          vertices.select("id"), n_blocks=args.n_blocks)
+        try:
+            state = mis_blocked(spark, g).localCheckpoint()
+        finally:
+            g.delete()
+        state.write.mode("overwrite").parquet(f"{out}/mis_blocked")
+        print(json.dumps({
+            "job": "mis-blocked",
             "in": state.where("state = 'in'").count(),
             "out": state.where("state = 'out'").count(),
         }))
