@@ -120,6 +120,25 @@ def _nb_plan(spark, docs):
     return nb_classify(docs.where(coin >= "cccccc"), cond, stats)
 
 
+def _louvain_w_plan(spark, edges, verts):
+    """Phase-2 plan: one local-move round over the weighted community
+    quotient (the coarse graph one Louvain level produces)."""
+    from linkgraph.community import (
+        community_quotient,
+        louvain_communities,
+        louvain_move_round_weighted,
+    )
+
+    l1 = louvain_communities(spark, edges, verts, rounds=1)
+    wq = community_quotient(edges, l1)
+    comms = wq.select(F.col("u").alias("id")).unionByName(
+        wq.select(F.col("v").alias("id"))
+    ).distinct()
+    return louvain_move_round_weighted(
+        spark, wq, comms.select("id", F.col("id").alias("label"))
+    )
+
+
 def _triangles_blocked(spark, edges, verts):
     """Blocked-path count plan: the store build is out-of-band (one-time
     compaction, like the PageRank store); the audited plan is the count
@@ -242,6 +261,20 @@ def main() -> None:
         ).weighted_sample(docs, k=20, strata_col="lang"),
         "range join (bucketed equi-join, NOT BroadcastNestedLoop)":
             _range_join_plan(spark),
+        "louvain local move (shuffle_hash vote join + bounded-key aggs + "
+        "max_by argmax, no window sort)": __import__(
+            "linkgraph.community", fromlist=["louvain_move_round"]
+        ).louvain_move_round(
+            spark, edges,
+            verts.select("id", F.col("id").alias("label")),
+        ),
+        "louvain weighted phase-2 round (coarse community graph: "
+        "weighted vote join + same argmax)": _louvain_w_plan(spark, edges,
+                                                             verts),
+        "luby MIS round (min-priority vote join + anti-join "
+        "elimination)": __import__(
+            "linkgraph.mis", fromlist=["maximal_independent_set"]
+        ).maximal_independent_set(spark, edges, verts, rounds=1),
         "k-means E-step (broadcast codebook + struct-min argmin)":
             __import__(
                 "linkgraph.simsearch", fromlist=["kmeans_assign"]
