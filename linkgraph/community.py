@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .joinhints import fits_broadcast, small_side
 from .lineage import truncate_plan
 
 
@@ -71,45 +72,61 @@ def _prep_graph(edges: DataFrame):
 
 
 def louvain_move_round(
-    spark, edges: DataFrame, labels: DataFrame, _prepped=None
+    spark, edges: DataFrame, labels: DataFrame, _prepped=None,
+    n_state_rows: int | None = None,
 ) -> DataFrame:
     """One synchronous local-move round: labels(id, label) -> updated
     (id, label). ``edges`` is normalized to the undirected simple graph
-    (``_prepped`` = a ``_prep_graph`` result reused across rounds)."""
+    (``_prepped`` = a ``_prep_graph`` result reused across rounds).
+    ``n_state_rows`` = an upper bound on |labels| (i.e. |V|) — when it
+    fits the broadcast bound, every per-vertex side (labels, degrees,
+    community totals) broadcasts and the only exchanges left in the
+    round are the two map-side-combined aggregations (guide §3.1)."""
     sym, deg, m = _prepped if _prepped is not None else _prep_graph(edges)
     if m == 0:
         return labels.select("id", "label")
+    bcast = fits_broadcast(n_state_rows)
+
+    def _small(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     la = labels.select("id", "label")
     tot = (
-        la.join(deg, "id", "left")
+        la.join(_small(deg), "id", "left")
         .groupBy("label")
         .agg(F.sum(F.coalesce("k", F.lit(0.0))).alias("tot"))
     )
     # edges from i into each neighbor community under the current labels.
-    # shuffle_hash hint on the (per-vertex) label side: a sort-merge join
-    # would re-sort all 2|E| sym rows every round (the labelprop.py
-    # finding); the hash join streams sym against a per-partition map.
+    # small-state side broadcast when |V| fits; otherwise shuffle_hash: a
+    # sort-merge join would re-sort all 2|E| sym rows every round (the
+    # labelprop.py finding); the hash join streams sym against a
+    # per-partition map.
     kic = (
         sym.join(
-            la.select(
-                F.col("id").alias("dst"), F.col("label").alias("cand")
-            ).hint("shuffle_hash"),
+            small_side(
+                la.select(
+                    F.col("id").alias("dst"), F.col("label").alias("cand")
+                ),
+                n_state_rows,
+            ),
             "dst",
         )
         .groupBy(F.col("src").alias("id"), "cand")
         .agg(F.count("*").cast("double").alias("kic"))
     )
-    # the vertex's own community is always a candidate (kic may be 0 there)
+    # the vertex's own community is always a candidate (kic may be 0
+    # there). NO re-aggregation of the union: when (id, own-label) also
+    # appears in kic, the duplicate kic=0 row scores <= the true-kic row
+    # for the SAME cand (score is monotone in kic, everything else per
+    # (id, cand) equal), so the max_by argmax below picks the same winner
+    # either way — the old groupBy(id, cand).max() was a second full
+    # |cand| exchange per round buying nothing.
     own = la.select("id", F.col("label").alias("cand"), F.lit(0.0).alias("kic"))
-    cand = (
-        kic.unionByName(own)
-        .groupBy("id", "cand")
-        .agg(F.max("kic").alias("kic"))
-    )
+    cand = kic.unionByName(own)
     scored = (
-        cand.join(la, "id")
-        .join(deg, "id", "left")
-        .join(tot.select(F.col("label").alias("cand"), "tot"), "cand")
+        cand.join(_small(la), "id")
+        .join(_small(deg), "id", "left")
+        .join(_small(tot.select(F.col("label").alias("cand"), "tot")), "cand")
         .select(
             "id",
             "cand",
@@ -147,7 +164,10 @@ def louvain_move_round(
     )
     # vertices absent from the candidate table (isolated) keep their label
     return (
-        la.join(moved.select("id", F.col("label").alias("nl")), "id", "left")
+        la.join(
+            _small(moved.select("id", F.col("label").alias("nl"))),
+            "id", "left",
+        )
         .select("id", F.coalesce("nl", "label").alias("label"))
     )
 
@@ -192,7 +212,8 @@ def _prep_weighted(wedges: DataFrame):
 
 
 def louvain_move_round_weighted(
-    spark, wedges: DataFrame, labels: DataFrame, _prepped=None
+    spark, wedges: DataFrame, labels: DataFrame, _prepped=None,
+    n_state_rows: int | None = None,
 ) -> DataFrame:
     """One synchronous WEIGHTED local-move round over the canonical
     weighted graph ``wedges(u, v, w)`` (see ``_prep_weighted``):
@@ -207,32 +228,39 @@ def louvain_move_round_weighted(
     )
     if m == 0:
         return labels.select("id", "label")
+    bcast = fits_broadcast(n_state_rows)
+
+    def _small(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     la = labels.select("id", "label")
     tot = (
-        la.join(deg, "id", "left")
+        la.join(_small(deg), "id", "left")
         .groupBy("label")
         .agg(F.sum(F.coalesce("k", F.lit(0.0))).alias("tot"))
     )
     wic = (
         sym_w.join(
-            la.select(
-                F.col("id").alias("dst"), F.col("label").alias("cand")
-            ).hint("shuffle_hash"),
+            small_side(
+                la.select(
+                    F.col("id").alias("dst"), F.col("label").alias("cand")
+                ),
+                n_state_rows,
+            ),
             "dst",
         )
         .groupBy(F.col("src").alias("id"), "cand")
         .agg(F.sum(F.col("w").cast("double")).alias("kic"))
     )
+    # duplicate-(id, cand) union, no re-aggregation — same argument as the
+    # unweighted round: the kic=0 own row can never out-score the true
+    # w_{i,c} row for the same candidate, so the argmax is unchanged
     own = la.select("id", F.col("label").alias("cand"), F.lit(0.0).alias("kic"))
-    cand = (
-        wic.unionByName(own)
-        .groupBy("id", "cand")
-        .agg(F.max("kic").alias("kic"))
-    )
+    cand = wic.unionByName(own)
     scored = (
-        cand.join(la, "id")
-        .join(deg, "id", "left")
-        .join(tot.select(F.col("label").alias("cand"), "tot"), "cand")
+        cand.join(_small(la), "id")
+        .join(_small(deg), "id", "left")
+        .join(_small(tot.select(F.col("label").alias("cand"), "tot")), "cand")
         .select(
             "id",
             "cand",
@@ -264,7 +292,10 @@ def louvain_move_round_weighted(
         .select("id", "label")
     )
     return (
-        la.join(moved.select("id", F.col("label").alias("nl")), "id", "left")
+        la.join(
+            _small(moved.select("id", F.col("label").alias("nl"))),
+            "id", "left",
+        )
         .select("id", F.coalesce("nl", "label").alias("label"))
     )
 
@@ -332,8 +363,13 @@ def louvain_hierarchy(
     ).distinct()
     l2 = comms.select("id", F.col("id").alias("label"))
     prepped = _prep_weighted(wq)
+    # coarse-level state is bounded by the number of level-1 communities
+    # <= |V|; reuse the vertex count as the (upper-bound) strategy input
+    n_verts = vertices.count()
     for _ in range(rounds):
-        l2 = louvain_move_round_weighted(spark, wq, l2, _prepped=prepped)
+        l2 = louvain_move_round_weighted(
+            spark, wq, l2, _prepped=prepped, n_state_rows=n_verts
+        )
         if materialize_each:
             l2 = truncate_plan(l2)
     # compose: vertex -> level-1 community -> level-2 community; isolated
@@ -365,8 +401,11 @@ def louvain_communities(
     SQL-replicable form the oracle row uses)."""
     labels = vertices.select("id", F.col("id").alias("label"))
     prepped = _prep_graph(edges)
+    n_verts = vertices.count()  # per-round join strategy (guide §3.1)
     for _ in range(rounds):
-        labels = louvain_move_round(spark, edges, labels, _prepped=prepped)
+        labels = louvain_move_round(
+            spark, edges, labels, _prepped=prepped, n_state_rows=n_verts
+        )
         if materialize_each:
             labels = truncate_plan(labels)
     return labels

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .checkpoint import CheckpointManager
+from .joinhints import fits_broadcast
 from .lineage import truncate_plan
 
 
@@ -32,17 +33,21 @@ def _canon_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(pairs: DataFrame) -> DataFrame:
+def _large_star(pairs: DataFrame, bcast_mins: bool = False) -> DataFrame:
     """For each a: m = min(Γ(a) ∪ {a}); connect every strictly-larger
     neighbor b to m. Output pairs are canonical by construction
     (u = m <= a < b = v), so no re-canonicalization; the dedup shuffle is
     deferred to the small-star that always follows (its final distinct) —
     one less exchange per round, and round plans stay small (Catalyst
-    planning time is the dominant per-round driver cost on small inputs)."""
+    planning time is the dominant per-round driver cost on small inputs).
+    ``bcast_mins`` broadcasts the per-vertex min table (<= |V| rows) so
+    the 2|pairs| sym side is not re-exchanged for the join (guide §3.1)."""
     sym = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
     mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    if bcast_mins:
+        mins = F.broadcast(mins)
     return (
         sym.join(mins, "a")
         .where((F.col("b") > F.col("a")) & (F.col("m") != F.col("b")))
@@ -50,13 +55,14 @@ def _large_star(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(pairs: DataFrame) -> DataFrame:
+def _small_star(pairs: DataFrame, bcast_mins: bool = False) -> DataFrame:
     """Key each pair by its larger endpoint; connect all smaller neighbors
     (and the key itself) to the minimum. Output pairs are canonical by
     construction (m = min(Γ ∪ {a}) <= every emitted partner)."""
     keyed = pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))  # b < a
     mins = keyed.groupBy("a").agg(F.min("b").alias("m"))  # m = min(Γ ∪ {a})
-    attach_neighbors = keyed.join(mins, "a").select(
+    mins_j = F.broadcast(mins) if bcast_mins else mins
+    attach_neighbors = keyed.join(mins_j, "a").select(
         F.col("m").alias("u"), F.col("b").alias("v")
     )
     attach_self = mins.select(F.col("m").alias("u"), F.col("a").alias("v"))
@@ -100,9 +106,12 @@ def connected_components(
     # swap, so the canon-distinct must be block-cached or round 1 computes
     # it twice; eager=False folds that materialization into round 1's job
     pairs = truncate_plan(_canon_pairs(edges), eager=False)
+    # the per-round min tables are bounded by |V|: broadcast them when
+    # that fits so each star join stops re-exchanging the pair table
+    bcast = fits_broadcast(vertices.count())
     sig: tuple[int, int] | None = None
     for step in range(max_iter):
-        pairs = _small_star(_large_star(pairs))
+        pairs = _small_star(_large_star(pairs, bcast), bcast)
         if checkpoint is not None:
             reread = checkpoint.write_state(
                 pairs.select(F.col("u").alias("id"), F.col("v").alias("component")),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .checkpoint import CheckpointManager
+from .joinhints import fits_broadcast
 from .lineage import truncate_plan
 from .graph import undirected_edges
 
@@ -112,20 +113,32 @@ def label_propagation(
     # from build_graph always satisfy endpoints ⊆ vertices, making both
     # semi-joins free after pushdown — this guards the general contract.
     vset = vertices.select("id")
+    # per-round join strategy (guide §3.1): per-round label state is
+    # bounded by |V| — when that fits the broadcast bound, broadcast the
+    # labels and never exchange the 2|E| edge side at all (the salt
+    # machinery exists solely to spread reducer-side hub keys of the
+    # shuffled join, so the broadcast path skips it entirely); at
+    # web-scale |V| keep the salted shuffle_hash rounds unchanged.
+    n_verts = vertices.count()
+    use_bcast = fits_broadcast(n_verts)
     und = (
         undirected_edges(edges)
         .join(vset.select(F.col("id").alias("src")), "src", "left_semi")
         .join(vset.select(F.col("id").alias("dst")), "dst", "left_semi")
     )
-    sym, hub_ids = _salted_sym(
-        truncate_plan(und),  # (src,dst) both ways, vertex-restricted
-        hub_threshold,
-        salt_buckets,
-    )
-    # both sides of the salt are static: materialize once, or every
-    # superstep's broadcast would recompute the full degree aggregation
-    sym = truncate_plan(sym)
-    hub_ids = truncate_plan(hub_ids)
+    if use_bcast:
+        sym = truncate_plan(und)
+        hub_ids = None
+    else:
+        sym, hub_ids = _salted_sym(
+            truncate_plan(und),  # (src,dst) both ways, vertex-restricted
+            hub_threshold,
+            salt_buckets,
+        )
+        # both sides of the salt are static: materialize once, or every
+        # superstep's broadcast would recompute the full degree aggregation
+        sym = truncate_plan(sym)
+        hub_ids = truncate_plan(hub_ids)
     start = 0
     if resume and checkpoint is not None:
         latest = checkpoint.latest_complete("labelprop")
@@ -141,22 +154,38 @@ def label_propagation(
     labels = truncate_plan(labels)
 
     for step in range(start, iterations):
-        # shuffle_hash hint on the (small) label side: without it the
-        # superstep join is a sort-merge that re-sorts all |E| sym rows
-        # EVERY round — same discipline as pagerank's rank-side hint
-        # (pagerank.py:230). Measured at sf0.1, 5 interleaved reps:
-        # hinted beat plain in 5/5 pairs, min 3.94s vs 4.31s.
-        lab_rep = _replicate_hub_labels(labels, hub_ids, salt_buckets).hint(
-            "shuffle_hash"
-        )
-        votes = (
-            sym.join(
-                lab_rep,
-                (sym["dst"] == lab_rep["id"]) & (sym["salt"] == lab_rep["salt"]),
+        if use_bcast:
+            # broadcast the |V|-bounded label state: the 2|E| sym side is
+            # scanned from its cached blocks with NO exchange, and the
+            # vote aggregation partial-aggregates map-side
+            votes = (
+                sym.join(
+                    F.broadcast(
+                        labels.select(F.col("id").alias("dst"), "label")
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vid"), "label")
+                .agg(F.count("*").alias("cnt"))
             )
-            .groupBy(F.col("src").alias("vid"), "label")
-            .agg(F.count("*").alias("cnt"))
-        )
+        else:
+            # shuffle_hash hint on the (small) label side: without it the
+            # superstep join is a sort-merge that re-sorts all |E| sym rows
+            # EVERY round — same discipline as pagerank's rank-side hint
+            # (pagerank.py:230). Measured at sf0.1, 5 interleaved reps:
+            # hinted beat plain in 5/5 pairs, min 3.94s vs 4.31s.
+            lab_rep = _replicate_hub_labels(
+                labels, hub_ids, salt_buckets
+            ).hint("shuffle_hash")
+            votes = (
+                sym.join(
+                    lab_rep,
+                    (sym["dst"] == lab_rep["id"])
+                    & (sym["salt"] == lab_rep["salt"]),
+                )
+                .groupBy(F.col("src").alias("vid"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
         winner = (
             votes.groupBy("vid")
             .agg(
@@ -171,7 +200,8 @@ def label_propagation(
             # contract), so fold the winners back over every vertex here
             labels = (
                 labels.join(
-                    winner.hint("shuffle_hash"),
+                    F.broadcast(winner) if use_bcast
+                    else winner.hint("shuffle_hash"),
                     labels["id"] == F.col("vid"),
                     "left",
                 )
@@ -265,11 +295,20 @@ def label_propagation_seeded(
     two-level aggregate) — everything said about partitioning/skew there
     holds here. -> (id, label).
     """
-    sym, hub_ids = _salted_sym(
-        truncate_plan(undirected_edges(edges)), hub_threshold, salt_buckets
-    )
-    sym = truncate_plan(sym)
-    hub_ids = truncate_plan(hub_ids)
+    # same per-round strategy as label_propagation: broadcast |V|-bounded
+    # state when it fits, salted shuffle_hash rounds otherwise
+    n_verts = vertices.count()
+    use_bcast = fits_broadcast(n_verts)
+    if use_bcast:
+        sym = truncate_plan(undirected_edges(edges))
+        hub_ids = None
+    else:
+        sym, hub_ids = _salted_sym(
+            truncate_plan(undirected_edges(edges)), hub_threshold,
+            salt_buckets,
+        )
+        sym = truncate_plan(sym)
+        hub_ids = truncate_plan(hub_ids)
     seed_map = seeds.select("id", F.col("label").alias("_seed"))
     labels = truncate_plan(
         vertices.select("id")
@@ -277,16 +316,30 @@ def label_propagation_seeded(
         .select("id", F.coalesce("_seed", F.lit(unlabeled)).alias("label"))
     )
     for _ in range(iterations):
-        lab_rep = _replicate_hub_labels(labels, hub_ids, salt_buckets)
-        votes = (
-            sym.join(
-                lab_rep,
-                (sym["dst"] == lab_rep["id"]) & (sym["salt"] == lab_rep["salt"]),
+        if use_bcast:
+            votes = (
+                sym.join(
+                    F.broadcast(
+                        labels.select(F.col("id").alias("dst"), "label")
+                    ),
+                    "dst",
+                )
+                .where(F.col("label") != unlabeled)
+                .groupBy(F.col("src").alias("vid"), "label")
+                .agg(F.count("*").alias("cnt"))
             )
-            .where(F.col("label") != unlabeled)
-            .groupBy(F.col("src").alias("vid"), "label")
-            .agg(F.count("*").alias("cnt"))
-        )
+        else:
+            lab_rep = _replicate_hub_labels(labels, hub_ids, salt_buckets)
+            votes = (
+                sym.join(
+                    lab_rep,
+                    (sym["dst"] == lab_rep["id"])
+                    & (sym["salt"] == lab_rep["salt"]),
+                )
+                .where(F.col("label") != unlabeled)
+                .groupBy(F.col("src").alias("vid"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
         winner = (
             votes.groupBy("vid")
             .agg(
@@ -297,8 +350,14 @@ def label_propagation_seeded(
             .select("vid", F.col("best.label").alias("new_label"))
         )
         labels = (
-            labels.join(winner, labels["id"] == F.col("vid"), "left")
-            .join(seed_map, "id", "left")
+            labels.join(
+                F.broadcast(winner) if use_bcast else winner,
+                labels["id"] == F.col("vid"),
+                "left",
+            )
+            .join(
+                F.broadcast(seed_map) if use_bcast else seed_map, "id", "left"
+            )
             .select(
                 "id",
                 F.coalesce("_seed", "new_label", F.col("label")).alias("label"),

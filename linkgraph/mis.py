@@ -39,6 +39,7 @@ import logging
 
 from pyspark.sql import DataFrame, functions as F
 
+from .joinhints import fits_broadcast
 from .lineage import truncate_plan
 
 log = logging.getLogger(__name__)
@@ -93,6 +94,15 @@ def maximal_independent_set(
     pri = truncate_plan(
         vertices.select("id", _priority("id").alias("pri")), eager=False
     )
+    # per-round strategy (guide §3.1): every per-round side (undecided
+    # set, priorities, winners, eliminations) is bounded by |V| — when
+    # that fits, broadcast them so the 2|E| neighbor table is never
+    # exchanged; otherwise keep the shuffle_hash rounds
+    n_verts = vertices.count()
+    use_bcast = fits_broadcast(n_verts)
+
+    def _small(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_bcast else df.hint("shuffle_hash")
 
     und = vertices.select("id")
     members = None  # accumulated 'in' rows
@@ -136,13 +146,13 @@ def maximal_independent_set(
         # the 2|E| neighbor table every round (the labelprop.py finding)
         nbr_min = (
             nbr.join(
-                und.select(F.col("id").alias("dst")).hint("shuffle_hash"),
+                _small(und.select(F.col("id").alias("dst"))),
                 "dst",
             )
             .join(
-                pri.select(
+                _small(pri.select(
                     F.col("id").alias("dst"), F.col("pri").alias("np")
-                ).hint("shuffle_hash"),
+                )),
                 "dst",
             )
             .groupBy("src")
@@ -161,14 +171,16 @@ def maximal_independent_set(
         # undecided neighbors of this round's winners are eliminated
         elim = (
             nbr.join(
-                win.select(F.col("id").alias("src")).hint("shuffle_hash"),
+                _small(win.select(F.col("id").alias("src"))),
                 "src",
             )
             .select(F.col("dst").alias("id"))
-            .join(und, "id")
+            .join(_small(und) if use_bcast else und, "id")
             .distinct()
         )
-        und = und.join(win, "id", "left_anti").join(elim, "id", "left_anti")
+        und = und.join(
+            F.broadcast(win) if use_bcast else win, "id", "left_anti"
+        ).join(F.broadcast(elim) if use_bcast else elim, "id", "left_anti")
         if bounded:
             und = truncate_plan(und, eager=False)
 
