@@ -134,54 +134,47 @@ def louvain_blocked(
             f"> rounds={rounds}; pass rounds >= {start}")
 
     # 2m = total stored (symmetric) edges = sum of the store's
-    # out-degrees — one tiny aggregate over B block_meta rows
-    sym_total = int(
-        g.block_meta.agg(
-            F.sum(
-                F.expr("aggregate(od, 0L, (a, x) -> a + bigint(x))")
-            ).alias("s")
-        ).collect()[0]["s"]
-        or 0
-    )
+    # out-degrees — free from the build's metadata aggregate; the O(B)
+    # fallback aggregate only runs for stores predating the field
+    sym_total = g.sum_od
+    if sym_total is None:
+        sym_total = int(
+            g.block_meta.agg(
+                F.sum(
+                    F.expr("aggregate(od, 0L, (a, x) -> a + bigint(x))")
+                ).alias("s")
+            ).collect()[0]["s"]
+            or 0
+        )
     m = sym_total // 2
     if m == 0:
         # edgeless graph: every vertex keeps its singleton community
         return g.vmap.select("id", F.col("id").alias("label"))
     two_m = 2.0 * m  # == the flat path's F.lit(2.0 * m)
 
+    # lazy truncation: the prep job below is the materializing action for
+    # the rank map (it is reused by the final id decode via the cache)
     ranks = register_cache(
-        truncate_plan(id_ranks(g.vmap.select("id"))).persist()
+        truncate_plan(id_ranks(g.vmap.select("id")), eager=False).persist()
     )
 
     if start == 0:
-        # prep job 1: per-block degree sidecar straight from block_meta's
-        # out-degree arrays (symmetric store: out-deg == degree)
-        def deg_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ONE cogrouped prep job (was two): per block, the degree sidecar
+        # (straight from block_meta's out-degree arrays — symmetric store:
+        # out-deg == degree), the step-0 labels (own rank scattered into
+        # local order — labelprop_csr's init), and the step-0 tot partials
+        def prep_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(right):
+                return pd.DataFrame({"block": []})
             os.makedirs(f"{rdir}/deg", exist_ok=True)
-            for b, od in zip(pdf["block"], pdf["od"]):
-                _write_npy_atomic(
-                    f"{rdir}/deg/b{int(b)}.npy",
-                    np.asarray(od, dtype=np.float64),
-                )
-            return pd.DataFrame({"block": [int(b) for b in pdf["block"]]})
-
-        (
-            g.block_meta.select("block", "od")
-            .groupBy("block")
-            .applyInPandas(deg_kernel, "block int")
-            .count()
-        )
-
-        # prep job 2: step-0 labels (own rank, scattered into local
-        # order — labelprop_csr's init) + the step-0 tot partials
-        def prep_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             os.makedirs(f"{rdir}/step0", exist_ok=True)
-            b = int(pdf["block"].iloc[0])
-            arr = np.empty(len(pdf), dtype=np.float64)
-            arr[pdf["local"].to_numpy(dtype=np.int64)] = (
-                pdf["rank"].to_numpy(dtype=np.float64)
+            b = int(right["block"].iloc[0])
+            kdeg = np.asarray(right["od"].iloc[0], dtype=np.float64)
+            arr = np.empty(len(kdeg), dtype=np.float64)
+            arr[left["local"].to_numpy(dtype=np.int64)] = (
+                left["rank"].to_numpy(dtype=np.float64)
             )
-            kdeg = np.load(f"{rdir}/deg/b{b}.npy")
+            _write_npy_atomic(f"{rdir}/deg/b{b}.npy", kdeg)
             _write_npy_atomic(f"{rdir}/step0/b{b}.npy", arr)
             _emit_tot_partials(rdir, 0, b, arr, kdeg, stride)
             return pd.DataFrame({"block": [b]})
@@ -190,7 +183,8 @@ def louvain_blocked(
             g.vmap.join(ranks, "id")
             .select("block", "local", "rank")
             .groupBy("block")
-            .applyInPandas(prep_kernel, "block int")
+            .cogroup(g.block_meta.select("block", "od").groupBy("block"))
+            .applyInPandas(prep_cg, "block int")
             .count()
         )
 

@@ -117,6 +117,11 @@ class BlockedGraph:
     # the parameters the caller WOULD build with (round-2 ADVICE: silent
     # reuse of a store built from different inputs/params)
     fingerprint: dict = field(default_factory=dict)
+    # total stored edges (sum of out-degrees) — computed for free in the
+    # build's metadata aggregate; symmetric-store consumers read 2m from
+    # here instead of re-aggregating block_meta (None on stores written
+    # before the field existed — consumers fall back to the aggregate)
+    sum_od: int | None = None
 
     def unpersist(self) -> None:
         for df in (self.vmap, self.block_meta):
@@ -218,41 +223,6 @@ def build_blocked(
         .withColumn("local", (F.row_number().over(w) - 1).cast("long"))
         .persist()
     )
-    if n is None:
-        n = vmap.count()
-
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("od"))
-    # per-block metadata stays a DataFrame: size + per-vertex out-degrees
-    # in local order (the prep job turns them into inv_od / dangling
-    # sidecar files). O(V) total, but only O(V/B) per row — it must never
-    # be a driver-side dict (round-1 verdict item #2).
-    block_meta = (
-        vmap.join(out_deg, vmap["id"] == out_deg["src"], "left")
-        .groupBy("block")
-        .agg(
-            F.count("*").cast("int").alias("size"),
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col("local").cast("int").alias("l"),
-                            F.coalesce(F.col("od"), F.lit(0)).cast("int").alias("v"),
-                        )
-                    )
-                ),
-                lambda s: s["v"],
-            ).alias("od"),
-        )
-    )
-    # lazy truncation: the n_dangling aggregate below is the materializing
-    # action (one job instead of checkpoint + aggregate)
-    block_meta = truncate_plan(block_meta, eager=False)
-    n_dangling = int(
-        block_meta.agg(
-            F.sum(F.size(F.filter("od", lambda x: x == 0)))
-        ).collect()[0][0]
-        or 0
-    )
 
     src_map = vmap.select(
         F.col("id").alias("src"), F.col("block").alias("sb"), F.col("local").alias("sl")
@@ -285,6 +255,60 @@ def build_blocked(
         .partitionBy("db")
         .parquet(f"{store_path}/edges")
     )
+
+    # per-block metadata stays a DataFrame: size + per-vertex out-degrees
+    # in local order (the prep job turns them into inv_od / dangling
+    # sidecar files). O(V) total, but only O(V/B) per row — it must never
+    # be a driver-side dict (round-1 verdict item #2). Out-degrees come
+    # from the WRITTEN store's (sb, sl) columns, not a second aggregation
+    # pass over ``edges``: the raw edge input is therefore evaluated
+    # exactly ONCE per build (the e2 write above) — callers routinely
+    # hand this function a computed plan (e.g. a symmetric-closure
+    # distinct), which the old two-pass shape evaluated twice (guide
+    # §1.2/§2.4: fewer passes first). The read-back is a column-pruned
+    # scan of two int columns of the just-written store. Identical od
+    # under the edge-table contract (endpoints ⊆ vertices).
+    out_deg = (
+        spark.read.schema("sb int, sl int, dl int, db int")
+        .parquet(f"{store_path}/edges")
+        .groupBy(F.col("sb").alias("block"), F.col("sl").alias("local"))
+        .agg(F.count("*").alias("od"))
+    )
+    block_meta = (
+        vmap.join(out_deg, ["block", "local"], "left")
+        .groupBy("block")
+        .agg(
+            F.count("*").cast("int").alias("size"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("local").cast("int").alias("l"),
+                            F.coalesce(F.col("od"), F.lit(0)).cast("int").alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("od"),
+        )
+    )
+    # lazy truncation: the metadata aggregate below is the materializing
+    # action (one job instead of checkpoint + aggregate); it computes
+    # n_dangling, the vertex count (when the caller didn't pass one), and
+    # the stored-edge total in the SAME job
+    block_meta = truncate_plan(block_meta, eager=False)
+    meta_row = block_meta.agg(
+        F.sum(F.size(F.filter("od", lambda x: x == 0))).alias("dang"),
+        F.sum("size").alias("nv"),
+        F.sum(
+            F.expr("aggregate(od, 0L, (a, x) -> a + bigint(x))")
+        ).alias("sum_od"),
+    ).collect()[0]
+    n_dangling = int(meta_row["dang"] or 0)
+    sum_od = int(meta_row["sum_od"] or 0)
+    if n is None:
+        n = int(meta_row["nv"] or 0)
+
     pair_index = truncate_plan(
         # explicit schema: an EDGELESS graph writes zero db= partitions
         # and schema inference would fail on the empty directory
@@ -317,12 +341,13 @@ def build_blocked(
                 "build_token": build_token,
                 "sidecars": bool(persist_sidecars),
                 "fingerprint": fingerprint or {},
+                "sum_od": sum_od,
             },
             f,
         )
     return BlockedGraph(
         store_path, build_token, pair_index, vmap, block_meta, n, n_dangling,
-        n_blocks, fingerprint or {},
+        n_blocks, fingerprint or {}, sum_od,
     )
 
 
@@ -595,12 +620,14 @@ def update_blocked(
         patch_kernel, "block int, size int, od array<int>"
     ).localCheckpoint()
     _mark('meta-patch')
-    n_dangling = int(
-        block_meta.agg(
-            F.sum(F.size(F.filter("od", lambda x: x == 0)))
-        ).collect()[0][0]
-        or 0
-    )
+    meta_row = block_meta.agg(
+        F.sum(F.size(F.filter("od", lambda x: x == 0))).alias("dang"),
+        F.sum(
+            F.expr("aggregate(od, 0L, (a, x) -> a + bigint(x))")
+        ).alias("sum_od"),
+    ).collect()[0]
+    n_dangling = int(meta_row["dang"] or 0)
+    sum_od = int(meta_row["sum_od"] or 0)
 
     # --- pair index: touched dbs re-derived, the rest carried over --------
     dsizes = block_meta.select(
@@ -627,6 +654,7 @@ def update_blocked(
     info.update(
         n=n2, n_dangling=n_dangling, build_token=new_token,
         fingerprint=fingerprint or info.get("fingerprint") or {},
+        sum_od=sum_od,
     )
     tmp = f"{store_path}/_info.json.tmp"
     with open(tmp, "w") as f:
@@ -639,7 +667,7 @@ def update_blocked(
             x.unpersist()
     return BlockedGraph(
         store_path, new_token, pair_index, vmap, block_meta, n2, n_dangling,
-        g.n_blocks, info["fingerprint"],
+        g.n_blocks, info["fingerprint"], sum_od,
     )
 
 
@@ -671,6 +699,7 @@ def load_blocked(spark, store_path: str) -> BlockedGraph:
         int(info["n_dangling"]),
         int(info["n_blocks"]),
         info.get("fingerprint") or {},
+        int(info["sum_od"]) if "sum_od" in info else None,
     )
 
 

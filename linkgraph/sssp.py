@@ -48,7 +48,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from . import native
-from .joinhints import fits_broadcast
 from .lineage import truncate_plan
 from .pagerank_csr import (
     BlockedGraph,
@@ -75,35 +74,15 @@ def sssp_distances(
     inspectable lazy plan (the plan-audit view); the default truncates
     per round so deep radii don't stack analyzer work.
     """
-    # normalize ONCE and truncate: every round joins against e, and
-    # without the checkpoint the dedup groupBy re-runs per round (the
-    # community.py _prep_graph rule). Lazy — round 1's action (or the
-    # bound count below) materializes it.
-    e = truncate_plan(
+    e = (
         edges.where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.min("w").alias("w")),
-        eager=False,
+        .agg(F.min("w").alias("w"))
     )
     dist = seeds.select("id", F.lit(0.0).alias("dist")).distinct()
-    # per-round state is bounded by |seeds| + |distinct targets|: when
-    # that fits, broadcast the distance state so the edge table is never
-    # exchanged (guide §3.1); the two bounding counts double as the
-    # materializing actions for e and the seed set
-    bound = int(
-        e.agg(F.count_distinct("dst").alias("c")).collect()[0]["c"] or 0
-    )
-    dist = truncate_plan(dist, eager=False)
-    bound += dist.count()
-    bcast = fits_broadcast(bound)
     for _ in range(max_hops):
         hop = e.join(
-            F.broadcast(dist.select(F.col("id").alias("src"), "dist"))
-            if bcast
-            else dist.select(F.col("id").alias("src"), "dist").hint(
-                "shuffle_hash"
-            ),
-            "src",
+            dist.select(F.col("id").alias("src"), "dist"), "src"
         ).select(
             F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
         )
@@ -134,31 +113,17 @@ def sssp_voronoi(
     struct-min aggregation, no window sort (SQL-replicable via a
     min-dist join + min-seed tie-break; oracle row ``graph_voronoi3``).
     """
-    # same per-round shape as sssp_distances: e truncated once, state
-    # broadcast when bounded (see there)
-    e = truncate_plan(
+    e = (
         edges.where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.min("w").alias("w")),
-        eager=False,
+        .agg(F.min("w").alias("w"))
     )
     state = seeds.select(
         F.col("id"), F.col("id").alias("seed"), F.lit(0.0).alias("dist")
     ).distinct()
-    bound = int(
-        e.agg(F.count_distinct("dst").alias("c")).collect()[0]["c"] or 0
-    )
-    state = truncate_plan(state, eager=False)
-    bound += state.count()
-    bcast = fits_broadcast(bound)
     for _ in range(max_hops):
         hop = e.join(
-            F.broadcast(state.select(F.col("id").alias("src"), "seed", "dist"))
-            if bcast
-            else state.select(
-                F.col("id").alias("src"), "seed", "dist"
-            ).hint("shuffle_hash"),
-            "src",
+            state.select(F.col("id").alias("src"), "seed", "dist"), "src"
         ).select(
             F.col("dst").alias("id"),
             "seed",
