@@ -443,45 +443,68 @@ def update_blocked(
         F.col("local").alias("dl"),
     )
 
-    def _mapped(delta: DataFrame | None, what: str) -> DataFrame | None:
-        if delta is None:
-            return None
-        # persist the normalized delta: it is read by its own count, the
-        # coordinate join, AND (broadcast) every rewrite join — without
-        # this a delta derived from an expensive lineage re-evaluates
-        # per consumer
-        d = delta.select("src", "dst").distinct().persist()
-        m = d.join(src_map, "src").join(dst_map, "dst").select(
+    # ONE tagged pass for both deltas (was one distinct+join+two counts
+    # PER delta): union with a kind column, one distinct, one coordinate
+    # join, and a single per-kind count pair for the unmapped-id check.
+    # Persisted: the mapped delta is read by the validation counts, the
+    # touched-db collect, and (broadcast) every rewrite join.
+    tagged = []
+    if added is not None:
+        tagged.append(
+            added.select("src", "dst").withColumn("kind", F.lit("a"))
+        )
+    if removed is not None:
+        tagged.append(
+            removed.select("src", "dst").withColumn("kind", F.lit("r"))
+        )
+    add_m = rem_m = None
+    if tagged:
+        d_all = (
+            tagged[0] if len(tagged) == 1
+            else tagged[0].unionByName(tagged[1])
+        ).distinct().persist()
+        m_all = d_all.join(src_map, "src").join(dst_map, "dst").select(
+            "kind",
             F.col("sb").cast("int").alias("sb"),
             F.col("db").cast("int").alias("db"),
             F.col("sl").cast("int").alias("sl"),
             F.col("dl").cast("int").alias("dl"),
         ).persist()
-        n_in, n_m = d.count(), m.count()
-        d.unpersist()
-        if n_in != n_m:
-            m.unpersist()
-            raise ValueError(
-                f"{what}: {n_in - n_m} of {n_in} delta edges reference ids "
-                "absent from the store's vertex map (pass new_vertices)"
-            )
-        return m
 
-    add_m = _mapped(added, "added")
-    _mark('map-added')
-    rem_m = _mapped(removed, "removed")
-    _mark('map-removed')
+        def _kind_counts(df: DataFrame) -> dict[str, int]:
+            return {
+                r["kind"]: int(r["c"])
+                for r in df.groupBy("kind").agg(
+                    F.count("*").alias("c")
+                ).collect()
+            }
+
+        n_in, n_m = _kind_counts(d_all), _kind_counts(m_all)
+        d_all.unpersist()
+        for kind, what in (("a", "added"), ("r", "removed")):
+            missing = n_in.get(kind, 0) - n_m.get(kind, 0)
+            if missing:
+                m_all.unpersist()
+                raise ValueError(
+                    f"{what}: {missing} of {n_in.get(kind, 0)} delta edges "
+                    "reference ids absent from the store's vertex map "
+                    "(pass new_vertices)"
+                )
+        cols_k = ["sb", "db", "sl", "dl"]
+        if added is not None:
+            add_m = m_all.where(F.col("kind") == "a").select(*cols_k)
+        if removed is not None:
+            rem_m = m_all.where(F.col("kind") == "r").select(*cols_k)
+    else:
+        m_all = None
+    _mark('map-deltas')
     if add_m is None and rem_m is None and n_new == 0:
         raise ValueError("update_blocked: empty delta")
 
     # --- rewrite only the touched db partitions ---------------------------
-    both = [x for x in (add_m, rem_m) if x is not None]
-    if both:
-        delta_all = (
-            both[0] if len(both) == 1 else both[0].unionByName(both[1])
-        )
+    if m_all is not None:
         touched = sorted(
-            r["db"] for r in delta_all.select("db").distinct().collect()
+            r["db"] for r in m_all.select("db").distinct().collect()
         )
     else:
         touched = []
@@ -512,9 +535,17 @@ def update_blocked(
             )
         else:
             flag = flag.withColumn("is_add", F.lit(None).cast("int"))
+        # LAZY checkpoints where the stage write below is guaranteed to be
+        # the first action: it materializes them in ITS job (pre-swap, so
+        # the lineage still reads the old files) and the meta-patch job
+        # then reuses the blocks — an eager checkpoint costs one extra
+        # job for the same I/O. ``smalls`` reaches the write plan only
+        # through add_eff's broadcast, so for a removed-only delta it
+        # must stay EAGER (a lazy one would first materialize in the
+        # post-swap meta job and read the replaced files).
         smalls = flag.where(
             F.col("is_rem").isNotNull() | F.col("is_add").isNotNull()
-        ).localCheckpoint()
+        ).localCheckpoint(eager=add_m is None)
         _mark('smalls-scan')
         if rem_m is not None:
             rem_eff = smalls.where(F.col("is_rem").isNotNull()).select(*cols)
@@ -524,7 +555,7 @@ def update_blocked(
             )
             add_eff = add_m.join(
                 F.broadcast(present_add), cols, "left_anti"
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             _mark('add-eff')
 
         new_rows = old_rows
@@ -585,11 +616,20 @@ def update_blocked(
     else:
         per_block = None
 
-    sizes_new = vmap.groupBy("block").agg(F.count("*").cast("int").alias("sz2"))
-    bm = g.block_meta.join(sizes_new, "block", "right").select(
-        "block", "sz2",
-        F.coalesce("od", F.array().cast("array<int>")).alias("od"),
-    )
+    if n_new:
+        sizes_new = vmap.groupBy("block").agg(
+            F.count("*").cast("int").alias("sz2")
+        )
+        bm = g.block_meta.join(sizes_new, "block", "right").select(
+            "block", "sz2",
+            F.coalesce("od", F.array().cast("array<int>")).alias("od"),
+        )
+    else:
+        # no new vertices: block sizes are unchanged — skip the vmap
+        # re-aggregation entirely
+        bm = g.block_meta.select(
+            "block", F.col("size").alias("sz2"), "od"
+        )
     if per_block is not None:
         bm = bm.join(per_block, "block", "left")
     else:
@@ -614,11 +654,16 @@ def update_blocked(
             out.append((int(b), int(sz2), arr.astype(np.int32)))
         return pd.DataFrame(out, columns=["block", "size", "od"])
 
-    # materialized now: the plan reads the OLD _meta sidecar, which the
-    # sidecar write below overwrites in place
-    block_meta = bm.groupBy("block").applyInPandas(
-        patch_kernel, "block int, size int, od array<int>"
-    ).localCheckpoint()
+    # lazily truncated: the metadata aggregate right below is the
+    # materializing action (one job instead of checkpoint + aggregate),
+    # and it runs before the sidecar write overwrites the OLD _meta the
+    # plan may read
+    block_meta = truncate_plan(
+        bm.groupBy("block").applyInPandas(
+            patch_kernel, "block int, size int, od array<int>"
+        ),
+        eager=False,
+    )
     _mark('meta-patch')
     meta_row = block_meta.agg(
         F.sum(F.size(F.filter("od", lambda x: x == 0))).alias("dang"),
@@ -641,8 +686,17 @@ def update_blocked(
         .distinct()
     ) if touched else None
     pairs = kept if fresh is None else kept.unionByName(fresh)
-    # materialized for the same reason: kept reads the OLD _pairs sidecar
-    pair_index = pairs.join(dsizes, "db").localCheckpoint()
+    # sidecar stores: materialize NOW — kept reads the OLD _pairs file
+    # that the write below overwrites. Anonymous (in-session) stores have
+    # no _pairs sidecar to clash with, so the index stays lazy like
+    # build_blocked's: it only ever costs a job when something consumes
+    # it (the benched update path never does).
+    pj = pairs.join(dsizes, "db")
+    pair_index = (
+        pj.localCheckpoint()
+        if info.get("sidecars", False)
+        else truncate_plan(pj, eager=False)
+    )
     _mark('pair-index')
 
     # --- persist sidecars + info ------------------------------------------
@@ -662,9 +716,8 @@ def update_blocked(
     os.replace(tmp, f"{store_path}/_info.json")
     # GC the previous build's decoded sidecars (correctness rides tokens)
     shutil.rmtree(f"{store_path}/npy/{g.build_token}", ignore_errors=True)
-    for x in (add_m, rem_m, add_eff, rem_eff):
-        if x is not None:
-            x.unpersist()
+    if m_all is not None:
+        m_all.unpersist()
     return BlockedGraph(
         store_path, new_token, pair_index, vmap, block_meta, n2, n_dangling,
         g.n_blocks, info["fingerprint"], sum_od,
