@@ -234,13 +234,12 @@ def label_propagation(
     if checkpoint is None and iterations > start:
         # isolated vertices (never a src in the symmetric closure) keep
         # their starting label — one anti-join outside the loop
+        non_isolated = sym.select(F.col("src").alias("id")).distinct()
+        if use_bcast:  # <= |V| rows after the distinct
+            non_isolated = F.broadcast(non_isolated)
         isolated = (
             vertices.select("id")
-            .join(
-                sym.select(F.col("src").alias("id")).distinct(),
-                "id",
-                "left_anti",
-            )
+            .join(non_isolated, "id", "left_anti")
             .select("id", F.col("id").alias("label"))
         )
         labels = labels.unionByName(isolated)

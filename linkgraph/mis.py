@@ -140,7 +140,7 @@ def maximal_independent_set(
                     "O(n) rounds)", n_und, k, max_iter,
                 )
         k += 1
-        und_pri = und.join(pri, "id")
+        und_pri = und.join(_small(pri) if use_bcast else pri, "id")
         # min undecided-neighbor priority per undecided vertex.
         # shuffle_hash hints on the per-vertex sides: SMJ would re-sort
         # the 2|E| neighbor table every round (the labelprop.py finding)
@@ -160,7 +160,9 @@ def maximal_independent_set(
             .select(F.col("src").alias("id"), "mn")
         )
         win = (
-            und_pri.join(nbr_min, "id", "left")
+            und_pri.join(
+                F.broadcast(nbr_min) if use_bcast else nbr_min, "id", "left"
+            )
             .where(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
             .select("id")
         )
@@ -189,10 +191,19 @@ def maximal_independent_set(
         if members is not None
         else vertices.select("id").where(F.lit(False))
     )
+    def _small_or(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_bcast else df
+
     state = (
         vertices.select("id")
-        .join(members.select("id", F.lit("in").alias("s_in")), "id", "left")
-        .join(und.select("id", F.lit("und").alias("s_und")), "id", "left")
+        .join(
+            _small_or(members.select("id", F.lit("in").alias("s_in"))),
+            "id", "left",
+        )
+        .join(
+            _small_or(und.select("id", F.lit("und").alias("s_und"))),
+            "id", "left",
+        )
         .select(
             "id",
             F.coalesce("s_in", "s_und", F.lit("out")).alias("state"),
