@@ -336,15 +336,21 @@ def louvain_blocked(
             out.append((b, np.load(f"{last}/b{b}.npy")))
         return pd.DataFrame(out, columns=["block", "lv"])
 
+    from .joinhints import fits_broadcast
+
+    bcast = fits_broadcast(g.n)
+    vm = F.broadcast(g.vmap) if bcast else g.vmap
     final = (
         g.block_meta.groupBy("block")
         .applyInPandas(read_kernel, "block int, lv array<double>")
         .select("block", F.posexplode("lv").alias("local", "flabel"))
-        .join(g.vmap, ["block", "local"])
+        .join(vm, ["block", "local"])
         .select("id", F.col("flabel").cast("long").alias("flabel"))
     )
     # rank -> owning vertex id: the inverse of the init mapping
     owner = ranks.select(
         F.col("rank").alias("flabel"), F.col("id").alias("label")
     )
-    return final.join(owner, "flabel").select("id", "label")
+    return final.join(
+        F.broadcast(owner) if bcast else owner, "flabel"
+    ).select("id", "label")

@@ -221,16 +221,25 @@ def pagerank(
         ),
     ]
 
+    # per-round join strategy (guide §3.1): the rank state is |V| rows —
+    # when that fits the broadcast cap, broadcast it (and the contrib
+    # table) so the static |E| edge side is never exchanged per
+    # superstep; otherwise the historical shuffle_hash rounds (a SMJ
+    # would re-sort all |E| rows / step)
+    from .joinhints import fits_broadcast
+
+    bcast = fits_broadcast(n)
+
+    def _state_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df.hint("shuffle_hash")
+
     for step in range(start_step, start_step + max_iter):
         with StepTimer() as t:
             before = _persistent_rdd_ids(spark)
-            # shuffle_hash hint on the vertex-state side: the static edge
-            # side streams against a per-partition hash map instead of being
-            # re-sorted every superstep (SMJ would sort all |E| rows / step)
             contribs = (
                 e.join(
-                    ranks.select(F.col("id").alias("src"), "rank").hint(
-                        "shuffle_hash"
+                    _state_side(
+                        ranks.select(F.col("id").alias("src"), "rank")
                     ),
                     "src",
                 )
@@ -244,10 +253,11 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )
+            contribs_j = _state_side(contribs)
             new_ranks = (
                 ranks.join(
-                    contribs.hint("shuffle_hash"),
-                    ranks["id"] == contribs["dst"],
+                    contribs_j,
+                    ranks["id"] == contribs_j["dst"],
                     "left",
                 )
                 .select(

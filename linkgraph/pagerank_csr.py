@@ -1141,9 +1141,12 @@ def pagerank_blocked(
     ranks_blocks = g.block_meta.groupBy("block").applyInPandas(
         read_kernel, "block int, rv array<double>"
     )
+    from .joinhints import fits_broadcast
+
+    vm = F.broadcast(g.vmap) if fits_broadcast(g.n) else g.vmap
     flat = (
         ranks_blocks.select("block", F.posexplode("rv").alias("local", "rank"))
-        .join(g.vmap, ["block", "local"])
+        .join(vm, ["block", "local"])
         .select("id", "rank")
     )
     return PageRankResult(flat, len(supersteps), converged, supersteps)

@@ -24,6 +24,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
+from linkgraph.joinhints import fits_broadcast
 from linkgraph.lineage import truncate_plan
 
 
@@ -40,6 +41,11 @@ def random_walks(
     """
     if steps < 0:
         raise ValueError(f"steps must be >= 0, got {steps}")
+    # the frontier is one row per live walk, bounded by |starts|: when
+    # that fits the broadcast cap, broadcast it each step so the edge
+    # side is never exchanged or re-sorted (guide §3.1; measured 5/5
+    # interleaved pairs faster at sf0.1, min 1.00s vs 1.26s)
+    bcast = fits_broadcast(starts.count())
     cur = starts.select(
         F.col("id").alias("walk_id"), F.col("id").alias("vertex")
     )
@@ -54,8 +60,9 @@ def random_walks(
                 F.col("dst"),
             )
         )
+        left = F.broadcast(cur) if bcast else cur
         cur = (
-            cur.join(edges, cur.vertex == edges.src)
+            left.join(edges, left.vertex == edges.src)
             .select("walk_id", "dst", h.alias("h"))
             .groupBy("walk_id")
             .agg(F.min_by("dst", "h").alias("vertex"))
@@ -122,6 +129,7 @@ def node2vec_walks(
     if steps < 0:
         raise ValueError(f"steps must be >= 0, got {steps}")
     inv_p, inv_q = 1.0 / p, 1.0 / q
+    bcast = fits_broadcast(starts.count())  # frontier bound, see above
     e = edges.select("src", "dst").distinct()
     nbr = e.select(
         F.col("src").alias("prev"), F.col("dst").alias("dst"),
@@ -136,7 +144,8 @@ def node2vec_walks(
         cur.select("walk_id", F.lit(0).cast("int").alias("step"), "vertex")
     ]
     for s in range(1, steps + 1):
-        cand = cur.join(e, cur.vertex == e.src).select(
+        left = F.broadcast(cur) if bcast else cur
+        cand = left.join(e, left.vertex == e.src).select(
             "walk_id", "prev", "vertex", "dst"
         )
         cand = cand.join(nbr, ["prev", "dst"], "left")
