@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .graph import sym_pairs
 from .joinhints import fits_broadcast, small_side
 from .lineage import truncate_plan
 
@@ -56,10 +57,21 @@ def _prep_graph(edges: DataFrame):
     reference within a round) reuses the materialized blocks instead of
     recomputing the 2|E| distinct."""
     e = _undirected(edges)
+    # one exploded pass, not a two-branch union (graph.undirected_edges'
+    # rule): the canonical-pair aggregate is evaluated once
     sym = truncate_plan(
-        e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("src"), F.col("v").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("v").alias("src"), F.col("u").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        ).select("p.src", "p.dst")
     )
     m = sym.count() // 2  # the action that materializes sym's checkpoint
     deg = truncate_plan(
@@ -181,12 +193,11 @@ def _prep_weighted(wedges: DataFrame):
     sides truncated once for a multi-round run (the _prep_graph rule)."""
     nonself = wedges.where(F.col("u") != F.col("v"))
     sym_w = truncate_plan(
-        nonself.select(
-            F.col("u").alias("src"), F.col("v").alias("dst"), "w"
-        ).unionByName(
+        sym_pairs(
             nonself.select(
-                F.col("v").alias("src"), F.col("u").alias("dst"), "w"
-            )
+                F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+            ),
+            "src", "dst", extra=("w",),
         )
     )
     m = float(

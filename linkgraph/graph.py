@@ -64,13 +64,44 @@ def build_graph(pages: DataFrame, links: DataFrame) -> tuple[DataFrame, DataFram
     return build_edges(links), build_vertices(pages, links)
 
 
+def sym_pairs(df: DataFrame, c1: str, c2: str, extra: tuple = ()) -> DataFrame:
+    """Emit each row twice — as (c1, c2) and swapped — in ONE exploded
+    pass over ``df`` instead of a two-branch union (which evaluates a
+    computed input once per branch; Catalyst shares the branches' common
+    exchange but re-runs everything above it). ``extra`` columns are
+    carried through unchanged."""
+    swapped = F.explode(
+        F.array(
+            F.struct(F.col(c1).alias(c1), F.col(c2).alias(c2)),
+            F.struct(F.col(c2).alias(c1), F.col(c1).alias(c2)),
+        )
+    )
+    return df.select(swapped.alias("_p"), *[F.col(c) for c in extra]).select(
+        f"_p.{c1}", f"_p.{c2}", *extra
+    )
+
+
 def undirected_edges(edges: DataFrame) -> DataFrame:
     """Symmetric closure (u,v)+(v,u), self-loops dropped — the neighbor
-    relation used by connected components / label propagation / triangles."""
-    e = edges.where(F.col("src") != F.col("dst"))
+    relation used by connected components / label propagation / triangles.
+
+    Emitted as ONE exploded pass over the edge table rather than a
+    two-branch union: the union form evaluates the (possibly computed)
+    edge plan once per branch, the exploded form once (guide §1.2;
+    measured 3/4 interleaved pairs faster at sf0.1, identical rows)."""
     return (
-        e.select("src", "dst")
-        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .distinct()
     )
 

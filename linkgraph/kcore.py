@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .graph import sym_pairs
 from .lineage import truncate_plan
 
 
@@ -37,8 +38,7 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     """Distinct symmetrized (u, v) pairs, self-loops dropped."""
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     return (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .where(F.col("u") != F.col("v"))
+        sym_pairs(e.where(F.col("u") != F.col("v")), "u", "v")
         .distinct()
     )
 

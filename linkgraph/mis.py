@@ -80,17 +80,9 @@ def maximal_independent_set(
     # lazy checkpoint computes the 2|E| symmetric distinct a single time
     # inside the caller's one action and shares the blocks, without
     # spending a separate materialization job per static side)
-    nbr = truncate_plan(
-        edges.where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionByName(
-            edges.where(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .distinct(),
-        eager=False,
-    )
+    from .graph import undirected_edges
+
+    nbr = truncate_plan(undirected_edges(edges), eager=False)
     pri = truncate_plan(
         vertices.select("id", _priority("id").alias("pri")), eager=False
     )

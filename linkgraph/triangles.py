@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .caching import register_cache as _register_cache, release_caches  # noqa: F401
+from .graph import sym_pairs
 
 
 def _canon_pairs(edges: DataFrame) -> DataFrame:
@@ -34,9 +35,7 @@ def _triangles_of(pairs: DataFrame, persist: bool = True) -> DataFrame:
     oriented edge cache with linkgraph.caching (callers release);
     persist=False keeps the plan fully lazy (k-truss rounds, where the
     round's materializing action computes it once anyway)."""
-    sym = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    sym = sym_pairs(pairs, "u", "v")
     deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
 
     # orient low-(deg,id) -> high-(deg,id)
@@ -101,9 +100,7 @@ def clustering_coefficients(
     what triangle_counts already does.
     """
     pairs = _canon_pairs(edges)
-    sym = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    sym = sym_pairs(pairs, "u", "v")
     deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
     tri = triangle_counts(spark, edges, vertices)
     return (
@@ -194,7 +191,7 @@ def ktruss(
 def triangle_total(spark, edges: DataFrame) -> int:
     """Total triangle count (each counted once)."""
     pairs = _canon_pairs(edges)
-    sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym_pairs(pairs, "u", "v")
     deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
     oriented = (
         sym.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
