@@ -45,6 +45,7 @@ from .pagerank_csr import (
     _load_block,
     _ranks_root,
     _write_npy_atomic,
+    vmap_side,
 )
 
 
@@ -180,7 +181,7 @@ def connected_components_blocked(
         g.block_meta.groupBy("block")
         .applyInPandas(read_kernel, "block int, lv array<double>")
         .select("block", F.posexplode("lv").alias("local", "glabel"))
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select("id", F.col("glabel").cast("long").alias("glabel"))
     )
     # min-INDEX label -> min vertex ID per component (exactly the flat
@@ -242,7 +243,7 @@ def bfs_distances_blocked(
 
     (
         seeds.select("id").distinct()
-        .join(g.vmap, "id")
+        .join(vmap_side(g), "id")
         .join(sizes_by_block, "block")
         .select("block", "local", "size")
         .groupBy("block")
@@ -314,7 +315,7 @@ def bfs_distances_blocked(
         .applyInPandas(read_kernel, "block int, dv array<double>")
         .select("block", F.posexplode("dv").alias("local", "d"))
         .where(F.col("d") != float("inf"))
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select("id", F.col("d").cast("int").alias("dist")),
         eager=False,
     )
@@ -448,7 +449,7 @@ def kcore_blocked(
         )
         .select("block", "local", "z.av", "z.dv")
         .where(F.col("av") > 0)
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select("id", F.col("dv").cast("long").alias("core_deg")),
         eager=False,
     )

@@ -46,6 +46,7 @@ from .pagerank_csr import (
     _ranks_root,
     _write_npy_atomic,
     build_blocked,
+    vmap_side,
 )
 
 
@@ -295,7 +296,7 @@ def _read_scores(
         .applyInPandas(read_kernel, schema)
         .select("block", zipped)
         .select("block", "local", *[F.col(f"z.{n}").alias(n) for n in names])
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select("id", *names)
     )
 

@@ -59,6 +59,7 @@ from .pagerank_csr import (
     _load_block,
     _ranks_root,
     _write_npy_atomic,
+    vmap_side,
 )
 
 
@@ -275,7 +276,7 @@ def label_propagation_blocked(
         g.block_meta.groupBy("block")
         .applyInPandas(read_kernel, "block int, lv array<double>")
         .select("block", F.posexplode("lv").alias("local", "flabel"))
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select("id", F.col("flabel").cast("long").alias("flabel"))
     )
     # rank -> owning vertex id: the inverse of the init mapping, one join

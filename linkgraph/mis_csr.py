@@ -68,6 +68,7 @@ from .pagerank_csr import (
     _load_block,
     _ranks_root,
     _write_npy_atomic,
+    vmap_side,
 )
 
 log = logging.getLogger(__name__)
@@ -314,7 +315,7 @@ def mis_blocked(
         g.block_meta.groupBy("block")
         .applyInPandas(read_kernel, "block int, sv array<double>")
         .select("block", F.posexplode("sv").alias("local", "sv"))
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select(
             "id",
             F.when(F.col("sv") == 1.0, F.lit("in"))

@@ -98,6 +98,15 @@ _EDGE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 STORE_FORMAT = 2  # bump when the store/sidecar layout changes
 
 
+def vmap_side(g: "BlockedGraph") -> DataFrame:
+    """The vertex-map side of a decode/seed join: broadcast when |V|
+    (store metadata — no counting job) fits the broadcast cap; the plain
+    frame otherwise (guide §3.1)."""
+    from .joinhints import fits_broadcast
+
+    return F.broadcast(g.vmap) if fits_broadcast(g.n) else g.vmap
+
+
 def _cache_max_entries() -> int:
     return int(os.environ.get("LINKGRAPH_EDGE_CACHE_ENTRIES", "8192"))
 

@@ -50,6 +50,7 @@ from .pagerank_csr import (
     _ranks_root,
     _superstep_db,
     _write_npy_atomic,
+    vmap_side,
 )
 
 
@@ -88,7 +89,7 @@ def ppr_blocked(
 
     seed_pos = (
         seeds.select("id").distinct()
-        .join(g.vmap, "id")
+        .join(vmap_side(g), "id")
         .select("block", "local")
     )
     # one action: |seeds| + an order-independent fingerprint (sum of
@@ -284,7 +285,7 @@ def ppr_blocked(
         g.block_meta.groupBy("block")
         .applyInPandas(read_kernel, "block int, rv array<double>")
         .select("block", F.posexplode("rv").alias("local", "rank"))
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select("id", "rank")
     )
     return PageRankResult(flat, len(supersteps), converged, supersteps)

@@ -54,6 +54,7 @@ from .pagerank_csr import (
     _npy_cache_dir,
     _ranks_root,
     _write_npy_atomic,
+    vmap_side,
 )
 
 
@@ -328,7 +329,7 @@ def sssp_voronoi_blocked(
 
     (
         seeds.select("id").distinct()
-        .join(g.vmap, "id")
+        .join(vmap_side(g), "id")
         .join(sizes_by_block, "block")
         .select("id", "block", "local", "size")
         .groupBy("block")
@@ -434,7 +435,7 @@ def sssp_voronoi_blocked(
             F.col("z.dv").alias("dist"), F.col("z.ov").alias("ov"),
         )
         .where(F.col("dist") != float("inf"))
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select("id", F.col("ov").alias("seed"), "dist"),
         eager=False,
     )
@@ -493,7 +494,7 @@ def sssp_blocked(
 
     (
         seeds.select("id").distinct()
-        .join(g.vmap, "id")
+        .join(vmap_side(g), "id")
         .join(sizes_by_block, "block")
         .select("block", "local", "size")
         .groupBy("block")
@@ -577,7 +578,7 @@ def sssp_blocked(
         .applyInPandas(read_kernel, "block int, dv array<double>")
         .select("block", F.posexplode("dv").alias("local", "dist"))
         .where(F.col("dist") != float("inf"))
-        .join(g.vmap, ["block", "local"])
+        .join(vmap_side(g), ["block", "local"])
         .select("id", "dist"),
         eager=False,
     )
